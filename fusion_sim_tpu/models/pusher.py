@@ -1,0 +1,380 @@
+"""CylindricalParticlePusher — the flagship test-particle model.
+
+TPU-native re-creation of ``makeCylindricalParticlePusher``
+(empic.js:30-1529): a charged-particle pusher in a cylindrically symmetric
+magnetized plasma with static imposed E/B fields, Monte-Carlo sink/respawn,
+grid moment deposition, and density/|B| rendering.
+
+Architecture (vs the reference's 20 fragment-shader passes over float
+textures):
+
+* state is a ``PusherState`` PyTree of SoA arrays — functional updates
+  replace the reference's A/B texture ping-pong (empic.js:666-672);
+* one jitted ``step`` fuses both leapfrog half-steps (the reference's 6
+  passes, empic.js:1436-1469) into a single XLA computation;
+* one jitted ``density`` fuses deposit -> normalize -> EMA -> render
+  (the reference's 6 passes, empic.js:1471-1526) and returns the frame;
+* field construction (``add_current_loop`` etc.) runs on device at config
+  time, accumulating into the B grid exactly like the reference's additive
+  blending (empic.js:1352-1411).
+
+Units/normalization follow the reference exactly: positions are Cartesian
+(x, y, z) scaled per-axis by (1/radius, 1/radius, 1/height); velocities are
+in units of c with the same per-axis scaling; h = q*dt/(2m)
+(empic.js:44-46, 1202-1204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import validate_object
+from ..constants import SPEED_OF_LIGHT
+from ..ops import fields as field_ops
+from ..ops.boris import BorisCoefficients, precompute_rotation, push_velocity
+from ..ops.deposit import deposit_moments, ema_moments, normalize_moments
+from ..ops.push import push_position
+from ..ops.rng import substep_uniforms
+from ..ops.sampling import build_inverse_cdf_table
+from ..utils.render import render_bmag, render_density_overlay
+
+SPEC_SCHEMA = {
+    # Mirrors the validated spec of empic.js:31-41.
+    "radius": "number",   # meters
+    "height": "number",   # meters
+    "nr": "number",
+    "nz": "number",
+    "dt": "number",       # seconds
+    "nparticles": "number",  # particle count is nparticles^2 (empic.js:107)
+    "particle_mass": "number",    # kg
+    "particle_charge": "number",  # C
+}
+
+
+class PusherState(NamedTuple):
+    """Dynamic (per-step) simulation state — a PyTree of device arrays."""
+
+    position: jax.Array      # (N, 3) normalized Cartesian; empic.js:1202-1204
+    velocity: jax.Array      # (N, 3) normalized (units of c, per-axis scaled)
+    alive: jax.Array         # (N,) the position.w flag (empic.js:719)
+    key: jax.Array           # PRNG key (replaces rand_A/rand_B textures)
+    moments_avg: jax.Array   # (nr, nz, 4) EMA of normalized moments
+
+
+class FieldState(NamedTuple):
+    """Field-configuration state, changed only by setup APIs."""
+
+    e: jax.Array             # (nr, nz, 3) V/m
+    b: jax.Array             # (nr, nz, 3) T, components (B_r, B_theta, B_z)
+    coeffs: BorisCoefficients
+    sink_mask: jax.Array     # (nr, nz) 1 = keep, 0 = absorb
+    inv_cdf: jax.Array       # (512, 512, 2) respawn sampler table
+
+
+@dataclasses.dataclass(frozen=True)
+class PusherSpec:
+    """Static configuration (hashable, closed over by the jitted step)."""
+
+    radius: float
+    height: float
+    nr: int
+    nz: int
+    dt: float
+    nparticles: int          # per-side; total count is nparticles**2
+    particle_mass: float
+    particle_charge: float
+    interp: str = "nearest"  # field sampling; 'nearest' is reference parity
+
+    @property
+    def n_total(self) -> int:
+        return self.nparticles * self.nparticles
+
+    @property
+    def h(self) -> float:
+        return self.particle_charge * self.dt / (2.0 * self.particle_mass)
+
+    @property
+    def factor_r(self) -> float:
+        return 1.0 / self.radius
+
+    @property
+    def factor_z(self) -> float:
+        return 1.0 / self.height
+
+    @property
+    def step_factor(self) -> float:
+        return self.dt * SPEED_OF_LIGHT
+
+
+def _substep(spec: PusherSpec, fields: FieldState, state: PusherState) -> PusherState:
+    """One leapfrog half-step: rand -> velocity -> position.
+
+    Mirrors one A->B (or B->A) pass triple of empic.js:1436-1469; the fresh
+    uniforms play the role of the rand texture consumed by both the velocity
+    pass (thermal re-init, empic.js:771-772) and the position pass (respawn
+    location, empic.js:714-717).
+    """
+    rand, key = substep_uniforms(state.key, spec.n_total)
+    velocity = push_velocity(state.position, state.velocity, state.alive, rand, fields.coeffs)
+    position, alive = push_position(
+        state.position, velocity, rand, fields.sink_mask, fields.inv_cdf, spec.step_factor
+    )
+    return state._replace(position=position, velocity=velocity, alive=alive, key=key)
+
+
+def make_step_fn(spec: PusherSpec):
+    """Build the jitted full step (two half-steps, empic.js:1436-1469)."""
+
+    @jax.jit
+    def step(fields: FieldState, state: PusherState) -> PusherState:
+        state = _substep(spec, fields, state)
+        state = _substep(spec, fields, state)
+        return state
+
+    return step
+
+
+def make_multi_step_fn(spec: PusherSpec, n_steps: int):
+    """A jitted ``lax.scan`` over ``n_steps`` full steps — the hot-loop form
+    used by benchmarks and headless runs (no host round-trip per frame)."""
+
+    @jax.jit
+    def run(fields: FieldState, state: PusherState) -> PusherState:
+        def body(s, _):
+            s = _substep(spec, fields, s)
+            s = _substep(spec, fields, s)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
+    return run
+
+
+def make_density_fn(spec: PusherSpec):
+    """Build the jitted density/render pass (empic.js:1471-1526).
+
+    Returns ``(new_state, frame)`` where frame is the (nr, nz, 3) float RGB
+    canvas (|B| background + density overlay).
+    """
+
+    @jax.jit
+    def density(fields: FieldState, state: PusherState):
+        moments = deposit_moments(state.position, state.velocity, spec.nr, spec.nz)
+        norm = normalize_moments(moments)
+        avg = ema_moments(norm, state.moments_avg)
+        background = render_bmag(fields.b)
+        frame = render_density_overlay(background, avg)
+        return state._replace(moments_avg=avg), frame
+
+    return density
+
+
+class CylindricalParticlePusher:
+    """Stateful shell with the reference's API surface.
+
+    Mirrors the object returned by ``makeCylindricalParticlePusher``
+    (empic.js:30-1529): ``set``, ``add_current_loop``, ``add_current_z``,
+    ``add_bz``, ``add_btheta``, ``add_spindle_cusp_plasma_field``,
+    ``precalc``, ``step``, ``density`` — plus symmetric ``get_state`` /
+    ``set_state`` (the checkpoint upgrade mandated by SURVEY.md §5).
+    """
+
+    def __init__(self, spec: dict[str, Any] | PusherSpec, *, seed: int = 0,
+                 loop_field_mode: str = "table"):
+        if isinstance(spec, dict):
+            validate_object(spec, SPEC_SCHEMA)
+            spec = PusherSpec(
+                radius=float(spec["radius"]), height=float(spec["height"]),
+                nr=int(spec["nr"]), nz=int(spec["nz"]), dt=float(spec["dt"]),
+                nparticles=int(spec["nparticles"]),
+                particle_mass=float(spec["particle_mass"]),
+                particle_charge=float(spec["particle_charge"]),
+            )
+        self.spec = spec
+        self.loop_field_mode = loop_field_mode
+        nr, nz, n = spec.nr, spec.nz, spec.n_total
+
+        # Shape tables precomputed eagerly, like empic.js:333-345.
+        if loop_field_mode == "table":
+            self._loop_half, self._loop_tenth = field_ops.make_loop_tables(nr, nz)
+        else:
+            self._loop_half = self._loop_tenth = None
+
+        zeros_field = jnp.zeros((nr, nz, 3), dtype=jnp.float32)
+        self.fields = FieldState(
+            e=zeros_field,
+            b=zeros_field,
+            coeffs=precompute_rotation(zeros_field, zeros_field, spec.h,
+                                       spec.factor_r, spec.factor_z),
+            sink_mask=jnp.ones((nr, nz), dtype=jnp.float32),
+            inv_cdf=jnp.zeros((512, 512, 2), dtype=jnp.float32),
+        )
+        self.state = PusherState(
+            position=jnp.zeros((n, 3), dtype=jnp.float32),
+            velocity=jnp.zeros((n, 3), dtype=jnp.float32),
+            alive=jnp.ones((n,), dtype=jnp.float32),
+            key=jax.random.key(seed),
+            moments_avg=jnp.zeros((nr, nz, 4), dtype=jnp.float32),
+        )
+        self._step = make_step_fn(spec)
+        self._density = make_density_fn(spec)
+
+    # ------------------------------------------------------------------ setup
+    def set(self, value: dict[str, Any]) -> None:
+        """Upload state — parity with ``out.set`` (empic.js:1157-1350).
+
+        Accepts any of: ``E``/``B`` (nr, nz, 3) physical fields; ``position``
+        (N, 3) meters; ``velocity`` (N, 3) units of c; ``sink_mask``
+        (nr, nz); ``source_pdf`` (nr, nz).  Positions/velocities are scaled
+        per-axis like empic.js:1202-1231.
+        """
+        spec = self.spec
+        scale = jnp.array([spec.factor_r, spec.factor_r, spec.factor_z], jnp.float32)
+        if "E" in value:
+            e = jnp.asarray(value["E"], dtype=jnp.float32).reshape(spec.nr, spec.nz, 3)
+            self.fields = self.fields._replace(e=e)
+        if "B" in value:
+            b = jnp.asarray(value["B"], dtype=jnp.float32).reshape(spec.nr, spec.nz, 3)
+            self.fields = self.fields._replace(b=b)
+        if "position" in value:
+            pos = jnp.asarray(value["position"], dtype=jnp.float32).reshape(spec.n_total, 3)
+            self.state = self.state._replace(
+                position=pos * scale,
+                alive=jnp.ones((spec.n_total,), dtype=jnp.float32),
+            )
+        if "velocity" in value:
+            vel = jnp.asarray(value["velocity"], dtype=jnp.float32).reshape(spec.n_total, 3)
+            self.state = self.state._replace(velocity=vel * scale)
+        if "sink_mask" in value:
+            mask = jnp.asarray(value["sink_mask"], dtype=jnp.float32).reshape(spec.nr, spec.nz)
+            self.fields = self.fields._replace(sink_mask=mask)
+        if "source_pdf" in value:
+            pdf = jnp.asarray(value["source_pdf"], dtype=jnp.float32).reshape(spec.nr, spec.nz)
+            self.fields = self.fields._replace(inv_cdf=build_inverse_cdf_table(pdf))
+
+    def add_current_loop(self, r: float, z: float, current: float) -> None:
+        """Accumulate a current loop's B (empic.js:1352-1363).
+
+        ``mode='table'`` replicates the two-table shader lookup;
+        ``mode='exact'`` uses the elliptic-integral closed form on physical
+        coordinates.
+        """
+        spec = self.spec
+        if self.loop_field_mode == "table":
+            delta = field_ops.current_loop_b_table(
+                self._loop_half, self._loop_tenth,
+                jnp.float32(r * spec.factor_r), jnp.float32(z * spec.factor_z),
+                jnp.float32(current),
+            )
+        else:
+            u, v = field_ops.grid_coords(spec.nr, spec.nz)
+            r_phys = u * spec.radius
+            z_phys = v * spec.height
+            delta = field_ops.current_loop_b_exact(
+                jnp.broadcast_to(r_phys, (spec.nr, spec.nz)),
+                jnp.broadcast_to(z_phys, (spec.nr, spec.nz)),
+                jnp.float32(r), jnp.float32(z), jnp.float32(current),
+            )
+        self.fields = self.fields._replace(b=self.fields.b + delta)
+
+    def add_current_z(self, current: float) -> None:
+        """Axial line current (empic.js:1380-1389)."""
+        delta = field_ops.line_current_b(self.spec.nr, self.spec.nz, jnp.float32(current))
+        self.fields = self.fields._replace(b=self.fields.b + delta)
+
+    def add_bz(self, bz: float) -> None:
+        """Uniform B_z (empic.js:1391-1400)."""
+        delta = field_ops.uniform_bz(self.spec.nr, self.spec.nz, bz)
+        self.fields = self.fields._replace(b=self.fields.b + delta)
+
+    def add_btheta(self, btheta: float) -> None:
+        """Uniform B_theta (empic.js:1402-1411)."""
+        delta = field_ops.uniform_btheta(self.spec.nr, self.spec.nz, btheta)
+        self.fields = self.fields._replace(b=self.fields.b + delta)
+
+    def add_spindle_cusp_plasma_field(self, coil_current: float, n_power: int = 3) -> None:
+        """Spindle-cusp conductor boundary solve (empic.js:1369-1378).
+
+        Completed per the reference's evident intent (its spindle.js is
+        broken/dead — SURVEY.md §2.4); delegates to the BEM model and
+        accumulates the resulting surface-current field into B.
+        """
+        from .spindle import spindle_cusp_field  # local import: optional path
+
+        delta = spindle_cusp_field(
+            radius=self.spec.radius, height=self.spec.height,
+            nr=self.spec.nr, nz=self.spec.nz,
+            coil_current=coil_current, n_power=n_power,
+        )
+        self.fields = self.fields._replace(b=self.fields.b + delta)
+
+    # ------------------------------------------------------------ simulation
+    def precalc(self) -> None:
+        """Recompute R1/R2/R3/A from E and B (empic.js:1413-1434)."""
+        spec = self.spec
+        coeffs = precompute_rotation(self.fields.b, self.fields.e, spec.h,
+                                     spec.factor_r, spec.factor_z)
+        self.fields = self.fields._replace(coeffs=coeffs)
+
+    def step(self, n: int = 1) -> None:
+        """Advance n full steps (each = two half-steps, empic.js:1436-1469)."""
+        if n == 1:
+            self.state = self._step(self.fields, self.state)
+        else:
+            run = make_multi_step_fn(self.spec, n)
+            self.state = run(self.fields, self.state)
+
+    def density(self) -> jax.Array:
+        """Deposit moments, update the EMA, render the frame
+        (empic.js:1471-1526).  Returns (nr, nz, 3) float RGB."""
+        self.state, frame = self._density(self.fields, self.state)
+        return frame
+
+    # ---------------------------------------------------------- checkpointing
+    def get_state(self) -> dict[str, np.ndarray]:
+        """Full symmetric state download (the readback API the reference
+        lacks — SURVEY.md §5 'Checkpoint/resume')."""
+        state = {f"state.{k}": np.asarray(v) for k, v in self.state._asdict().items()
+                 if k != "key"}
+        state["state.key"] = np.asarray(jax.random.key_data(self.state.key))
+        for k, v in self.fields._asdict().items():
+            if k == "coeffs":
+                for ck, cv in v._asdict().items():
+                    state[f"fields.coeffs.{ck}"] = np.asarray(cv)
+            else:
+                state[f"fields.{k}"] = np.asarray(v)
+        return state
+
+    def set_state(self, blob: dict[str, np.ndarray]) -> None:
+        """Restore from ``get_state`` output."""
+        self.state = PusherState(
+            position=jnp.asarray(blob["state.position"]),
+            velocity=jnp.asarray(blob["state.velocity"]),
+            alive=jnp.asarray(blob["state.alive"]),
+            key=jax.random.wrap_key_data(jnp.asarray(blob["state.key"])),
+            moments_avg=jnp.asarray(blob["state.moments_avg"]),
+        )
+        self.fields = FieldState(
+            e=jnp.asarray(blob["fields.e"]),
+            b=jnp.asarray(blob["fields.b"]),
+            coeffs=BorisCoefficients(
+                r1=jnp.asarray(blob["fields.coeffs.r1"]),
+                r2=jnp.asarray(blob["fields.coeffs.r2"]),
+                r3=jnp.asarray(blob["fields.coeffs.r3"]),
+                a=jnp.asarray(blob["fields.coeffs.a"]),
+            ),
+            sink_mask=jnp.asarray(blob["fields.sink_mask"]),
+            inv_cdf=jnp.asarray(blob["fields.inv_cdf"]),
+        )
+
+
+def make_cylindrical_particle_pusher(spec: dict[str, Any], **kwargs) -> CylindricalParticlePusher:
+    """Factory with the reference's name (empic.js:30)."""
+    return CylindricalParticlePusher(spec, **kwargs)
