@@ -1,0 +1,244 @@
+"""Electrostatic particle-in-cell model (periodic, 1D/2D/3D).
+
+The self-consistent deposit -> field-solve -> gather -> push loop the
+reference was evidently building toward but never wired (SURVEY.md §0: the
+iterative solver exists but only feeds the dead spindle path; deposition is
+rendering-only).  This model closes the loop the TPU-native way
+(BASELINE.json configs[0-1]):
+
+    rho  = CIC-deposit(q, x)              (ops/interp.cic_deposit)
+    phi  = FFT Poisson solve              (ops/solvers.poisson_fft)
+    E    = -grad(phi)                     (ops/solvers.gradient_periodic)
+    v   += (q/m) E(x) dt                  (ops/interp.cic_gather)
+    x   += v dt                           (periodic wrap)
+
+Leapfrog time-staggering: velocities live at half-integer steps.  The whole
+step is one jitted function (push+deposit+solve fused in a single XLA
+computation — the BASELINE north-star structure), dimension-generic, with a
+static neutralizing background (mean-rho subtraction).
+
+Units: the model is unit-agnostic; the canonical setup (``two_stream``,
+``landau`` factories) uses normalized plasma units where omega_p = 1,
+eps0 = 1, m_e = 1, q_e = -1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import cic_deposit, cic_gather
+from ..ops.solvers import gradient_periodic, poisson_fft
+
+
+class ESState(NamedTuple):
+    """Particles at step n: position (N, d) in grid units, velocity (N, d)
+    in physical units (grid-units/time via dx division happens in the push)."""
+
+    position: jax.Array
+    velocity: jax.Array
+    step: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ESConfig:
+    grid_shape: tuple[int, ...]     # cells per axis (periodic)
+    cell_size: tuple[float, ...]    # dx per axis
+    dt: float
+    charge: float                   # per macro-particle
+    mass: float                     # per macro-particle
+    eps0: float = 1.0
+    neutralizing_background: bool = True
+
+    @property
+    def n_dim(self) -> int:
+        return len(self.grid_shape)
+
+    @property
+    def lengths(self) -> tuple[float, ...]:
+        return tuple(n * d for n, d in zip(self.grid_shape, self.cell_size))
+
+    @property
+    def cell_volume(self) -> float:
+        out = 1.0
+        for d in self.cell_size:
+            out *= d
+        return out
+
+
+def charge_density(config: ESConfig, position: jax.Array) -> jax.Array:
+    """CIC charge density, optionally neutralized to zero mean."""
+    n = position.shape[0]
+    weights = jnp.full((n,), config.charge / config.cell_volume, jnp.float32)
+    rho = cic_deposit(position, weights, config.grid_shape)
+    if config.neutralizing_background:
+        rho = rho - jnp.mean(rho)
+    return rho
+
+
+def solve_fields(config: ESConfig, rho: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """phi and E = -grad(phi) on the grid; E has a trailing axis of size d."""
+    phi = poisson_fft(rho, config.cell_size, eps0=config.eps0)
+    grads = gradient_periodic(phi, config.cell_size)
+    e = jnp.stack([-g for g in grads], axis=-1)
+    return phi, e
+
+
+def make_step_fn(config: ESConfig):
+    """One fused leapfrog PIC step: deposit + solve + gather + push."""
+
+    shape = config.grid_shape
+    dx = jnp.asarray(config.cell_size, jnp.float32)
+    grid_f = jnp.asarray(shape, jnp.float32)
+    qm_dt = config.charge / config.mass * config.dt
+
+    @jax.jit
+    def step(state: ESState) -> ESState:
+        rho = charge_density(config, state.position)
+        _, e_grid = solve_fields(config, rho)
+        e_at_p = cic_gather(e_grid, state.position, shape)  # (N, d)
+        velocity = state.velocity + qm_dt * e_at_p
+        position = state.position + (config.dt * velocity) / dx
+        position = jnp.mod(position, grid_f)
+        return ESState(position=position, velocity=velocity, step=state.step + 1)
+
+    return step
+
+
+def make_multi_step_fn(config: ESConfig, n_steps: int):
+    step = make_step_fn(config)
+
+    @jax.jit
+    def run(state: ESState) -> ESState:
+        def body(s, _):
+            return step(s), None
+        state, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state
+
+    return run
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def energies(config: ESConfig, state: ESState) -> dict[str, jax.Array]:
+    """Kinetic, field, and total energy (the BASELINE energy-drift metric)."""
+    ke = 0.5 * config.mass * jnp.sum(state.velocity ** 2)
+    rho = charge_density(config, state.position)
+    _, e_grid = solve_fields(config, rho)
+    fe = 0.5 * config.eps0 * jnp.sum(e_grid ** 2) * config.cell_volume
+    return {"kinetic": ke, "field": fe, "total": ke + fe}
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def momentum(config: ESConfig, state: ESState) -> jax.Array:
+    return config.mass * jnp.sum(state.velocity, axis=0)
+
+
+class ElectrostaticPIC:
+    """Stateful shell over the functional core."""
+
+    def __init__(self, config: ESConfig, position, velocity):
+        self.config = config
+        n = np.asarray(position).shape[0]
+        self.state = ESState(
+            position=jnp.asarray(position, jnp.float32).reshape(n, config.n_dim),
+            velocity=jnp.asarray(velocity, jnp.float32).reshape(n, config.n_dim),
+            step=jnp.int32(0),
+        )
+        self._step = make_step_fn(config)
+        self._multi: dict[int, object] = {}
+
+    def step(self, n: int = 1) -> None:
+        if n == 1:
+            self.state = self._step(self.state)
+        else:
+            if n not in self._multi:
+                self._multi[n] = make_multi_step_fn(self.config, n)
+            self.state = self._multi[n](self.state)
+
+    def energies(self) -> dict[str, float]:
+        return {k: float(v) for k, v in energies(self.config, self.state).items()}
+
+    def fields(self) -> tuple[jax.Array, jax.Array]:
+        rho = charge_density(self.config, self.state.position)
+        return solve_fields(self.config, rho)
+
+
+# ---------------------------------------------------------------------------
+# Canonical validation scenarios (BASELINE configs[0-1])
+# ---------------------------------------------------------------------------
+
+def two_stream(
+    n_particles: int = 100_000,
+    n_cells: int = 512,
+    v0: float = 0.2,
+    perturbation: float = 1e-3,
+    mode: int = 1,
+    length: float | None = None,
+    dt: float = 0.1,
+    seed: int = 0,
+) -> ElectrostaticPIC:
+    """1D cold two-stream instability in normalized units (omega_p = 1 for
+    the *total* electron population; each beam carries omega_b^2 = 1/2).
+
+    Quiet start: particles evenly spaced, split into +/- v0 beams, with a
+    sinusoidal position perturbation of the given ``mode`` seeded.
+    """
+    if length is None:
+        # put the seeded mode near peak growth: k*v0 ~ sqrt(3)/2 * omega_b*sqrt(2)
+        length = 2 * np.pi * mode * v0 / 0.6
+    dx = length / n_cells
+    # omega_p^2 = n q^2 / (eps0 m) = 1 with line density n = N/L
+    q_over_m = -1.0
+    n_density = n_particles / length
+    charge = -1.0 / n_density        # q*n/(eps0) * (q/m) = -1 => omega_p = 1
+    mass = charge * (1.0 / q_over_m)
+
+    config = ESConfig(grid_shape=(n_cells,), cell_size=(dx,), dt=dt,
+                      charge=charge, mass=mass)
+
+    half = n_particles // 2
+    x0 = (np.arange(half) + 0.5) / half * length
+    x = np.concatenate([x0, x0])
+    x = x + perturbation * length * np.sin(2 * np.pi * mode * x / length)
+    v = np.concatenate([np.full(half, v0), np.full(half, -v0)])
+    pos = (x / dx) % n_cells
+    return ElectrostaticPIC(config, pos[:, None], v[:, None])
+
+
+def landau(
+    n_particles: int = 200_000,
+    n_cells: int = 128,
+    k_lambda_d: float = 0.5,
+    v_thermal: float = 1.0,
+    perturbation: float = 0.05,
+    dt: float = 0.1,
+    seed: int = 0,
+) -> ElectrostaticPIC:
+    """1D Landau damping setup: Maxwellian plasma with a density perturbation
+    at k*lambda_D = ``k_lambda_d`` (normalized units, omega_p = 1,
+    lambda_D = v_thermal)."""
+    k = k_lambda_d / v_thermal
+    length = 2 * np.pi / k
+    dx = length / n_cells
+    n_density = n_particles / length
+    charge = -1.0 / n_density
+    mass = -charge
+
+    config = ESConfig(grid_shape=(n_cells,), cell_size=(dx,), dt=dt,
+                      charge=charge, mass=mass)
+
+    rng = np.random.default_rng(seed)
+    # quiet start in x with the density perturbation imposed via inverse CDF
+    u = (np.arange(n_particles) + 0.5) / n_particles
+    x = u * length
+    for _ in range(6):  # Newton iterations for x + (a/k) sin(kx) = u*L
+        x = x - (x + perturbation / k * np.sin(k * x) - u * length) / (
+            1 + perturbation * np.cos(k * x))
+    v = rng.normal(0.0, v_thermal, n_particles)
+    pos = (x / dx) % n_cells
+    return ElectrostaticPIC(config, pos[:, None], v[:, None])

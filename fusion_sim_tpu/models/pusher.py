@@ -225,6 +225,7 @@ class CylindricalParticlePusher:
         )
         self._step = make_step_fn(spec)
         self._density = make_density_fn(spec)
+        self._multi: dict[int, object] = {}
 
     # ------------------------------------------------------------------ setup
     def set(self, value: dict[str, Any]) -> None:
@@ -328,8 +329,9 @@ class CylindricalParticlePusher:
         if n == 1:
             self.state = self._step(self.fields, self.state)
         else:
-            run = make_multi_step_fn(self.spec, n)
-            self.state = run(self.fields, self.state)
+            if n not in self._multi:
+                self._multi[n] = make_multi_step_fn(self.spec, n)
+            self.state = self._multi[n](self.fields, self.state)
 
     def density(self) -> jax.Array:
         """Deposit moments, update the EMA, render the frame

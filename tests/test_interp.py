@@ -1,0 +1,60 @@
+"""CIC deposit/gather unit tests (charge conservation, linearity, adjointness)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_sim_tpu.ops.interp import cic_deposit, cic_gather
+
+
+def test_deposit_conserves_charge_1d():
+    pos = jnp.array([[3.25], [7.9], [0.1], [31.7]], jnp.float32)
+    w = jnp.array([1.0, 2.0, -1.5, 0.5], jnp.float32)
+    grid = cic_deposit(pos, w, (32,))
+    np.testing.assert_allclose(float(grid.sum()), float(w.sum()), rtol=1e-6)
+
+
+def test_deposit_linear_weights_1d():
+    pos = jnp.array([[3.25]], jnp.float32)
+    w = jnp.array([1.0], jnp.float32)
+    grid = np.asarray(cic_deposit(pos, w, (8,)))
+    np.testing.assert_allclose(grid[3], 0.75, rtol=1e-6)
+    np.testing.assert_allclose(grid[4], 0.25, rtol=1e-6)
+    assert grid[[0, 1, 2, 5, 6, 7]].sum() == 0
+
+
+def test_deposit_periodic_wrap():
+    pos = jnp.array([[7.5]], jnp.float32)
+    grid = np.asarray(cic_deposit(pos, jnp.ones(1), (8,)))
+    np.testing.assert_allclose(grid[7], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(grid[0], 0.5, rtol=1e-6)
+
+
+def test_gather_matches_linear_field_2d():
+    """Gathering a linear field reproduces it exactly (CIC is 1st order)."""
+    nx, ny = 16, 16
+    gx, gy = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    grid = (2.0 * gx + 3.0 * gy).astype(np.float32)
+    pos = jnp.array([[3.5, 4.25], [10.1, 2.9], [5.0, 5.0]], jnp.float32)
+    vals = np.asarray(cic_gather(jnp.asarray(grid), pos, (nx, ny)))
+    expected = 2.0 * np.array([3.5, 10.1, 5.0]) + 3.0 * np.array([4.25, 2.9, 5.0])
+    np.testing.assert_allclose(vals, expected, rtol=1e-5)
+
+
+def test_gather_channels():
+    grid = jnp.stack([jnp.arange(8, dtype=jnp.float32),
+                      jnp.arange(8, dtype=jnp.float32) * 2], axis=-1)  # (8, 2)
+    pos = jnp.array([[2.5]], jnp.float32)
+    vals = np.asarray(cic_gather(grid, pos, (8,)))
+    np.testing.assert_allclose(vals[0], [2.5, 5.0], rtol=1e-6)
+
+
+def test_deposit_gather_adjoint():
+    """<deposit(w), g> == <w, gather(g)> — the defining adjointness that
+    makes the ES force momentum-conserving."""
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.random((100, 2)) * 16, jnp.float32)
+    w = jnp.asarray(rng.standard_normal(100), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    lhs = float(jnp.sum(cic_deposit(pos, w, (16, 16)) * g))
+    rhs = float(jnp.sum(w * cic_gather(g, pos, (16, 16))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
