@@ -148,10 +148,11 @@ def push_velocity(
     vr = vx * dir_x + vy * dir_y
     va = vy * dir_x - vx * dir_y
 
-    r1 = gather_nearest(coeffs.r1, r, z)
-    r2 = gather_nearest(coeffs.r2, r, z)
-    r3 = gather_nearest(coeffs.r3, r, z)
-    a = gather_nearest(coeffs.a, r, z)
+    # One fused 12-channel gather instead of four 3-channel ones: XLA TPU
+    # gathers are latency-bound per row, so row width is nearly free.
+    packed = jnp.concatenate([coeffs.r1, coeffs.r2, coeffs.r3, coeffs.a], axis=-1)
+    rows = gather_nearest(packed, r, z)
+    r1, r2, r3, a = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12]
 
     cyl = jnp.stack([vr, va, vz], axis=-1)
     rotated = jnp.stack(
