@@ -201,3 +201,9 @@ class ElectromagneticPIC:
         fe = float(field_energy(self.config, self.state))
         ke = float(kinetic_energy(self.config, self.state))
         return {"field": fe, "kinetic": ke, "total": fe + ke}
+
+    def get_state(self) -> dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.state._asdict().items()}
+
+    def set_state(self, blob: dict[str, np.ndarray]) -> None:
+        self.state = EMState(**{k: jnp.asarray(v) for k, v in blob.items()})

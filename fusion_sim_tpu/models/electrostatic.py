@@ -167,6 +167,12 @@ class ElectrostaticPIC:
         rho = charge_density(self.config, self.state.position)
         return solve_fields(self.config, rho)
 
+    def get_state(self) -> dict[str, np.ndarray]:
+        return {k: np.asarray(v) for k, v in self.state._asdict().items()}
+
+    def set_state(self, blob: dict[str, np.ndarray]) -> None:
+        self.state = ESState(**{k: jnp.asarray(v) for k, v in blob.items()})
+
 
 # ---------------------------------------------------------------------------
 # Canonical validation scenarios (BASELINE configs[0-1])

@@ -1,0 +1,267 @@
+"""Thin HTTP viewer: the reference's browser app layer, TPU-native.
+
+Re-creates the L4-L6 application stack (fusionsim.js 'simulation' controller
++ index.html shell, SURVEY.md §2.5) as a headless service: the simulation
+runs server-side on TPU; the browser shows streamed PNG frames and a
+click-to-start/stop control with a live FPS counter (parity with
+``$scope.start/stop/fps``, fusionsim.js:162-210, index.html:13-14).
+
+JSON API (mirrors the engine API surface, empic.js:1157-1526):
+
+    POST /api/config            {spec..., scenario?: "default"}
+    POST /api/set               {position?, velocity?, sink_mask?, source_pdf?, E?, B?}
+    POST /api/add_current_loop  {r, z, I}          (empic.js:1352)
+    POST /api/add_current_z     {I}                (empic.js:1380)
+    POST /api/add_bz            {Bz}               (empic.js:1391)
+    POST /api/add_btheta        {Btheta}           (empic.js:1402)
+    POST /api/precalc                               (empic.js:1413)
+    POST /api/start | /api/stop                     (fusionsim.js:162,207)
+    POST /api/step              {n}                 single-shot stepping
+    GET  /api/state             {running, fps, steps, diagnostics}
+    GET  /frame.png             latest rendered frame
+    GET  /                      HTML shell
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import numpy as np
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..models.pusher import CylindricalParticlePusher
+from ..utils.diagnostics import pusher_diagnostics
+from ..utils.png import encode_png
+from ..utils.render import frame_to_uint8
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>fusion-sim tpu</title><style>
+body { background:#111; color:#ddd; font-family:monospace; }
+#plot { image-rendering:pixelated; cursor:pointer; border:1px solid #333; }
+</style></head><body>
+<div>fps = <span id="fps">0</span> &middot; steps = <span id="steps">0</span>
+ &middot; click the plot to start/stop</div>
+<img id="plot" width="400" height="800" src="/frame.png"/>
+<script>
+const img = document.getElementById('plot');
+let running = false;
+img.onclick = async () => {
+  running = !running;
+  await fetch(running ? '/api/start' : '/api/stop', {method: 'POST'});
+};
+setInterval(async () => {
+  img.src = '/frame.png?' + Date.now();
+  const s = await (await fetch('/api/state')).json();
+  document.getElementById('fps').textContent = s.fps.toFixed(0);
+  document.getElementById('steps').textContent = s.steps;
+  running = s.running;
+}, 100);
+</script></body></html>"""
+
+
+def _default_scenario(spec: dict) -> dict:
+    """The F2 setup (fusionsim.js:87-135) for a given spec."""
+    nr, nz = spec["nr"], spec["nz"]
+    n = spec["nparticles"] ** 2
+    sink = np.ones((nr, nz), np.float32)
+    sink[-1, :] = 0
+    sink[1:-1, 0] = 0
+    sink[1:-1, -1] = 0
+    source = np.zeros((nr, nz), np.float32)
+    source[: max(1, nr // 8), 7 * nz // 16: 9 * nz // 16] = 1.0
+    rng = np.random.default_rng(0)
+    return {
+        "position": 0.2 * (rng.random((n, 3)) - 0.5) + np.array([0, 0, spec["height"] / 2]),
+        "velocity": 0.002 * (rng.random((n, 3)) - 0.5),
+        "sink_mask": sink,
+        "source_pdf": source,
+    }
+
+
+class SimulationService:
+    """Owns the simulation + run thread; thread-safe via a single lock."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.sim: CylindricalParticlePusher | None = None
+        self.running = False
+        self.fps = 0.0
+        self.steps = 0
+        self._frame_png: bytes = encode_png(np.zeros((8, 8, 3), np.uint8))
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- commands
+    def configure(self, body: dict) -> dict:
+        spec = {k: body[k] for k in ("radius", "height", "nr", "nz", "dt",
+                                     "nparticles", "particle_mass",
+                                     "particle_charge")}
+        with self.lock:
+            self.sim = CylindricalParticlePusher(spec)
+            self.steps = 0
+            if body.get("scenario") == "default":
+                self.sim.set(_default_scenario(spec))
+                self.sim.add_current_loop(0.8 * spec["radius"], spec["height"], -1e7)
+                self.sim.add_current_loop(0.8 * spec["radius"], 0.0, 1e7)
+                self.sim.precalc()
+            self._render_locked()
+        return {"ok": True}
+
+    def set_values(self, body: dict) -> dict:
+        with self.lock:
+            self.sim.set({k: np.asarray(v, np.float32) for k, v in body.items()})
+        return {"ok": True}
+
+    def field_command(self, name: str, body: dict) -> dict:
+        with self.lock:
+            if name == "add_current_loop":
+                self.sim.add_current_loop(body["r"], body["z"], body["I"])
+            elif name == "add_current_z":
+                self.sim.add_current_z(body["I"])
+            elif name == "add_bz":
+                self.sim.add_bz(body["Bz"])
+            elif name == "add_btheta":
+                self.sim.add_btheta(body["Btheta"])
+            elif name == "precalc":
+                self.sim.precalc()
+            else:
+                raise KeyError(name)
+            self._render_locked()
+        return {"ok": True}
+
+    def step_once(self, n: int) -> dict:
+        with self.lock:
+            self.sim.step(n)
+            self.steps += n
+            self._render_locked()
+        return {"ok": True, "steps": self.steps}
+
+    # ------------------------------------------------------------- run loop
+    def start(self) -> dict:
+        if self.sim is None:
+            return {"ok": False, "error": "not configured"}
+        if not self.running:
+            self.running = True
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        return {"ok": True}
+
+    def stop(self) -> dict:
+        self.running = False
+        self.fps = 0.0  # parity: fps resets to 0 on stop (fusionsim.js:197-199)
+        return {"ok": True}
+
+    def _run(self):
+        win_start = time.perf_counter()
+        win_frames = 0
+        while self.running:
+            with self.lock:
+                self.sim.step()
+                self.steps += 1
+                self._render_locked()
+            win_frames += 1
+            now = time.perf_counter()
+            if now - win_start >= 1.0:  # 1 s FPS window, fusionsim.js:186-192
+                self.fps = win_frames / (now - win_start)
+                win_start = now
+                win_frames = 0
+
+    def _render_locked(self):
+        frame = self.sim.density()
+        img = np.asarray(frame_to_uint8(frame))
+        self._frame_png = encode_png(img)
+
+    # -------------------------------------------------------------- queries
+    def state(self) -> dict:
+        out = {"running": self.running, "fps": self.fps, "steps": self.steps,
+               "configured": self.sim is not None}
+        if self.sim is not None:
+            with self.lock:
+                diag = pusher_diagnostics(self.sim.state.position,
+                                          self.sim.state.velocity,
+                                          self.sim.state.alive)
+            out["diagnostics"] = {k: float(v) for k, v in diag.items()}
+        return out
+
+    def frame_png(self) -> bytes:
+        return self._frame_png
+
+
+def make_handler(service: SimulationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/":
+                data = _PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/frame.png":
+                data = service.frame_png()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif path == "/api/state":
+                self._json(service.state())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            path = self.path.split("?")[0]
+            try:
+                if path == "/api/config":
+                    self._json(service.configure(body))
+                elif path == "/api/set":
+                    self._json(service.set_values(body))
+                elif path == "/api/start":
+                    self._json(service.start())
+                elif path == "/api/stop":
+                    self._json(service.stop())
+                elif path == "/api/step":
+                    self._json(service.step_once(int(body.get("n", 1))))
+                elif path.startswith("/api/"):
+                    self._json(service.field_command(path[len("/api/"):], body))
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:  # surface errors as JSON, fail-fast style
+                self._json({"ok": False, "error": f"{type(e).__name__}: {e}"}, 400)
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+    """Start the viewer server (returns the server; call serve_forever)."""
+    service = SimulationService()
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service
+    return server
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    srv = serve(args.host, args.port)
+    print(f"fusion-sim tpu viewer on http://{args.host}:{args.port}")
+    srv.serve_forever()

@@ -1,0 +1,182 @@
+"""Utility-layer tests: colormaps, figures, diagnostics, PNG, checkpoints,
+block reductions, viewer HTTP API."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+
+from fusion_sim_tpu.ops.reduce import block_avg, block_max, pyramid_sum
+from fusion_sim_tpu.utils import figure
+from fusion_sim_tpu.utils.checkpoint import load_npz, save_npz
+from fusion_sim_tpu.utils.colormaps import ColorMap, Range, preset
+from fusion_sim_tpu.utils.diagnostics import (
+    DiagnosticsRecorder,
+    energy_drift,
+    pusher_diagnostics,
+)
+from fusion_sim_tpu.utils.png import _encode_python, encode_png
+
+
+def test_range_norm():
+    r = Range(min=2.0, max=4.0)
+    assert r.norm(2.0) == 0.0 and r.norm(4.0) == 1.0
+    assert r.norm(3.0) == 0.5
+    assert r.norm(0.0) == 0.0 and r.norm(10.0) == 1.0  # clamped
+
+
+def test_colormap_gray_identity():
+    cm = preset("gray", 0, 1, 256)
+    np.testing.assert_array_equal(cm.rgb(0.0), [0, 0, 0])
+    assert (cm.rgb(1.0) >= 254).all()
+    mid = cm.rgb(0.5)
+    assert abs(int(mid[0]) - 127) <= 1 and (mid == mid[0]).all()
+
+
+def test_colormap_jet_structure():
+    cm = preset("jet", 0, 1, 256)
+    low = cm.rgb(0.0)   # blue end
+    high = cm.rgb(1.0)  # red end
+    assert low[2] > low[0] and high[0] > high[2]
+
+
+def test_all_presets_build():
+    from fusion_sim_tpu.utils.colormaps import PRESETS
+    assert len(PRESETS) == 25
+    for name in PRESETS:
+        cm = preset(name)
+        assert cm.lut.shape == (256, 3)
+
+
+def test_colormap_apply_device():
+    cm = preset("hot", 0, 10, 64)
+    field = jnp.linspace(0, 10, 128).reshape(8, 16)
+    rgb = np.asarray(cm.apply(field))
+    assert rgb.shape == (8, 16, 3)
+    assert rgb[0, 0].sum() <= 3 and rgb[-1, -1].sum() >= 750
+
+
+def test_figure_compositing_and_click():
+    cm = preset("gray", 0, 1)
+    fig = figure.CanvasFigure(40, 30, background=(10, 10, 10))
+    fig.add_layer(figure.Plot2DArea(0, 0, 20, 30, cm, np.ones((30, 20)) * 0.5))
+    fig.add_layer(figure.ColorBar(25, 0, 5, 30, cm))
+    canvas = fig.redraw()
+    assert canvas.shape == (30, 40, 3)
+    assert (canvas[:, 21:24] == 10).all()          # gap keeps background
+    assert abs(int(canvas[5, 5, 0]) - 127) <= 1    # plot area mid-gray
+    assert canvas[0, 26, 0] > canvas[-1, 26, 0]    # colorbar top = max
+
+    a = figure.ClickArea(0, 0, 10, 10, "a")
+    b = figure.ClickArea(20, 0, 10, 10, "b")
+    fig.add_click_area(a)
+    fig.add_click_area(b)
+    assert fig.click(5, 5) == [a]
+    assert set(fig.click(25, 5, ctrl=True)) == {a, b}   # ctrl adds
+    assert fig.click(25, 5) == [b]                      # plain click exclusive
+    assert fig.click(15, 15) == []                      # miss clears
+
+
+def test_animation_loop_runs_and_stops():
+    fig = figure.CanvasFigure(4, 4)
+    seen = []
+    anim = figure.Animation([fig])
+    frames = anim.run(lambda t: seen.append(t), max_frames=5)
+    assert frames == 5 and len(seen) == 5
+
+
+def test_block_reductions():
+    f = jnp.arange(16.0).reshape(4, 4)
+    mx = np.asarray(block_max(f, (2, 2)))
+    np.testing.assert_array_equal(mx, [[5, 7], [13, 15]])
+    av = np.asarray(block_avg(f, (2, 2)))
+    np.testing.assert_array_equal(av, [[2.5, 4.5], [10.5, 12.5]])
+    ps = np.asarray(pyramid_sum(f, 2))
+    np.testing.assert_allclose(ps, [[f.sum()]])
+
+
+def test_diagnostics():
+    pos = jnp.array([[0.3, 0.4, 0.5], [0.0, 0.1, 0.9]])
+    vel = jnp.array([[0.001, 0.0, 0.0], [0.0, 0.002, 0.0]])
+    alive = jnp.array([1.0, 0.0])
+    d = pusher_diagnostics(pos, vel, alive)
+    np.testing.assert_allclose(float(d["respawn_fraction"]), 0.5)
+    np.testing.assert_allclose(float(d["kinetic"]),
+                               0.5 * (0.001**2 + 0.002**2), rtol=1e-5)
+    assert energy_drift([1.0, 1.0005, 0.9995]) <= 5.1e-4
+    rec = DiagnosticsRecorder(n_particles=100, window_seconds=0.0)
+    rec.record(0, d)
+    assert rec.series("kinetic")[0] > 0
+    rate = rec.tick(10)
+    assert rate["pushes_per_sec"] >= 0
+
+
+def test_png_roundtrip_both_paths():
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    for data in (encode_png(img), _encode_python(img, 3)):
+        back = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_checkpoint_npz_roundtrip(tmp_path):
+    blob = {"a": np.arange(5.0), "b.c": np.ones((2, 3), np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_npz(p, blob)
+    out = load_npz(p)
+    assert set(out) == {"a", "b.c"}
+    np.testing.assert_array_equal(out["a"], blob["a"])
+
+
+def test_viewer_http_api():
+    """End-to-end: configure a tiny sim over HTTP, step it, fetch the frame."""
+    from fusion_sim_tpu.viewer.server import serve
+
+    srv = serve(port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(obj or {}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=60) as r:
+            return r.read()
+
+    try:
+        out = post("/api/config", {
+            "radius": 1.0, "height": 2.0, "nr": 16, "nz": 32, "dt": 2e-9,
+            "nparticles": 8, "particle_mass": 1.67e-27,
+            "particle_charge": 1.602e-19, "scenario": "default"})
+        assert out["ok"]
+        out = post("/api/add_bz", {"Bz": 0.01})
+        assert out["ok"]
+        out = post("/api/precalc")
+        assert out["ok"]
+        out = post("/api/step", {"n": 3})
+        assert out["steps"] == 3
+        state = json.loads(get("/api/state"))
+        assert state["configured"] and state["steps"] == 3
+        assert "diagnostics" in state
+        frame = get("/frame.png")
+        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        page = get("/")
+        assert b"fusion-sim tpu" in page
+        # error path: unknown field command
+        try:
+            post("/api/bogus", {})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
