@@ -1,16 +1,15 @@
 """Headline benchmark: Boris particle-pushes/sec/chip on the flagship model.
 
-Runs the reference's default scenario physics (400x800 grid, mirror-coil
-field, wall sinks, box source — fusionsim.js:69-148) at a benchmark particle
-count, stepping with the fused scan path, and prints ONE JSON line:
-
-    {"metric": "particle_pushes_per_sec_per_chip", "value": ..., "unit":
-     "pushes/s", "vs_baseline": ...}
+Runs the reference's default scenario physics (mirror-coil field, wall
+sinks, box source — fusionsim.js:69-148) at 1M particles through the
+framework's production fast path (analytic gather-free stepping,
+ops/analytic.py; enable_fast_path on the pusher), plus the grid-sampled
+parity path as a secondary number, and prints ONE JSON line.
 
 ``vs_baseline`` is relative to the reference's implied throughput: 160,000
 particles x 2 substeps x 60 fps = 1.92e7 pushes/s on its 2015 browser GPU
 (BASELINE.md "implied push throughput").  The BASELINE.json north-star
-target is 1e9 pushes/s/chip (vs_baseline ~ 52).
+target of 1e9 pushes/s/chip corresponds to vs_baseline ~= 52.
 """
 
 import json
@@ -18,22 +17,18 @@ import time
 
 import numpy as np
 
+BASELINE = 1.92e7  # reference at 60 fps (BASELINE.md)
 
-def main() -> None:
-    import jax
 
+def build_sim(nparticles: int):
     from fusion_sim_tpu import CylindricalParticlePusher
 
     nr, nz = 400, 800
-    nparticles = 1024           # per side -> ~1.05M particles
     n = nparticles ** 2
-    steps_per_batch = 50
-
     sim = CylindricalParticlePusher(
         {"radius": 1.0, "height": 2.0, "nr": nr, "nz": nz, "dt": 2e-9,
          "nparticles": nparticles, "particle_mass": 1.67e-27,
          "particle_charge": 1.602e-19})
-
     rng = np.random.default_rng(0)
     sink = np.ones((nr, nz), np.float32)
     sink[-1, :] = 0
@@ -50,30 +45,38 @@ def main() -> None:
     sim.add_current_loop(0.8, 2.0, -1e7)
     sim.add_current_loop(0.8, 0.0, 1e7)
     sim.precalc()
+    return sim
 
-    # warm-up (compile); sync via host copy — on the tunneled axon backend,
-    # block_until_ready on chained dispatches can return before execution
-    # completes, so all timing fences here are device->host copies.
+
+def measure(sim, steps_per_batch: int, batches: int) -> float:
+    """Timed pushes/s; sync fences are device->host copies (the tunneled
+    axon backend's block_until_ready can return early on chained dispatch)."""
+    n = sim.spec.n_total
     sim.step(steps_per_batch)
-    np.asarray(sim.state.position)
-
-    # timed
+    np.asarray(sim.state.position[:1])
     t0 = time.perf_counter()
-    batches = 4
     for _ in range(batches):
         sim.step(steps_per_batch)
-    np.asarray(sim.state.position)
+    np.asarray(sim.state.position[:1])
     dt = time.perf_counter() - t0
+    return n * 2 * steps_per_batch * batches / dt
 
-    total_pushes = n * 2 * steps_per_batch * batches
-    pushes_per_sec = total_pushes / dt
-    baseline = 1.92e7  # reference at 60 fps (BASELINE.md)
+
+def main() -> None:
+    sim = build_sim(nparticles=1024)  # ~1.05M particles
+
+    grid_pushes = measure(sim, steps_per_batch=20, batches=2)
+
+    sim.enable_fast_path()
+    fast_pushes = measure(sim, steps_per_batch=50, batches=4)
 
     print(json.dumps({
         "metric": "particle_pushes_per_sec_per_chip",
-        "value": pushes_per_sec,
+        "value": fast_pushes,
         "unit": "pushes/s",
-        "vs_baseline": pushes_per_sec / baseline,
+        "vs_baseline": fast_pushes / BASELINE,
+        "grid_mode_value": grid_pushes,
+        "n_particles": sim.spec.n_total,
     }))
 
 

