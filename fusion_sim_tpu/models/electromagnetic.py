@@ -46,6 +46,10 @@ class EMConfig:
     c: float = 1.0
     eps0: float = 1.0
     relativistic: bool = False
+    # 'staggered': exact Yee-point gathers (6 gather rows/particle);
+    # 'centered': fields averaged to nodes once per step, one 6-channel
+    # gather row/particle (the uniform-centering fast variant).
+    field_gather: str = "staggered"
 
     @property
     def n_dim(self) -> int:
@@ -97,8 +101,15 @@ def make_step_fn(config: EMConfig):
 
     @jax.jit
     def step(state: EMState) -> EMState:
-        e_at_p = fdtd.gather_staggered(state.e, state.position, e_off, shape)
-        b_at_p = fdtd.gather_staggered(state.b, state.position, b_off, shape)
+        if config.field_gather == "centered":
+            from ..ops.interp import cic_gather_packed
+
+            table = fdtd.center_fields(state.e, state.b, e_off, b_off)
+            eb = cic_gather_packed(table, state.position, shape)  # (N, 6)
+            e_at_p, b_at_p = eb[:, :3], eb[:, 3:]
+        else:
+            e_at_p = fdtd.gather_staggered(state.e, state.position, e_off, shape)
+            b_at_p = fdtd.gather_staggered(state.b, state.position, b_off, shape)
         velocity = boris_kick(state.velocity, e_at_p, b_at_p, qm_half_dt,
                               config.relativistic, config.c)
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import cic_deposit, cic_gather
+from ..ops.interp import cic_deposit_packed, cic_gather_packed
 from ..ops.solvers import gradient_periodic, poisson_fft
 
 
@@ -75,7 +75,7 @@ def charge_density(config: ESConfig, position: jax.Array) -> jax.Array:
     """CIC charge density, optionally neutralized to zero mean."""
     n = position.shape[0]
     weights = jnp.full((n,), config.charge / config.cell_volume, jnp.float32)
-    rho = cic_deposit(position, weights, config.grid_shape)
+    rho = cic_deposit_packed(position, weights, config.grid_shape)
     if config.neutralizing_background:
         rho = rho - jnp.mean(rho)
     return rho
@@ -101,7 +101,7 @@ def make_step_fn(config: ESConfig):
     def step(state: ESState) -> ESState:
         rho = charge_density(config, state.position)
         _, e_grid = solve_fields(config, rho)
-        e_at_p = cic_gather(e_grid, state.position, shape)  # (N, d)
+        e_at_p = cic_gather_packed(e_grid, state.position, shape)  # (N, d)
         velocity = state.velocity + qm_dt * e_at_p
         position = state.position + (config.dt * velocity) / dx
         position = jnp.mod(position, grid_f)

@@ -87,18 +87,22 @@ def esirkepov_deposit_2d(
     jy_vals = -coef * dy * jnp.cumsum(wy, axis=2)
     jz_vals = (q * vz / vol)[:, None, None] * wz
 
-    grid = jnp.zeros((nx * ny, 3), jnp.float32)
+    # Packed scatter: one latency-bound row per particle (27 channels =
+    # 3x3 stencil x 3 components), stencil offsets recovered with rolls —
+    # exact, ~9x fewer scattered rows (see ops/interp.py packed variants).
+    vals = jnp.stack([jx_vals, jy_vals, jz_vals], axis=-1)  # (N, 3, 3, 3c)
+    packed_vals = vals.reshape(vals.shape[0], 27)
+    flat = jnp.mod(bx, nx) * ny + jnp.mod(by, ny)
+    packed = jnp.zeros((nx * ny, 27), jnp.float32).at[flat].add(packed_vals)
+    packed = packed.reshape(nx, ny, 3, 3, 3)
+
+    grid = jnp.zeros((nx, ny, 3), jnp.float32)
     for kx in range(3):
         for ky in range(3):
-            ix = jnp.mod(bx + kx, nx)
-            iy = jnp.mod(by + ky, ny)
-            flat = ix * ny + iy
-            vals = jnp.stack(
-                [jx_vals[:, kx, ky], jy_vals[:, kx, ky], jz_vals[:, kx, ky]],
-                axis=-1,
-            )
-            grid = grid.at[flat].add(vals)
-    return grid.reshape(nx, ny, 3)
+            contrib = packed[:, :, kx, ky, :]
+            contrib = jnp.roll(contrib, (kx, ky), axis=(0, 1))
+            grid = grid + contrib
+    return grid
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -149,16 +153,19 @@ def esirkepov_deposit_3d(
         -coef * d_ax[a] * jnp.cumsum(weights[a], axis=1 + a) for a in range(3)
     ]
 
-    grid = jnp.zeros((nx * ny * nz, 3), jnp.float32)
-    dims = (nx, ny, nz)
+    # Packed scatter (see 2D): one 81-channel row per particle + rolls.
+    vals = jnp.stack(j_vals, axis=-1)  # (N, 3, 3, 3, 3c)
+    packed_vals = vals.reshape(vals.shape[0], 81)
+    flat = (jnp.mod(bases[0], nx) * ny + jnp.mod(bases[1], ny)) * nz \
+        + jnp.mod(bases[2], nz)
+    packed = jnp.zeros((nx * ny * nz, 81), jnp.float32).at[flat].add(packed_vals)
+    packed = packed.reshape(nx, ny, nz, 3, 3, 3, 3)
+
+    grid = jnp.zeros((nx, ny, nz, 3), jnp.float32)
     for kx in range(3):
         for ky in range(3):
             for kz in range(3):
-                ix = jnp.mod(bases[0] + kx, nx)
-                iy = jnp.mod(bases[1] + ky, ny)
-                iz = jnp.mod(bases[2] + kz, nz)
-                flat = (ix * ny + iy) * nz + iz
-                vals = jnp.stack(
-                    [j_vals[a][:, kx, ky, kz] for a in range(3)], axis=-1)
-                grid = grid.at[flat].add(vals)
-    return grid.reshape(nx, ny, nz, 3)
+                contrib = packed[:, :, :, kx, ky, kz, :]
+                contrib = jnp.roll(contrib, (kx, ky, kz), axis=(0, 1, 2))
+                grid = grid + contrib
+    return grid

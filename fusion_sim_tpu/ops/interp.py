@@ -21,6 +21,7 @@ import itertools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _corner_weights(position: jax.Array, shape: tuple[int, ...]):
@@ -100,4 +101,109 @@ def cic_gather(
         if channels:
             w = w[:, None]
         out = out + w * vals
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Packed variants: one memory-latency row per particle instead of 2^d.
+#
+# XLA TPU gathers/scatters are latency-bound per row (~25-40 ns measured on
+# v5e) and row width is nearly free, so the 2^d CIC corners are folded into
+# channels of a single row:
+#
+# * gather: pre-roll the grid once per step into a (cells, 2^d * C) table
+#   whose channel block k holds the grid shifted by corner k; one gather +
+#   register-weighted reduction replaces 2^d gathers.
+# * deposit: scatter each particle's 2^d corner contributions into 2^d
+#   channel blocks of its *base* cell row; afterwards roll channel block k
+#   back by -k and sum — exactly equivalent to scattering at the corners.
+# ---------------------------------------------------------------------------
+
+def _corners(n_dim: int):
+    return list(itertools.product((0, 1), repeat=n_dim))
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def cic_deposit_packed(
+    position: jax.Array, weights: jax.Array, shape: tuple[int, ...]
+) -> jax.Array:
+    """CIC deposit with a single scatter-add row per particle (exact)."""
+    n_dim = len(shape)
+    corners = _corners(n_dim)
+    base, frac = _corner_weights(position, shape)
+    base = base % jnp.asarray(shape, jnp.int32)
+
+    strides = []
+    s = 1
+    for n in reversed(shape):
+        strides.append(s)
+        s *= n
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    flat_idx = jnp.sum(base * strides, axis=1)
+
+    cols = []
+    for corner in corners:
+        w = weights
+        for axis, c in enumerate(corner):
+            w = w * jnp.where(c == 1, frac[:, axis], 1.0 - frac[:, axis])
+        cols.append(w)
+    packed_vals = jnp.stack(cols, axis=-1)  # (N, 2^d)
+
+    ncells = int(np.prod(shape))
+    packed = jnp.zeros((ncells, len(corners)), dtype=weights.dtype)
+    packed = packed.at[flat_idx].add(packed_vals)
+    packed = packed.reshape(*shape, len(corners))
+
+    out = jnp.zeros(shape, dtype=weights.dtype)
+    for k, corner in enumerate(corners):
+        contrib = packed[..., k]
+        for axis, c in enumerate(corner):
+            if c:
+                contrib = jnp.roll(contrib, 1, axis=axis)
+        out = out + contrib
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def cic_gather_packed(
+    grid: jax.Array, position: jax.Array, shape: tuple[int, ...]
+) -> jax.Array:
+    """CIC gather with a single gather row per particle (exact).
+
+    ``grid``: (*shape,) or (*shape, C); returns (N,) or (N, C).
+    """
+    n_dim = len(shape)
+    corners = _corners(n_dim)
+    channels = grid.shape[len(shape):]
+    c_width = int(np.prod(channels)) if channels else 1
+
+    # pre-rolled corner table: (cells, 2^d * C)
+    blocks = []
+    for corner in corners:
+        shifted = grid
+        for axis, c in enumerate(corner):
+            if c:
+                shifted = jnp.roll(shifted, -1, axis=axis)
+        blocks.append(shifted.reshape(-1, c_width))
+    table = jnp.concatenate(blocks, axis=-1)
+
+    base, frac = _corner_weights(position, shape)
+    base = base % jnp.asarray(shape, jnp.int32)
+    strides = []
+    s = 1
+    for n in reversed(shape):
+        strides.append(s)
+        s *= n
+    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    flat_idx = jnp.sum(base * strides, axis=1)
+
+    rows = table[flat_idx]  # (N, 2^d * C)
+    out = 0.0
+    for k, corner in enumerate(corners):
+        w = jnp.ones(position.shape[0], dtype=grid.dtype)
+        for axis, c in enumerate(corner):
+            w = w * jnp.where(c == 1, frac[:, axis], 1.0 - frac[:, axis])
+        vals = rows[:, k * c_width:(k + 1) * c_width]
+        out = out + w[:, None] * vals
+    out = out.reshape((position.shape[0],) + channels) if channels else out[:, 0]
     return out

@@ -130,6 +130,41 @@ def test_gauss_law_maintained_full_run():
     assert res1 - res0 < 5e-4 * max(res0, 1.0), (res0, res1)
 
 
+def test_centered_gather_mode():
+    """'centered' field gather: physics stays sane (finite fields, Gauss law
+    maintained — deposition is unchanged) and a uniform B gives the same
+    kick as staggered mode (averaging a constant is exact)."""
+    rng = np.random.default_rng(4)
+    n_cells, d = 16, 0.5
+    n = 500
+    pos = rng.random((n, 2)) * n_cells
+    vel = 0.1 * rng.standard_normal((n, 3))
+    b0 = np.zeros((n_cells, n_cells, 3), np.float32)
+    b0[..., 2] = 0.3
+
+    outs = []
+    for fg in ("staggered", "centered"):
+        config = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                             dt=0.2 * d, charge=-0.01, mass=0.01,
+                             field_gather=fg)
+        sim = em.ElectromagneticPIC(config, pos, vel, b=b0)
+        sim.step()  # first kick: E = 0 everywhere, B uniform -> modes agree
+        outs.append(np.asarray(sim.state.velocity))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-7)
+
+    # a full interacting run keeps Gauss's law in centered mode too
+    config = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                         dt=0.2 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered")
+    sim = em.ElectromagneticPIC(config, pos, vel)
+    bg = jnp.full((n_cells, n_cells),
+                  -float(jnp.mean(em.charge_density(config, sim.state.position))))
+    r0 = np.abs(np.asarray(em.gauss_residual(config, sim.state, bg))).max()
+    sim.step(50)
+    r1 = np.abs(np.asarray(em.gauss_residual(config, sim.state, bg))).max()
+    assert r1 - r0 < 5e-4 * max(r0, 1.0)
+
+
 def test_boris_kick_gyration():
     """Pure B kick preserves speed and rotates by 2*atan(qB dt/2m)."""
     v = jnp.array([[0.1, 0.0, 0.05]])

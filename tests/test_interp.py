@@ -48,6 +48,30 @@ def test_gather_channels():
     np.testing.assert_allclose(vals[0], [2.5, 5.0], rtol=1e-6)
 
 
+def test_packed_variants_match_reference():
+    """cic_deposit_packed / cic_gather_packed must equal the plain forms."""
+    from fusion_sim_tpu.ops.interp import cic_deposit_packed, cic_gather_packed
+
+    rng = np.random.default_rng(2)
+    for shape in [(32,), (16, 24), (8, 10, 12)]:
+        d = len(shape)
+        pos = jnp.asarray(rng.random((200, d)) * np.array(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(200), jnp.float32)
+        ref = np.asarray(cic_deposit(pos, w, shape))
+        packed = np.asarray(cic_deposit_packed(pos, w, shape))
+        np.testing.assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
+
+        grid = jnp.asarray(rng.standard_normal(shape + (3,)), jnp.float32)
+        ref_g = np.asarray(cic_gather(grid, pos, shape))
+        packed_g = np.asarray(cic_gather_packed(grid, pos, shape))
+        np.testing.assert_allclose(packed_g, ref_g, rtol=1e-5, atol=1e-6)
+
+        # scalar grid path
+        ref_s = np.asarray(cic_gather(grid[..., 0], pos, shape))
+        packed_s = np.asarray(cic_gather_packed(grid[..., 0], pos, shape))
+        np.testing.assert_allclose(packed_s, ref_s, rtol=1e-5, atol=1e-6)
+
+
 def test_deposit_gather_adjoint():
     """<deposit(w), g> == <w, gather(g)> — the defining adjointness that
     makes the ES force momentum-conserving."""
