@@ -1,0 +1,235 @@
+"""Spatially-decomposed electromagnetic PIC (shard_map + halo + migration).
+
+The production multi-chip EM PIC of BASELINE.json configs[4]: the grid is
+split into x-slabs across the ``space`` mesh axis; every shard owns its
+field slab and the particles inside it.  Communication is neighbor-only,
+riding ICI (SURVEY.md §2.6/§5):
+
+* field *halos* (lax.ppermute, parallel/halo.py) pad each slab for particle
+  gathers and Yee curls;
+* deposition *aprons* fold current deposited past slab edges back onto the
+  owning neighbor (halo.accumulate_apron);
+* particles crossing a slab boundary migrate through fixed-capacity ring
+  buffers with overflow accounting (parallel/migration.py) — dead slots are
+  masked out of every deposit (the alive-flag discipline of empic.js:719).
+
+Everything runs inside ONE jitted shard_map step; XLA emits only the
+ppermute collectives.  Contrast with the zero-communication auto-sharded
+path (parallel/sharding.shard_em_state + the plain EM step), where XLA
+inserts all-gathers: this model keeps particle data owner-local, the layout
+that scales to the 1e9-particle stretch config.
+
+Particle positions are stored in *global* grid units; each shard masks to
+its slab [lo, hi).  Slab width must divide the grid and exceed one cell of
+motion per step (guaranteed by the Yee CFL check).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import fdtd
+from ..ops.esirkepov import esirkepov_deposit_2d
+from ..parallel import halo, migration
+from .electromagnetic import EMConfig, boris_kick
+
+HALO_W = 2     # field halo for gathers + curls (CIC corners + stagger shift)
+APRON_W = 4    # deposition apron (Esirkepov 3-node stencil + 1 cell motion)
+
+
+class ShardedEMState(NamedTuple):
+    position: jax.Array   # (n_shards*cap, 2) global grid units (dead: 0)
+    velocity: jax.Array   # (n_shards*cap, 3)
+    alive: jax.Array      # (n_shards*cap,) bool
+    e: jax.Array          # (nx, ny, 3)
+    b: jax.Array          # (nx, ny, 3)
+    overflow: jax.Array   # (n_shards,) cumulative migration overflow
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEMConfig:
+    base: EMConfig
+    n_shards: int
+    capacity: int          # particle slots per shard
+    migration_buffer: int  # max migrants per direction per step
+
+    @property
+    def slab(self) -> int:
+        nx = self.base.grid_shape[0]
+        if nx % self.n_shards:
+            raise ValueError(f"nx={nx} not divisible by {self.n_shards} shards")
+        return nx // self.n_shards
+
+
+def distribute(config: ShardedEMConfig, position: np.ndarray,
+               velocity: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bucket global particles into per-shard fixed-capacity slots."""
+    n_shards, cap = config.n_shards, config.capacity
+    slab = config.slab
+    pos = np.zeros((n_shards * cap, 2), np.float32)
+    vel = np.zeros((n_shards * cap, 3), np.float32)
+    alive = np.zeros((n_shards * cap,), bool)
+    owner = np.minimum((position[:, 0] // slab).astype(int), n_shards - 1)
+    for s in range(n_shards):
+        mine = np.where(owner == s)[0]
+        if len(mine) > cap:
+            raise ValueError(f"shard {s}: {len(mine)} particles > capacity {cap}")
+        pos[s * cap: s * cap + len(mine)] = position[mine]
+        vel[s * cap: s * cap + len(mine)] = velocity[mine]
+        alive[s * cap: s * cap + len(mine)] = True
+    return pos, vel, alive
+
+
+def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
+                         axis: str = "space"):
+    """Build the jitted shard_map step."""
+    base = config.base
+    nx, ny = base.grid_shape
+    slab = config.slab
+    dxv = jnp.asarray(base.cell_size, jnp.float32)
+    dt = base.dt
+    qm_half_dt = base.charge / base.mass * dt * 0.5
+    pad_shape = (slab + 2 * APRON_W, ny)
+
+    def local_step(position, velocity, alive, e_local, b_local, overflow):
+        shard = jax.lax.axis_index(axis)
+        x_lo = (shard * slab).astype(jnp.float32)
+
+        # ---- field halos for the particle gather --------------------------
+        e_pad = halo.with_halo(e_local, axis, HALO_W)   # (slab+2w, ny, 3)
+        b_pad = halo.with_halo(b_local, axis, HALO_W)
+        # padded tables are NOT periodic in x; CIC corner rolls only touch
+        # +1 which stays inside the pad for in-slab particles.
+        table = fdtd.center_fields(e_pad, b_pad, fdtd.E_OFFSETS_2D,
+                                   fdtd.B_OFFSETS_2D)
+
+        local_x = position[:, 0] - x_lo + HALO_W
+        local_pos = jnp.stack([local_x, position[:, 1]], axis=-1)
+        from ..ops.interp import cic_gather_packed
+
+        eb = cic_gather_packed(table, local_pos, (slab + 2 * HALO_W, ny))
+        e_at_p, b_at_p = eb[:, :3], eb[:, 3:]
+
+        # ---- push ---------------------------------------------------------
+        velocity = boris_kick(velocity, e_at_p, b_at_p, qm_half_dt,
+                              base.relativistic, base.c)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        x0 = position
+        # keep coordinates unwrapped until after deposition: Esirkepov
+        # reads the actual x0 -> x1 motion (wrapping first would turn a
+        # boundary crossing into an ~n-cell jump)
+        x1 = x0.at[:, 0].add(dt * velocity[:, 0] / dxv[0])
+        x1 = x1.at[:, 1].add(dt * velocity[:, 1] / dxv[1])
+
+        # ---- deposition into the padded slab + apron fold -----------------
+        dep_x0 = jnp.stack([x0[:, 0] - x_lo + APRON_W, x0[:, 1]], axis=-1)
+        dep_x1 = jnp.stack([x1[:, 0] - x_lo + APRON_W, x1[:, 1]], axis=-1)
+        charge = jnp.where(alive, jnp.float32(base.charge), 0.0)
+        j_pad = esirkepov_deposit_2d(dep_x0, dep_x1, velocity[:, 2], charge,
+                                     dt, pad_shape, base.cell_size)
+        j_local = halo.accumulate_apron(j_pad, axis, APRON_W)
+
+        # ---- Yee update with curl halos -----------------------------------
+        def curl_e_local(e):
+            e_p = halo.with_halo(e, axis, 1)
+            return fdtd.curl_e_2d(e_p, base.cell_size)[1:-1]
+
+        def curl_b_local(b):
+            b_p = halo.with_halo(b, axis, 1)
+            return fdtd.curl_b_2d(b_p, base.cell_size)[1:-1]
+
+        b_half = b_local - (0.5 * dt) * curl_e_local(e_local)
+        e_new = e_local + dt * ((base.c ** 2) * curl_b_local(b_half)
+                                - j_local / base.eps0)
+        b_new = b_half - (0.5 * dt) * curl_e_local(e_new)
+
+        # ---- migration ----------------------------------------------------
+        # the x-axis is globally periodic through the ring: positions wrap
+        # modulo nx and the wrapped particle migrates to the edge neighbor.
+        gx = jnp.mod(x1[:, 0], nx)
+        x1 = x1.at[:, 0].set(gx)
+        x1 = x1.at[:, 1].set(jnp.mod(x1[:, 1], ny))  # y periodic locally
+        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo, nx))
+        go_right = jnp.logical_and(
+            alive, _dist_right(gx, x_lo + slab, nx))
+        res = migration.migrate_ring(
+            (x1, velocity), alive, go_left, go_right, axis,
+            config.migration_buffer)
+        x1, velocity = res.arrays
+        alive = res.alive
+        overflow = overflow + res.overflow
+
+        x1 = jnp.where(alive[:, None], x1, 0.0)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        return x1, velocity, alive, e_new, b_new, overflow
+
+    def _dist_left(gx, x_lo, nx_total):
+        # crossed the low edge (周期 ring distance): within one slab behind
+        d = jnp.mod(x_lo - gx, nx_total)
+        return jnp.logical_and(d > 0, d <= slab)
+
+    def _dist_right(gx, x_hi, nx_total):
+        d = jnp.mod(gx - x_hi, nx_total)
+        return jnp.logical_and(d >= 0, d < slab)
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis),
+                  P(axis, None, None), P(axis, None, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis),
+                   P(axis, None, None), P(axis, None, None), P(axis)),
+    )
+
+    @jax.jit
+    def step(state: ShardedEMState) -> ShardedEMState:
+        pos, vel, alive, e, b, ov = mapped(
+            state.position, state.velocity, state.alive,
+            state.e, state.b, state.overflow)
+        return ShardedEMState(position=pos, velocity=vel, alive=alive,
+                              e=e, b=b, overflow=ov)
+
+    return step
+
+
+class ShardedElectromagneticPIC:
+    """Stateful shell; mirrors ElectromagneticPIC for the sharded layout."""
+
+    def __init__(self, config: ShardedEMConfig, mesh: Mesh, position,
+                 velocity, e=None, b=None, axis: str = "space"):
+        self.config = config
+        self.mesh = mesh
+        shape = config.base.grid_shape
+        pos, vel, alive = distribute(config, np.asarray(position, np.float32),
+                                     np.asarray(velocity, np.float32))
+        zero_f = np.zeros((*shape, 3), np.float32)
+        spec2 = NamedSharding(mesh, P(axis, None))
+        spec1 = NamedSharding(mesh, P(axis))
+        spec_f = NamedSharding(mesh, P(axis, None, None))
+        self.state = ShardedEMState(
+            position=jax.device_put(jnp.asarray(pos), spec2),
+            velocity=jax.device_put(jnp.asarray(vel), spec2),
+            alive=jax.device_put(jnp.asarray(alive), spec1),
+            e=jax.device_put(jnp.asarray(e if e is not None else zero_f), spec_f),
+            b=jax.device_put(jnp.asarray(b if b is not None else zero_f), spec_f),
+            overflow=jax.device_put(
+                jnp.zeros((config.n_shards,), jnp.int32), spec1),
+        )
+        self._step = make_sharded_step_fn(config, mesh, axis)
+
+    def step(self, n: int = 1) -> None:
+        for _ in range(n):
+            self.state = self._step(self.state)
+
+    def gather_particles(self) -> tuple[np.ndarray, np.ndarray]:
+        """All live particles (global order unspecified)."""
+        alive = np.asarray(self.state.alive)
+        return (np.asarray(self.state.position)[alive],
+                np.asarray(self.state.velocity)[alive])
