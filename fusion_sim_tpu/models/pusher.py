@@ -326,6 +326,7 @@ class CylindricalParticlePusher:
 
     # ------------------------------------------------------------- fast path
     def enable_fast_path(self, sink_box=None, source_box=None,
+                         uniform_e=(0.0, 0.0, 0.0),
                          rng_impl: str = "rbg") -> None:
         """Switch stepping to the analytic gather-free fast path
         (ops/analytic.py): fields are recomputed per particle from the
@@ -356,6 +357,7 @@ class CylindricalParticlePusher:
                           7 * spec.height / 16, 9 * spec.height / 16)
         self._fast_scenario = AnalyticScenario(
             loops=loops, bz=bz, btheta=btheta, line_current=line,
+            uniform_e=tuple(float(v) for v in uniform_e),
             sink_box=tuple(float(v) for v in sink_box),
             source_box=tuple(float(v) for v in source_box))
         self._fast_multi = {}

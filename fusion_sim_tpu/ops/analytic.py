@@ -51,6 +51,7 @@ class AnalyticScenario:
     bz: float = 0.0
     btheta: float = 0.0
     line_current: float = 0.0
+    uniform_e: tuple[float, float, float] = (0.0, 0.0, 0.0)  # (E_r, E_th, E_z) V/m
     sink_box: tuple[float, float, float] = (1.0, 0.0, 2.0)
     source_box: tuple[float, float, float, float] = (0.0, 0.125, 0.875, 1.125)
 
@@ -115,6 +116,22 @@ def _substep(spec, scenario: AnalyticScenario, state: FastState) -> FastState:
     nvz = (f * h * (by + h * bz * bx) * zr) * vr \
         + (f * h * (-bx + h * bz * by) * zr) * va \
         + (diag + f * h * h * bz * bz) * vz
+
+    if any(scenario.uniform_e):
+        # acceleration vector A of programPreA (empic.js:625-659), with the
+        # reference's scalar h*(E.B) broadcast quirk reproduced
+        ex, ey, ez_ = (jnp.float32(v) for v in scenario.uniform_e)
+        e_dot_b = ex * bx + ey * by + ez_ * bz
+        exb_r = ey * bz - ez_ * by
+        exb_a = ez_ * bx - ex * bz
+        exb_z = ex * by - ey * bx
+        pref = h * (2.0 - hb2 * f)
+        ar = (pref * ex + h * h * f * (exb_r + h * e_dot_b)) / SPEED_OF_LIGHT
+        aa = (pref * ey + h * h * f * (exb_a + h * e_dot_b)) / SPEED_OF_LIGHT
+        az = (pref * ez_ + h * h * f * (exb_z + h * e_dot_b)) / SPEED_OF_LIGHT
+        nvr = nvr + ar * jnp.float32(spec.factor_r)
+        nva = nva + aa * jnp.float32(spec.factor_r)
+        nvz = nvz + az * jnp.float32(spec.factor_z)
 
     new_vx = nvr * dir_x - nva * dir_y
     new_vy = nvr * dir_y + nva * dir_x

@@ -96,6 +96,30 @@ def test_fast_path_respawn_geometry():
     assert speed.max() <= 0.001 * np.sqrt(3) + 1e-6
 
 
+def test_fast_path_uniform_e_matches_grid():
+    """Uniform E + uniform B: the fast path's analytic A-vector must match
+    the grid path's programPreA coefficients (same PRNG stream)."""
+    sim_grid = CylindricalParticlePusher(SPEC, seed=11)
+    sim_fast = CylindricalParticlePusher(SPEC, seed=11)
+    e_field = np.zeros((SPEC["nr"], SPEC["nz"], 3), np.float32)
+    e_field[..., 0] = 2e3
+    e_field[..., 2] = -1e3
+    for s in (sim_grid, sim_fast):
+        _init(s)
+        s.set({"E": e_field})
+        s.add_bz(0.05)
+        s.precalc()
+    sim_fast.enable_fast_path(uniform_e=(2e3, 0.0, -1e3), rng_impl=None)
+    sim_grid.step(10)
+    sim_fast.step(10)
+    np.testing.assert_allclose(np.asarray(sim_grid.state.velocity),
+                               np.asarray(sim_fast.state.velocity),
+                               rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sim_grid.state.position),
+                               np.asarray(sim_fast.state.position),
+                               rtol=2e-4, atol=1e-7)
+
+
 def test_fast_path_rejects_grid_sources():
     sim = CylindricalParticlePusher(SPEC, seed=0)
     _init(sim)

@@ -132,6 +132,18 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["a"], blob["a"])
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from fusion_sim_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    tree = {"pos": jnp.arange(12.0).reshape(3, 4), "step": jnp.int32(7)}
+    path = str(tmp_path / "orbax_ck")
+    save_orbax(path, tree)
+    template = {"pos": jnp.zeros((3, 4)), "step": jnp.int32(0)}
+    out = load_orbax(path, template)
+    np.testing.assert_array_equal(np.asarray(out["pos"]), np.asarray(tree["pos"]))
+    assert int(out["step"]) == 7
+
+
 def test_viewer_http_api():
     """End-to-end: configure a tiny sim over HTTP, step it, fetch the frame."""
     from fusion_sim_tpu.viewer.server import serve
