@@ -1,0 +1,249 @@
+"""Sorted tile-window deposition via digit-factorized matmuls.
+
+The fastest TPU deposition path measured in this framework (PERFORMANCE.md):
+XLA scatter-adds cost ~25-40 ns per row, but for particles *sorted by grid
+tile* the CIC deposit factorizes per block of P particles into
+
+    window(h, l) = sum_p  Ar[p, h] * Bz[p, l]      (separable CIC!)
+
+with Ar/Bz the per-axis weighted corner one-hots — i.e. ONE batched matmul
+per particle block with contraction over particles (K = P = 1024, the
+MXU-friendly orientation).  Windows then land on the grid without any big
+scatter: a tiny segment-sum over blocks (one row per block) followed by a
+dense reshape/roll assembly, because windows align to the regular tile
+partition.
+
+Measured on v5e at 10M particles, 512^2 grid: 17.7 ms vs 186 ms for the
+packed scatter path (10.5x).  Multi-payload sort costs ~80 ms at 10M and
+amortizes over ~2M/TR steps with the ``margin`` parameter (particles may
+drift ``margin`` cells from their sort-time tile before any mass is
+dropped; the returned ``spill`` counts what was).
+
+Usage pattern (the caller owns the sort cadence):
+
+    order = sort_by_tile(position, shape, tiling)        # every K steps
+    ... keep particle arrays in sorted order ...
+    rho, spill = deposit_sorted_2d(position, weights, tile_id, shape, tiling)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Tiling2D:
+    """Static tile geometry: tile_r x tile_z cells, P particles per block,
+    margin cells of drift tolerance on every side."""
+
+    tile_r: int = 32
+    tile_z: int = 32
+    block: int = 1024
+    margin: int = 4
+
+    def n_tiles(self, shape: tuple[int, int]) -> tuple[int, int]:
+        nr, nz = shape
+        if nr % self.tile_r or nz % self.tile_z:
+            raise ValueError(f"grid {shape} not divisible by tile "
+                             f"({self.tile_r}, {self.tile_z})")
+        return nr // self.tile_r, nz // self.tile_z
+
+
+def tile_ids(position: jax.Array, shape: tuple[int, int],
+             tiling: Tiling2D) -> jax.Array:
+    """Flat tile id per particle (periodic grid units)."""
+    ntr, ntz = tiling.n_tiles(shape)
+    base = jnp.floor(position).astype(jnp.int32)
+    tr = jnp.clip(base[:, 0] // tiling.tile_r, 0, ntr - 1)
+    tz = jnp.clip(base[:, 1] // tiling.tile_z, 0, ntz - 1)
+    return tr * ntz + tz
+
+
+def sort_by_tile(position: jax.Array, shape: tuple[int, int],
+                 tiling: Tiling2D, *payloads: jax.Array):
+    """Sort particles (and payloads) by tile id.
+
+    Returns ``(tile_sorted, position_sorted, *payloads_sorted)``.  Payload
+    arrays must be 1D or have their leading axis = N (2D arrays are sorted
+    column-wise through lax.sort operands).
+    """
+    tid = tile_ids(position, shape, tiling)
+    operands = [tid, position[:, 0], position[:, 1]]
+    splits = []
+    for p in payloads:
+        if p.ndim == 1:
+            operands.append(p)
+            splits.append(1)
+        else:
+            for c in range(p.shape[1]):
+                operands.append(p[:, c])
+            splits.append(p.shape[1])
+    out = jax.lax.sort(tuple(operands), num_keys=1)
+    tid_s = out[0]
+    pos_s = jnp.stack([out[1], out[2]], axis=-1)
+    rest = []
+    i = 3
+    for p, k in zip(payloads, splits):
+        if k == 1:
+            rest.append(out[i])
+        else:
+            rest.append(jnp.stack(out[i:i + k], axis=-1))
+        i += k
+    return (tid_s, pos_s, *rest)
+
+
+def build_padded_layout(position: jax.Array, shape: tuple[int, int],
+                        tiling: Tiling2D, *payloads: jax.Array):
+    """Sort particles by tile AND pad every tile's segment to a multiple of
+    ``tiling.block`` with dead filler rows (weight handling is the caller's:
+    fillers carry position 0 and payload 0 — give weights as a payload and
+    they become zero-weight).
+
+    This is the layout ``deposit_sorted_2d`` assumes: each block then lies
+    entirely inside one tile, so spill stays zero until particles drift
+    further than ``margin`` cells (resort cadence).
+
+    Returns ``(tile_id, position, *payloads, n_valid)`` arrays of fixed
+    length ``N + n_tiles*block`` (fillers sorted to the end of their tile's
+    segment; surplus fillers at the global end carry tile_id = n_tiles,
+    consumed as trailing all-dead blocks).
+    """
+    ntr, ntz = tiling.n_tiles(shape)
+    n_tiles = ntr * ntz
+    p_blk = tiling.block
+    n = position.shape[0]
+    if n % p_blk:
+        raise ValueError(f"N={n} must be a multiple of block={p_blk} "
+                         "(append dead rows first)")
+    total_pad = n_tiles * p_blk
+
+    tid = tile_ids(position, shape, tiling)
+    tid_sorted = jnp.sort(tid)
+    # per-tile counts via boundaries in the sorted ids
+    bounds = jnp.searchsorted(tid_sorted, jnp.arange(n_tiles + 1))
+    counts = bounds[1:] - bounds[:-1]
+    pads = (-counts) % p_blk
+    cum_pads = jnp.cumsum(pads)
+    # filler j gets the tile whose cumulative pad range contains j; the
+    # surplus beyond cum_pads[-1] sorts to the global end (tile = n_tiles)
+    j = jnp.arange(total_pad)
+    filler_tile = jnp.searchsorted(cum_pads, j, side="right")
+    filler_tile = jnp.where(j < cum_pads[-1], filler_tile, n_tiles)
+
+    # sort (real + filler) by (tile, realness) — fillers after real rows
+    key = tid * 2
+    filler_key = filler_tile * 2 + 1
+    all_keys = jnp.concatenate([key, filler_key]).astype(jnp.int32)
+    all_pos = jnp.concatenate([position,
+                               jnp.zeros((total_pad, 2), position.dtype)])
+    operands = [all_keys, all_pos[:, 0], all_pos[:, 1]]
+    widths = []
+    for p in payloads:
+        if p.ndim == 1:
+            operands.append(jnp.concatenate([p, jnp.zeros((total_pad,), p.dtype)]))
+            widths.append(1)
+        else:
+            padp = jnp.concatenate([p, jnp.zeros((total_pad, p.shape[1]), p.dtype)])
+            for c in range(p.shape[1]):
+                operands.append(padp[:, c])
+            widths.append(p.shape[1])
+    out = jax.lax.sort(tuple(operands), num_keys=1)
+    tid_out = out[0] // 2
+    pos_out = jnp.stack([out[1], out[2]], axis=-1)
+    rest = []
+    i = 3
+    for w in widths:
+        if w == 1:
+            rest.append(out[i])
+        else:
+            rest.append(jnp.stack(out[i:i + w], axis=-1))
+        i += w
+    return (tid_out, pos_out, *rest, n + cum_pads[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling"))
+def deposit_sorted_2d(
+    position: jax.Array,
+    weights: jax.Array,
+    tile_id: jax.Array,
+    shape: tuple[int, int],
+    tiling: Tiling2D,
+) -> tuple[jax.Array, jax.Array]:
+    """CIC deposit of tile-sorted particles; returns ``(grid, spill)``.
+
+    ``position`` (N, 2) grid units, sorted so equal ``tile_id`` runs are
+    contiguous (N must be a multiple of ``tiling.block``; pad with
+    weight-0 particles).  ``spill`` counts particles outside their block's
+    window (drifted past ``margin`` since the sort) whose mass was dropped —
+    callers resort before this becomes nonzero.
+    """
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    p_blk = tiling.block
+    m = tiling.margin
+    tr_t, tz_t = tiling.tile_r, tiling.tile_z
+    wr = tr_t + 2 * m + 1
+    wz = tz_t + 2 * m + 1
+
+    n = position.shape[0]
+    if n % p_blk:
+        raise ValueError(f"N={n} not a multiple of block={p_blk}")
+    nb = n // p_blk
+
+    base = jnp.floor(position).astype(jnp.int32)
+    frac = position - base
+
+    blk_tile = tile_id[::p_blk]
+    blk_tr = (blk_tile // ntz) * tr_t - m   # window origin (may be negative)
+    blk_tz = (blk_tile % ntz) * tz_t - m
+
+    # window-relative offsets modulo the grid: periodic wraps land back in
+    # the window (a particle wrapped across the domain edge stays depositable)
+    dr = jnp.mod(base[:, 0].reshape(nb, p_blk) - blk_tr[:, None], nr)
+    dz = jnp.mod(base[:, 1].reshape(nb, p_blk) - blk_tz[:, None], nz)
+    in_win = (dr >= 0) & (dr < wr - 1) & (dz >= 0) & (dz < wz - 1)
+    wb = jnp.where(in_win, weights.reshape(nb, p_blk), 0.0)
+    fr = frac[:, 0].reshape(nb, p_blk)
+    fz = frac[:, 1].reshape(nb, p_blk)
+    drc = jnp.clip(dr, 0, wr - 2)
+    dzc = jnp.clip(dz, 0, wz - 2)
+
+    hr = jnp.arange(wr, dtype=jnp.int32)
+    hz = jnp.arange(wz, dtype=jnp.int32)
+    ar = ((wb * (1 - fr))[..., None] * (drc[..., None] == hr)
+          + (wb * fr)[..., None] * (drc[..., None] + 1 == hr))
+    bz = ((1 - fz)[..., None] * (dzc[..., None] == hz)
+          + fz[..., None] * (dzc[..., None] + 1 == hz))
+    win = jnp.einsum("bph,bpl->bhl", ar.astype(jnp.bfloat16),
+                     bz.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+
+    # blocks -> tile windows (tiny row scatter: one row per block)
+    tw = jax.ops.segment_sum(win.reshape(nb, wr * wz), blk_tile,
+                             num_segments=ntr * ntz)
+    tw = tw.reshape(ntr, ntz, wr, wz)
+
+    # dense assembly: windows overlap neighbors by (margin, margin+1);
+    # accumulate every window offset onto the periodic grid with rolls.
+    g = jnp.zeros((nr, nz), jnp.float32)
+    # place each window at (tile_r*i - m, tile_z*j - m): decompose window
+    # rows into the up-to-3 tiles they touch via shifted dense adds.
+    full = jnp.zeros((ntr, ntz, 3 * tr_t, 3 * tz_t), jnp.float32)
+    full = full.at[:, :, tr_t - m: tr_t - m + wr,
+                   tz_t - m: tz_t - m + wz].set(tw)
+    # full[i, j] covers tiles (i-1..i+1, j-1..j+1); fold onto the grid
+    for si in range(3):
+        for sj in range(3):
+            part = full[:, :, si * tr_t:(si + 1) * tr_t,
+                        sj * tz_t:(sj + 1) * tz_t]
+            part = jnp.roll(part, (si - 1, sj - 1), axis=(0, 1))
+            g = g + part.transpose(0, 2, 1, 3).reshape(nr, nz)
+
+    # only weight-carrying particles count as spill (filler rows from the
+    # padded layout land in trailing out-of-range blocks with weight 0)
+    spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
+    return g, spill
