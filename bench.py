@@ -62,6 +62,30 @@ def measure(sim, steps_per_batch: int, batches: int) -> float:
     return n * 2 * steps_per_batch * batches / dt
 
 
+def bench_es_10m() -> float:
+    """Tracked secondary metric: full self-consistent PIC steps/sec at 10M
+    particles (2D ES, 512^2, sorted digit-matmul deposition)."""
+    from fusion_sim_tpu.models import electrostatic as es
+
+    n = 10_000_000 - (10_000_000 % 1024)
+    cells = 512
+    length = 2 * np.pi
+    d = length / cells
+    vol = length * length
+    config = es.ESConfig(grid_shape=(cells, cells), cell_size=(d, d), dt=0.05,
+                         charge=-vol / n, mass=vol / n)
+    rng = np.random.default_rng(0)
+    pos = rng.random((n, 2)).astype(np.float32) * cells
+    vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+    sim = es.SortedElectrostaticPIC(config, pos, vel, resort_every=8)
+    sim.step(9)  # compile everything incl. one resort
+    np.asarray(sim.state.position[:1])
+    t0 = time.perf_counter()
+    sim.step(16)
+    np.asarray(sim.state.position[:1])
+    return 16 / (time.perf_counter() - t0)
+
+
 def main() -> None:
     sim = build_sim(nparticles=1024)  # ~1.05M particles
 
@@ -70,12 +94,15 @@ def main() -> None:
     sim.enable_fast_path()
     fast_pushes = measure(sim, steps_per_batch=50, batches=4)
 
+    es_steps = bench_es_10m()
+
     print(json.dumps({
         "metric": "particle_pushes_per_sec_per_chip",
         "value": fast_pushes,
         "unit": "pushes/s",
         "vs_baseline": fast_pushes / BASELINE,
         "grid_mode_value": grid_pushes,
+        "es_pic_steps_per_sec_at_10m": es_steps,
         "n_particles": sim.spec.n_total,
     }))
 

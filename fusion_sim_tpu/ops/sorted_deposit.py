@@ -44,6 +44,10 @@ class Tiling2D:
     tile_z: int = 32
     block: int = 1024
     margin: int = 4
+    # matmul element type for the one-hot factors: float32 is exact (CIC
+    # weights at full precision); bfloat16 is ~1.4x faster with ~0.4%
+    # weight rounding (visible as slow numerical heating in long runs).
+    dtype: str = "float32"
 
     def n_tiles(self, shape: tuple[int, int]) -> tuple[int, int]:
         nr, nz = shape
@@ -218,9 +222,11 @@ def deposit_sorted_2d(
           + (wb * fr)[..., None] * (drc[..., None] + 1 == hr))
     bz = ((1 - fz)[..., None] * (dzc[..., None] == hz)
           + fz[..., None] * (dzc[..., None] + 1 == hz))
-    win = jnp.einsum("bph,bpl->bhl", ar.astype(jnp.bfloat16),
-                     bz.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+    mm_dtype = jnp.bfloat16 if tiling.dtype == "bfloat16" else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if tiling.dtype == "bfloat16"
+                 else jax.lax.Precision.HIGHEST)
+    win = jnp.einsum("bph,bpl->bhl", ar.astype(mm_dtype), bz.astype(mm_dtype),
+                     preferred_element_type=jnp.float32, precision=precision)
 
     # blocks -> tile windows (tiny row scatter: one row per block)
     tw = jax.ops.segment_sum(win.reshape(nb, wr * wz), blk_tile,
