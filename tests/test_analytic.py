@@ -75,6 +75,62 @@ def test_fast_path_energy_conservation_10k_substeps():
     assert drift.max() < 1e-3, drift.max()
 
 
+def test_magnetic_mirror_bounce():
+    """The flagship physics oracle (SURVEY.md §4): protons with pitch angle
+    outside the loss cone bounce between mirror throats — z oscillates, the
+    parallel velocity reverses repeatedly, speed is conserved, and the
+    particle never reaches the coils.
+
+    Uses CO-directed coils (a true magnetic mirror, ratio ~2.15, loss cone
+    sin^2 = 0.47 < our 0.94).  Note the default scenario's OPPOSED coils
+    form a spindle cusp whose midplane field null does not confine
+    adiabatically — particles there escape through the point cusps, which
+    is correct physics but not a bounce test."""
+    spec = PusherSpec(radius=1.0, height=2.0, nr=400, nz=800, dt=2e-9,
+                      nparticles=4, particle_mass=1.67e-27,
+                      particle_charge=1.602e-19)
+    scen = A.AnalyticScenario(
+        loops=((0.8, 2.0, 1e7), (0.8, 0.0, 1e7)),
+        sink_box=(10.0, -10.0, 10.0),  # no absorption
+        source_box=(0.0, 0.1, 0.9, 1.1))
+    n = 16
+    rng = np.random.default_rng(3)
+    scale = np.array([1.0, 1.0, 0.5])
+    # near-axis particles at the midplane, v_perp >> v_parallel
+    pos = np.zeros((n, 3))
+    pos[:, 0] = 0.05 + 0.01 * rng.random(n)
+    pos[:, 2] = 1.0
+    v = np.zeros((n, 3))
+    v[:, 1] = 0.002      # v_perp (azimuthal at this position)
+    v[:, 2] = 0.0005     # v_parallel
+    state = A.FastState(
+        position=jnp.asarray(pos * scale, jnp.float32),
+        velocity=jnp.asarray(v * scale, jnp.float32),
+        alive=jnp.ones((n,), jnp.float32),
+        key=jax.random.key(0))
+
+    run = A.make_fast_multi_step_fn(spec, scen, 250)  # 500 substeps/chunk
+    z_hist = []
+    vz_hist = []
+    for _ in range(24):  # 12000 substeps total
+        state = run(state)
+        z_hist.append(np.asarray(state.position[:, 2]) * 2.0)  # physical z
+        vz_hist.append(np.asarray(state.velocity[:, 2]))
+    z_hist = np.array(z_hist)      # (24, n)
+    vz_hist = np.array(vz_hist)
+
+    # confined: never near the coils
+    assert z_hist.min() > 0.2 and z_hist.max() < 1.8, (z_hist.min(), z_hist.max())
+    # bouncing: parallel velocity reverses at least twice for most particles
+    sign_changes = (np.diff(np.sign(vz_hist), axis=0) != 0).sum(axis=0)
+    assert (sign_changes >= 2).mean() > 0.8, sign_changes
+    # physical speed conserved (pure B; the stored per-axis-scaled norm is
+    # not an invariant when v_parallel <-> v_perp exchange)
+    v0 = np.linalg.norm(v, axis=1)
+    v1 = np.linalg.norm(np.asarray(state.velocity) / scale, axis=1)
+    np.testing.assert_allclose(v1, v0, rtol=2e-3)
+
+
 def test_fast_path_respawn_geometry():
     sim = CylindricalParticlePusher(SPEC, seed=7)
     _init(sim)
