@@ -180,6 +180,147 @@ def kinetic_energy(config: EMConfig, state: EMState) -> jax.Array:
     return 0.5 * config.mass * jnp.sum(state.velocity**2)
 
 
+class SortedEMState(NamedTuple):
+    """Padded tile-sorted EM layout (fillers: valid=False, charge 0)."""
+
+    position: jax.Array   # (Npad, 2)
+    velocity: jax.Array   # (Npad, 3)
+    tile_id: jax.Array
+    valid: jax.Array
+    e: jax.Array
+    b: jax.Array
+    step: jax.Array
+    spill: jax.Array
+
+
+class SortedElectromagneticPIC:
+    """2D3V EM PIC with sorted digit-matmul Esirkepov deposition.
+
+    Physics identical to ``ElectromagneticPIC(field_gather='centered')``;
+    the current deposition runs via ops/sorted_deposit.esirkepov_sorted_2d
+    (windowed matmuls instead of the 27-channel scatter).  Same layout /
+    resort contract as SortedElectrostaticPIC.
+    """
+
+    def __init__(self, config: EMConfig, position, velocity,
+                 e=None, b=None, tiling=None, resort_every: int = 6):
+        from ..ops.sorted_deposit import Tiling2D, build_padded_layout
+
+        if config.n_dim != 2:
+            raise ValueError("sorted EM variant is 2D3V")
+        self.config = config
+        self.tiling = tiling or Tiling2D()
+        self.resort_every = resort_every
+        n = np.asarray(position).shape[0]
+        if n % self.tiling.block:
+            raise ValueError(f"particle count must be a multiple of "
+                             f"{self.tiling.block}")
+        self.n_real = n
+        shape = config.grid_shape
+
+        pos = jnp.asarray(position, jnp.float32).reshape(n, 2)
+        vel = jnp.asarray(velocity, jnp.float32).reshape(n, 3)
+        tid, pos_p, v0, v1, v2, valid_p, _ = build_padded_layout(
+            pos, shape, self.tiling, vel[:, 0], vel[:, 1], vel[:, 2],
+            jnp.ones((n,), jnp.float32))
+        zero_f = jnp.zeros((*shape, 3), jnp.float32)
+        self.state = SortedEMState(
+            position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
+            tile_id=tid, valid=valid_p > 0.5,
+            e=zero_f if e is None else jnp.asarray(e, jnp.float32),
+            b=zero_f if b is None else jnp.asarray(b, jnp.float32),
+            step=jnp.int32(0), spill=jnp.int32(0))
+        self._step = self._make_step()
+        self._resort = self._make_resort()
+        self._since_sort = 0
+
+    def _make_step(self):
+        from ..ops.interp import cic_gather_packed
+        from ..ops.sorted_deposit import esirkepov_sorted_2d
+
+        config = self.config
+        tiling = self.tiling
+        shape = config.grid_shape
+        nx, ny = shape
+        dxv = jnp.asarray(config.cell_size, jnp.float32)
+        grid_f = jnp.asarray(shape, jnp.float32)
+        qm_half_dt = config.charge / config.mass * config.dt * 0.5
+
+        @jax.jit
+        def step(state: SortedEMState) -> SortedEMState:
+            table = fdtd.center_fields(state.e, state.b, fdtd.E_OFFSETS_2D,
+                                       fdtd.B_OFFSETS_2D)
+            eb = cic_gather_packed(table, jnp.mod(state.position, grid_f), shape)
+            velocity = boris_kick(state.velocity, eb[:, :3], eb[:, 3:],
+                                  qm_half_dt, config.relativistic, config.c)
+            velocity = jnp.where(state.valid[:, None], velocity, 0.0)
+            x0 = state.position
+            x1 = x0 + config.dt * velocity[:, :2] / dxv  # unwrapped for deposit
+
+            charge = jnp.where(state.valid, jnp.float32(config.charge), 0.0)
+            j, spill = esirkepov_sorted_2d(
+                x0, x1, velocity[:, 2], charge, state.tile_id, config.dt,
+                shape, config.cell_size, tiling)
+
+            b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
+                                         config.cell_size)
+            e_new = fdtd.advance_e_full(state.e, b_half, j, config.dt,
+                                        config.cell_size, c=config.c,
+                                        eps0=config.eps0)
+            b_new = fdtd.advance_b_half(b_half, e_new, config.dt,
+                                        config.cell_size)
+            x1 = jnp.mod(x1, grid_f)
+            x1 = jnp.where(state.valid[:, None], x1, 0.0)
+            return state._replace(position=x1, velocity=velocity,
+                                  e=e_new, b=b_new, step=state.step + 1,
+                                  spill=state.spill + spill.astype(jnp.int32))
+
+        return step
+
+    def _make_resort(self):
+        from ..ops.sorted_deposit import build_padded_layout, tile_ids
+
+        config = self.config
+        tiling = self.tiling
+        n_real = self.n_real
+
+        @jax.jit
+        def resort(state: SortedEMState) -> SortedEMState:
+            tid_new = tile_ids(state.position, config.grid_shape, tiling)
+            key = jnp.where(state.valid, tid_new, jnp.int32(10 ** 9))
+            out = jax.lax.sort(
+                (key, state.position[:, 0], state.position[:, 1],
+                 state.velocity[:, 0], state.velocity[:, 1],
+                 state.velocity[:, 2]), num_keys=1)
+            pos = jnp.stack([out[1][:n_real], out[2][:n_real]], axis=-1)
+            tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
+                pos, config.grid_shape, tiling,
+                out[3][:n_real], out[4][:n_real], out[5][:n_real],
+                jnp.ones((n_real,), jnp.float32))
+            return state._replace(
+                position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
+                tile_id=tid, valid=validp > 0.5)
+
+        return resort
+
+    def step(self, n: int = 1) -> None:
+        for _ in range(n):
+            if self._since_sort >= self.resort_every:
+                self.state = self._resort(self.state)
+                self._since_sort = 0
+            self.state = self._step(self.state)
+            self._since_sort += 1
+
+    def energies(self) -> dict[str, float]:
+        cfg = self.config
+        mu0 = 1.0 / (cfg.eps0 * cfg.c ** 2)
+        fe = float((0.5 * cfg.eps0 * jnp.sum(self.state.e ** 2)
+                    + 0.5 / mu0 * jnp.sum(self.state.b ** 2)) * cfg.cell_volume)
+        v = jnp.where(self.state.valid[:, None], self.state.velocity, 0.0)
+        ke = 0.5 * cfg.mass * float(jnp.sum(v ** 2))
+        return {"field": fe, "kinetic": ke, "total": fe + ke}
+
+
 class ElectromagneticPIC:
     """Stateful shell over the functional EM PIC core."""
 

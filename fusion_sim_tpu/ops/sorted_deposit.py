@@ -253,3 +253,147 @@ def deposit_sorted_2d(
     # padded layout land in trailing out-of-range blocks with weight 0)
     spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
     return g, spill
+
+
+def _assemble_tile_windows(win: jax.Array, blk_tile: jax.Array,
+                           shape: tuple[int, int], tiling: Tiling2D,
+                           wr: int, wz: int) -> jax.Array:
+    """Fold per-block windows onto the periodic grid (no large scatter).
+
+    ``win``: (nb, wr, wz[, C]) block windows anchored at
+    (tile_r*i - margin, tile_z*j - margin).  Segment-sums blocks into tile
+    windows, then accumulates the up-to-3x3 tile overlap with dense rolls.
+    """
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    tr_t, tz_t = tiling.tile_r, tiling.tile_z
+    m = tiling.margin
+    nb = win.shape[0]
+    channels = win.shape[3:]
+
+    tw = jax.ops.segment_sum(win.reshape(nb, -1), blk_tile,
+                             num_segments=ntr * ntz)
+    tw = tw.reshape(ntr, ntz, wr, wz, *channels)
+
+    full = jnp.zeros((ntr, ntz, 3 * tr_t, 3 * tz_t, *channels), jnp.float32)
+    full = full.at[:, :, tr_t - m: tr_t - m + wr,
+                   tz_t - m: tz_t - m + wz].set(tw)
+    g = jnp.zeros((nr, nz, *channels), jnp.float32)
+    for si in range(3):
+        for sj in range(3):
+            part = full[:, :, si * tr_t:(si + 1) * tr_t,
+                        sj * tz_t:(sj + 1) * tz_t]
+            part = jnp.roll(part, (si - 1, sj - 1), axis=(0, 1))
+            perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(channels)))
+            g = g + part.transpose(perm).reshape(nr, nz, *channels)
+    return g
+
+
+def _expand_window(factors: jax.Array, db: jax.Array, width: int) -> jax.Array:
+    """Expand per-particle 3-node stencil factors onto window rows.
+
+    ``factors``: (nb, P, 3) values at stencil offsets {0, 1, 2} relative to
+    the particle's base node; ``db``: (nb, P) base offset within the window.
+    Returns (nb, P, width) with F[p, db+k] = factors[p, k].
+    """
+    h = jnp.arange(width, dtype=jnp.int32)
+    out = 0.0
+    for k in range(3):
+        out = out + factors[..., k:k + 1] * (db[..., None] + k == h)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "dt", "cell_size"))
+def esirkepov_sorted_2d(
+    x0: jax.Array,
+    x1: jax.Array,
+    vz: jax.Array,
+    charge: jax.Array,
+    tile_id: jax.Array,
+    dt: float,
+    shape: tuple[int, int],
+    cell_size: tuple[float, float],
+    tiling: Tiling2D,
+) -> tuple[jax.Array, jax.Array]:
+    """Charge-conserving current deposition for tile-sorted particles.
+
+    The digit-matmul form of ops/esirkepov.esirkepov_deposit_2d: every
+    Esirkepov weight is a sum of separable (r-factor x z-factor) terms, so
+    each current component's window is one batched matmul:
+
+        Jx: [-q dx/(V dt) cumsum(dSx)] (x) [S0z + dSz/2]
+        Jy: [S0x + dSx/2]              (x) [-q dz/(V dt) cumsum(dSz)]
+        Jz: q vz/V { [S0x + dSx/2] (x) S0z  +  [S0x/2 + dSx/3] (x) dSz }
+
+    (the Jz pairing combines Esirkepov's four terms into two separable
+    ones).  Same layout contract as deposit_sorted_2d; ``charge`` must be 0
+    on filler rows.  Returns ``(j_grid (nr, nz, 3), spill)``.
+    """
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    p_blk = tiling.block
+    m = tiling.margin
+    wr = tiling.tile_r + 2 * m + 1
+    wz = tiling.tile_z + 2 * m + 1
+    dx, dy = cell_size
+    vol = dx * dy
+
+    n = x0.shape[0]
+    nb = n // p_blk
+    q = jnp.broadcast_to(jnp.asarray(charge, jnp.float32), (n,)).reshape(nb, p_blk)
+
+    def shapes_1d(x, base):
+        k = jnp.arange(3, dtype=jnp.float32)
+        d = jnp.abs(x[..., None] - (base[..., None].astype(jnp.float32) + k))
+        return jnp.maximum(0.0, 1.0 - d)
+
+    base_r = jnp.floor(jnp.minimum(x0[:, 0], x1[:, 0])).astype(jnp.int32).reshape(nb, p_blk)
+    base_z = jnp.floor(jnp.minimum(x0[:, 1], x1[:, 1])).astype(jnp.int32).reshape(nb, p_blk)
+    s0r = shapes_1d(x0[:, 0].reshape(nb, p_blk), base_r)
+    s1r = shapes_1d(x1[:, 0].reshape(nb, p_blk), base_r)
+    s0z = shapes_1d(x0[:, 1].reshape(nb, p_blk), base_z)
+    s1z = shapes_1d(x1[:, 1].reshape(nb, p_blk), base_z)
+    dsr = s1r - s0r
+    dsz = s1z - s0z
+
+    blk_tile = tile_id[::p_blk]
+    blk_tr = (blk_tile // ntz) * tiling.tile_r - m
+    blk_tz = (blk_tile % ntz) * tiling.tile_z - m
+    dbr = jnp.mod(base_r - blk_tr[:, None], nr)
+    dbz = jnp.mod(base_z - blk_tz[:, None], nz)
+    in_win = (dbr <= wr - 3) & (dbz <= wz - 3)
+    qm = jnp.where(in_win, q, 0.0)
+    dbr = jnp.minimum(dbr, wr - 3)
+    dbz = jnp.minimum(dbz, wz - 3)
+
+    coef_x = -(dx / (vol * dt))
+    coef_z = -(dy / (vol * dt))
+    mm = jnp.bfloat16 if tiling.dtype == "bfloat16" else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if tiling.dtype == "bfloat16"
+                 else jax.lax.Precision.HIGHEST)
+
+    def mmul(a, b):
+        return jnp.einsum("bph,bpl->bhl", a.astype(mm), b.astype(mm),
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+    ax = _expand_window((qm * coef_x)[..., None] * jnp.cumsum(dsr, axis=-1), dbr, wr)
+    bx = _expand_window(s0z + 0.5 * dsz, dbz, wz)
+    win_jx = mmul(ax, bx)
+
+    ay = _expand_window(s0r + 0.5 * dsr, dbr, wr)
+    by = _expand_window((qm * coef_z)[..., None] * jnp.cumsum(dsz, axis=-1), dbz, wz)
+    win_jy = mmul(ay, by)
+
+    qvz = (qm * vz.reshape(nb, p_blk) / vol)
+    a1 = _expand_window(qvz[..., None] * (s0r + 0.5 * dsr), dbr, wr)
+    b1 = _expand_window(s0z, dbz, wz)
+    a2 = _expand_window(qvz[..., None] * (0.5 * s0r + dsr / 3.0), dbr, wr)
+    b2 = _expand_window(dsz, dbz, wz)
+    win_jz = mmul(jnp.concatenate([a1, a2], axis=1),
+                  jnp.concatenate([b1, b2], axis=1))
+
+    win = jnp.stack([win_jx, win_jy, win_jz], axis=-1)  # (nb, wr, wz, 3)
+    grid = _assemble_tile_windows(win, blk_tile, shape, tiling, wr, wz)
+    spill = jnp.sum((~in_win) & (q != 0))
+    return grid, spill

@@ -1,0 +1,68 @@
+"""Sorted-layout EM PIC: equivalence with the centered reference model."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fusion_sim_tpu.models import electromagnetic as em
+from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+
+def _setup(n=8192, cells=64, seed=0):
+    d = 0.5
+    config = em.EMConfig(grid_shape=(cells, cells), cell_size=(d, d),
+                         dt=0.2 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered")
+    rng = np.random.default_rng(seed)
+    pos = rng.random((n, 2)).astype(np.float32) * cells
+    vel = (0.2 * rng.standard_normal((n, 3))).astype(np.float32)
+    return config, pos, vel
+
+
+def test_sorted_em_matches_reference_model():
+    config, pos, vel = _setup()
+    ref = em.ElectromagneticPIC(config, pos, vel)
+    fast = em.SortedElectromagneticPIC(
+        config, pos, vel, tiling=Tiling2D(tile_r=16, tile_z=16, block=256,
+                                          margin=3), resort_every=3)
+    for _ in range(3):
+        ref.step(3)
+        fast.step(3)
+    assert int(fast.state.spill) == 0
+    np.testing.assert_allclose(np.asarray(fast.state.e), np.asarray(ref.state.e),
+                               atol=3e-4 * max(float(jnp.abs(ref.state.e).max()), 1e-9))
+    np.testing.assert_allclose(np.asarray(fast.state.b), np.asarray(ref.state.b),
+                               atol=3e-4 * max(float(jnp.abs(ref.state.b).max()), 1e-9))
+    e_ref = ref.energies()
+    e_fast = fast.energies()
+    np.testing.assert_allclose(e_fast["kinetic"], e_ref["kinetic"], rtol=2e-3)
+    np.testing.assert_allclose(e_fast["field"], e_ref["field"], rtol=2e-2)
+
+
+def test_sorted_em_gauss_law():
+    """The sorted Esirkepov keeps the discrete continuity equation, so
+    Gauss's law residual must not grow over a run."""
+    from fusion_sim_tpu.ops.interp import cic_deposit
+
+    config, pos, vel = _setup(seed=1)
+    sim = em.SortedElectromagneticPIC(
+        config, pos, vel, tiling=Tiling2D(tile_r=16, tile_z=16, block=256,
+                                          margin=3), resort_every=3)
+
+    def gauss_residual():
+        st = sim.state
+        div = jnp.zeros(config.grid_shape, jnp.float32)
+        for axis, d in enumerate(config.cell_size):
+            comp = st.e[..., axis]
+            div = div + (comp - jnp.roll(comp, 1, axis=axis)) / d
+        valid = st.valid
+        w = jnp.where(valid, jnp.float32(config.charge / config.cell_volume), 0.0)
+        grid_f = jnp.asarray(config.grid_shape, jnp.float32)
+        rho = cic_deposit(jnp.mod(st.position, grid_f), w, config.grid_shape)
+        rho = rho - jnp.mean(rho)
+        return float(jnp.abs(div - rho / config.eps0).max())
+
+    r0 = gauss_residual()
+    sim.step(30)
+    r1 = gauss_residual()
+    assert int(sim.state.spill) == 0
+    assert r1 - r0 < 5e-3 * max(r0, 1.0), (r0, r1)

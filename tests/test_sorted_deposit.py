@@ -78,6 +78,52 @@ def test_periodic_boundary_tiles():
                                atol=6e-3 * float(jnp.abs(ref).max()))
 
 
+def test_esirkepov_sorted_matches_reference():
+    """Sorted digit-matmul Esirkepov equals the packed reference and keeps
+    discrete continuity."""
+    from fusion_sim_tpu.ops.esirkepov import esirkepov_deposit_2d
+    from fusion_sim_tpu.ops.sorted_deposit import esirkepov_sorted_2d
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    cell = (0.7, 1.3)
+    dt = 0.4
+    x0 = rng.random((n, 2)).astype(np.float32) * np.array(SHAPE, np.float32)
+    x1 = x0 + ((rng.random((n, 2)) - 0.5) * 0.9).astype(np.float32)
+    vz = rng.standard_normal(n).astype(np.float32)
+    q = -1.7
+
+    # build the sorted layout keyed on x0's tiles, carrying x1/vz as payload
+    qw = np.full(n, q, np.float32)
+    tid, x0_s, x1a, x1b, vz_s, qw_s, _ = build_padded_layout(
+        jnp.asarray(x0), SHAPE, TILING,
+        jnp.asarray(x1[:, 0]), jnp.asarray(x1[:, 1]), jnp.asarray(vz),
+        jnp.asarray(qw))
+    x1_s = jnp.stack([x1a, x1b], axis=-1)
+
+    j_sorted, spill = esirkepov_sorted_2d(
+        x0_s, x1_s, vz_s, qw_s, tid, dt, SHAPE, cell, TILING)
+    assert int(spill) == 0
+    j_ref = esirkepov_deposit_2d(jnp.asarray(x0), jnp.asarray(x1),
+                                 jnp.asarray(vz), q, dt, SHAPE, cell)
+    scale = float(jnp.abs(j_ref).max())
+    np.testing.assert_allclose(np.asarray(j_sorted), np.asarray(j_ref),
+                               atol=2e-5 * scale)
+
+    # discrete continuity on the sorted result
+    from fusion_sim_tpu.ops.interp import cic_deposit
+    vol = cell[0] * cell[1]
+    w = jnp.full((n,), q / vol, jnp.float32)
+    sh = jnp.asarray(SHAPE, jnp.float32)
+    rho0 = np.asarray(cic_deposit(jnp.asarray(x0) % sh, w, SHAPE))
+    rho1 = np.asarray(cic_deposit(jnp.asarray(x1) % sh, w, SHAPE))
+    j = np.asarray(j_sorted)
+    div = (j[..., 0] - np.roll(j[..., 0], 1, axis=0)) / cell[0] \
+        + (j[..., 1] - np.roll(j[..., 1], 1, axis=1)) / cell[1]
+    residual = (rho1 - rho0) / dt + div
+    assert np.abs(residual).max() < 3e-5 * max(np.abs(rho0).max() / dt, 1.0)
+
+
 def test_sort_by_tile_payloads():
     rng = np.random.default_rng(4)
     pos = rng.random((1000, 2)).astype(np.float32) * 64
