@@ -228,26 +228,7 @@ def deposit_sorted_2d(
     win = jnp.einsum("bph,bpl->bhl", ar.astype(mm_dtype), bz.astype(mm_dtype),
                      preferred_element_type=jnp.float32, precision=precision)
 
-    # blocks -> tile windows (tiny row scatter: one row per block)
-    tw = jax.ops.segment_sum(win.reshape(nb, wr * wz), blk_tile,
-                             num_segments=ntr * ntz)
-    tw = tw.reshape(ntr, ntz, wr, wz)
-
-    # dense assembly: windows overlap neighbors by (margin, margin+1);
-    # accumulate every window offset onto the periodic grid with rolls.
-    g = jnp.zeros((nr, nz), jnp.float32)
-    # place each window at (tile_r*i - m, tile_z*j - m): decompose window
-    # rows into the up-to-3 tiles they touch via shifted dense adds.
-    full = jnp.zeros((ntr, ntz, 3 * tr_t, 3 * tz_t), jnp.float32)
-    full = full.at[:, :, tr_t - m: tr_t - m + wr,
-                   tz_t - m: tz_t - m + wz].set(tw)
-    # full[i, j] covers tiles (i-1..i+1, j-1..j+1); fold onto the grid
-    for si in range(3):
-        for sj in range(3):
-            part = full[:, :, si * tr_t:(si + 1) * tr_t,
-                        sj * tz_t:(sj + 1) * tz_t]
-            part = jnp.roll(part, (si - 1, sj - 1), axis=(0, 1))
-            g = g + part.transpose(0, 2, 1, 3).reshape(nr, nz)
+    g = _assemble_tile_windows(win, blk_tile, shape, tiling, wr, wz)
 
     # only weight-carrying particles count as spill (filler rows from the
     # padded layout land in trailing out-of-range blocks with weight 0)
