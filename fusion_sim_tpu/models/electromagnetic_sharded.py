@@ -1,9 +1,9 @@
 """Spatially-decomposed electromagnetic PIC (shard_map + halo + migration).
 
-The production multi-chip EM PIC of BASELINE.json configs[4]: the grid is
-split into x-slabs across the ``space`` mesh axis; every shard owns its
-field slab and the particles inside it.  Communication is neighbor-only,
-riding ICI (SURVEY.md §2.6/§5):
+The production multi-chip EM PIC of BASELINE.json configs[4], in 2D3V and
+full 3D: the grid is split into x-slabs across the ``space`` mesh axis;
+every shard owns its field slab and the particles inside it.
+Communication is neighbor-only, riding ICI (SURVEY.md §2.6/§5):
 
 * field *halos* (lax.ppermute, parallel/halo.py) pad each slab for particle
   gathers and Yee curls;
@@ -27,7 +27,6 @@ motion per step (guaranteed by the Yee CFL check).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -37,7 +36,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fdtd
-from ..ops.esirkepov import esirkepov_deposit_2d
+from ..ops.esirkepov import esirkepov_deposit_2d, esirkepov_deposit_3d
 from ..parallel import halo, migration
 from .electromagnetic import EMConfig, boris_kick
 
@@ -46,11 +45,11 @@ APRON_W = 4    # deposition apron (Esirkepov 3-node stencil + 1 cell motion)
 
 
 class ShardedEMState(NamedTuple):
-    position: jax.Array   # (n_shards*cap, 2) global grid units (dead: 0)
+    position: jax.Array   # (n_shards*cap, d) global grid units (dead: 0)
     velocity: jax.Array   # (n_shards*cap, 3)
     alive: jax.Array      # (n_shards*cap,) bool
-    e: jax.Array          # (nx, ny, 3)
-    b: jax.Array          # (nx, ny, 3)
+    e: jax.Array          # (*grid, 3)
+    b: jax.Array          # (*grid, 3)
     overflow: jax.Array   # (n_shards,) cumulative migration overflow
 
 
@@ -66,7 +65,12 @@ class ShardedEMConfig:
         nx = self.base.grid_shape[0]
         if nx % self.n_shards:
             raise ValueError(f"nx={nx} not divisible by {self.n_shards} shards")
-        return nx // self.n_shards
+        slab = nx // self.n_shards
+        if slab < APRON_W:
+            raise ValueError(
+                f"slab width {slab} < deposition apron {APRON_W}; use fewer "
+                "shards or a finer x-grid")
+        return slab
 
 
 def distribute(config: ShardedEMConfig, position: np.ndarray,
@@ -74,7 +78,8 @@ def distribute(config: ShardedEMConfig, position: np.ndarray,
     """Bucket global particles into per-shard fixed-capacity slots."""
     n_shards, cap = config.n_shards, config.capacity
     slab = config.slab
-    pos = np.zeros((n_shards * cap, 2), np.float32)
+    d = config.base.n_dim
+    pos = np.zeros((n_shards * cap, d), np.float32)
     vel = np.zeros((n_shards * cap, 3), np.float32)
     alive = np.zeros((n_shards * cap,), bool)
     owner = np.minimum((position[:, 0] // slab).astype(int), n_shards - 1)
@@ -90,32 +95,47 @@ def distribute(config: ShardedEMConfig, position: np.ndarray,
 
 def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
                          axis: str = "space"):
-    """Build the jitted shard_map step."""
+    """Build the jitted shard_map step (2D3V or 3D)."""
     base = config.base
-    nx, ny = base.grid_shape
+    ndim = base.n_dim
+    grid_shape = base.grid_shape
+    nx = grid_shape[0]
+    rest = grid_shape[1:]
     slab = config.slab
     dxv = jnp.asarray(base.cell_size, jnp.float32)
     dt = base.dt
     qm_half_dt = base.charge / base.mass * dt * 0.5
-    pad_shape = (slab + 2 * APRON_W, ny)
+    pad_shape = (slab + 2 * APRON_W, *rest)
+    halo_shape = (slab + 2 * HALO_W, *rest)
+    e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
+    b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
+
+    def _dist_left(gx, x_lo):
+        d = jnp.mod(x_lo - gx, nx)
+        return jnp.logical_and(d > 0, d <= slab)
+
+    def _dist_right(gx, x_hi):
+        d = jnp.mod(gx - x_hi, nx)
+        return jnp.logical_and(d >= 0, d < slab)
+
+    def _shift_x(pos, offset):
+        return jnp.concatenate([pos[:, :1] + offset, pos[:, 1:]], axis=1)
 
     def local_step(position, velocity, alive, e_local, b_local, overflow):
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
 
         # ---- field halos for the particle gather --------------------------
-        e_pad = halo.with_halo(e_local, axis, HALO_W)   # (slab+2w, ny, 3)
+        e_pad = halo.with_halo(e_local, axis, HALO_W)
         b_pad = halo.with_halo(b_local, axis, HALO_W)
         # padded tables are NOT periodic in x; CIC corner rolls only touch
         # +1 which stays inside the pad for in-slab particles.
-        table = fdtd.center_fields(e_pad, b_pad, fdtd.E_OFFSETS_2D,
-                                   fdtd.B_OFFSETS_2D)
+        table = fdtd.center_fields(e_pad, b_pad, e_off, b_off)
 
-        local_x = position[:, 0] - x_lo + HALO_W
-        local_pos = jnp.stack([local_x, position[:, 1]], axis=-1)
+        local_pos = _shift_x(position, HALO_W - x_lo)
         from ..ops.interp import cic_gather_packed
 
-        eb = cic_gather_packed(table, local_pos, (slab + 2 * HALO_W, ny))
+        eb = cic_gather_packed(table, local_pos, halo_shape)
         e_at_p, b_at_p = eb[:, :3], eb[:, 3:]
 
         # ---- push ---------------------------------------------------------
@@ -126,25 +146,26 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
         # keep coordinates unwrapped until after deposition: Esirkepov
         # reads the actual x0 -> x1 motion (wrapping first would turn a
         # boundary crossing into an ~n-cell jump)
-        x1 = x0.at[:, 0].add(dt * velocity[:, 0] / dxv[0])
-        x1 = x1.at[:, 1].add(dt * velocity[:, 1] / dxv[1])
+        x1 = x0 + dt * velocity[:, :ndim] / dxv
 
         # ---- deposition into the padded slab + apron fold -----------------
-        dep_x0 = jnp.stack([x0[:, 0] - x_lo + APRON_W, x0[:, 1]], axis=-1)
-        dep_x1 = jnp.stack([x1[:, 0] - x_lo + APRON_W, x1[:, 1]], axis=-1)
+        dep_x0 = _shift_x(x0, APRON_W - x_lo)
+        dep_x1 = _shift_x(x1, APRON_W - x_lo)
         charge = jnp.where(alive, jnp.float32(base.charge), 0.0)
-        j_pad = esirkepov_deposit_2d(dep_x0, dep_x1, velocity[:, 2], charge,
-                                     dt, pad_shape, base.cell_size)
+        if ndim == 2:
+            j_pad = esirkepov_deposit_2d(dep_x0, dep_x1, velocity[:, 2],
+                                         charge, dt, pad_shape, base.cell_size)
+        else:
+            j_pad = esirkepov_deposit_3d(dep_x0, dep_x1, charge, dt,
+                                         pad_shape, base.cell_size)
         j_local = halo.accumulate_apron(j_pad, axis, APRON_W)
 
         # ---- Yee update with curl halos -----------------------------------
         def curl_e_local(e):
-            e_p = halo.with_halo(e, axis, 1)
-            return fdtd.curl_e_2d(e_p, base.cell_size)[1:-1]
+            return fdtd.curl_e(halo.with_halo(e, axis, 1), base.cell_size)[1:-1]
 
         def curl_b_local(b):
-            b_p = halo.with_halo(b, axis, 1)
-            return fdtd.curl_b_2d(b_p, base.cell_size)[1:-1]
+            return fdtd.curl_b(halo.with_halo(b, axis, 1), base.cell_size)[1:-1]
 
         b_half = b_local - (0.5 * dt) * curl_e_local(e_local)
         e_new = e_local + dt * ((base.c ** 2) * curl_b_local(b_half)
@@ -155,11 +176,12 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
         # the x-axis is globally periodic through the ring: positions wrap
         # modulo nx and the wrapped particle migrates to the edge neighbor.
         gx = jnp.mod(x1[:, 0], nx)
-        x1 = x1.at[:, 0].set(gx)
-        x1 = x1.at[:, 1].set(jnp.mod(x1[:, 1], ny))  # y periodic locally
-        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo, nx))
-        go_right = jnp.logical_and(
-            alive, _dist_right(gx, x_lo + slab, nx))
+        wrapped = [gx[:, None]]
+        for a, n_a in enumerate(rest, start=1):
+            wrapped.append(jnp.mod(x1[:, a:a + 1], n_a))  # other axes periodic
+        x1 = jnp.concatenate(wrapped, axis=1)
+        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
+        go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
         res = migration.migrate_ring(
             (x1, velocity), alive, go_left, go_right, axis,
             config.migration_buffer)
@@ -171,21 +193,11 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
         velocity = jnp.where(alive[:, None], velocity, 0.0)
         return x1, velocity, alive, e_new, b_new, overflow
 
-    def _dist_left(gx, x_lo, nx_total):
-        # crossed the low edge (周期 ring distance): within one slab behind
-        d = jnp.mod(x_lo - gx, nx_total)
-        return jnp.logical_and(d > 0, d <= slab)
-
-    def _dist_right(gx, x_hi, nx_total):
-        d = jnp.mod(gx - x_hi, nx_total)
-        return jnp.logical_and(d >= 0, d < slab)
-
+    fspec = P(axis, *([None] * ndim))  # (*grid, 3) arrays
     mapped = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis),
-                  P(axis, None, None), P(axis, None, None), P(axis)),
-        out_specs=(P(axis, None), P(axis, None), P(axis),
-                   P(axis, None, None), P(axis, None, None), P(axis)),
+        in_specs=(P(axis, None), P(axis, None), P(axis), fspec, fspec, P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), fspec, fspec, P(axis)),
     )
 
     @jax.jit
@@ -207,12 +219,13 @@ class ShardedElectromagneticPIC:
         self.config = config
         self.mesh = mesh
         shape = config.base.grid_shape
+        ndim = config.base.n_dim
         pos, vel, alive = distribute(config, np.asarray(position, np.float32),
                                      np.asarray(velocity, np.float32))
         zero_f = np.zeros((*shape, 3), np.float32)
         spec2 = NamedSharding(mesh, P(axis, None))
         spec1 = NamedSharding(mesh, P(axis))
-        spec_f = NamedSharding(mesh, P(axis, None, None))
+        spec_f = NamedSharding(mesh, P(axis, *([None] * ndim)))
         self.state = ShardedEMState(
             position=jax.device_put(jnp.asarray(pos), spec2),
             velocity=jax.device_put(jnp.asarray(vel), spec2),

@@ -74,6 +74,37 @@ def test_sharded_particles_stay_owned():
             assert ((xs >= s * slab) & (xs < (s + 1) * slab)).all(), (s, xs)
 
 
+def test_sharded_3d_matches_single_device():
+    """The 3D sharded path (configs[4] structure) reproduces the
+    single-device 3D EM model."""
+    d = 0.5
+    n_cells = 32  # slab width 4 = apron width (the minimum)
+    base = em.EMConfig(grid_shape=(n_cells, n_cells, n_cells),
+                       cell_size=(d, d, d), dt=0.15 * d,
+                       charge=-0.01, mass=0.01, field_gather="centered")
+    rng = np.random.default_rng(5)
+    n = 2000
+    pos = rng.random((n, 3)) * n_cells
+    vel = 0.2 * rng.standard_normal((n, 3))
+
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(6)
+
+    mesh = make_mesh(8, ("space",))
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(6)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(sim.state.e), np.asarray(ref.state.e),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sim.state.b), np.asarray(ref.state.b),
+                               rtol=2e-4, atol=2e-5)
+    p_sh, _ = sim.gather_particles()
+    assert p_sh.shape[0] == n
+
+
 def test_sharded_gauss_and_energy_sanity():
     base, pos, vel = _setup(seed=2)
     mesh = make_mesh(8, ("space",))
