@@ -33,21 +33,10 @@ def main() -> int:
     sim = CylindricalParticlePusher(spec)
     print(f"constructed in {time.perf_counter()-t0:.1f}s", flush=True)
 
-    nr, nz, n = args.nr, args.nz, args.nparticles ** 2
-    sink = np.ones((nr, nz), np.float32)
-    sink[-1, :] = 0
-    sink[1:-1, 0] = 0
-    sink[1:-1, -1] = 0
-    source = np.zeros((nr, nz), np.float32)
-    source[: nr // 8, 350 * nz // 800 : 450 * nz // 800] = 1.0
+    from fusion_sim_tpu.scenarios import apply_default_scenario
 
-    rng = np.random.default_rng(0)
-    pos = 0.2 * (rng.random((n, 3)) - 0.5) + np.array([0, 0, 1.0])
-    vel = 0.002 * (rng.random((n, 3)) - 0.5)
-    sim.set({"position": pos, "velocity": vel, "sink_mask": sink, "source_pdf": source})
-    sim.add_current_loop(0.8, 2.0, -1e7)
-    sim.add_current_loop(0.8, 0.0, 1e7)
-    sim.precalc()
+    n = args.nparticles ** 2
+    apply_default_scenario(sim)
 
     frame = sim.density()  # initial frame, like fusionsim.js:153
     t0 = time.perf_counter()

@@ -114,12 +114,22 @@ def make_step_fn(config: EMConfig):
                               config.relativistic, config.c)
 
         x0 = state.position
-        drift = config.dt * velocity[:, : config.n_dim] / dxv
+        if config.relativistic:
+            # velocity stores the proper velocity u = gamma*v (the convention
+            # boris_kick's gamma = sqrt(1 + |u/c|^2) implies); the coordinate
+            # drift uses v = u/gamma, keeping |v| < c and the Esirkepov
+            # <1-cell-per-step support intact
+            gamma = jnp.sqrt(1.0 + jnp.sum((velocity / config.c) ** 2,
+                                           axis=-1, keepdims=True))
+            coord_v = velocity / gamma
+        else:
+            coord_v = velocity
+        drift = config.dt * coord_v[:, : config.n_dim] / dxv
         x1_unwrapped = x0 + drift
         x1 = jnp.mod(x1_unwrapped, grid_f)
 
         if config.n_dim == 2:
-            j = esirkepov_deposit_2d(x0, x1_unwrapped, velocity[:, 2],
+            j = esirkepov_deposit_2d(x0, x1_unwrapped, coord_v[:, 2],
                                      config.charge, config.dt, shape, dx)
         else:
             j = esirkepov_deposit_3d(x0, x1_unwrapped, config.charge,
@@ -177,6 +187,10 @@ def field_energy(config: EMConfig, state: EMState) -> jax.Array:
 
 
 def kinetic_energy(config: EMConfig, state: EMState) -> jax.Array:
+    if config.relativistic:
+        # velocity stores proper velocity u = gamma*v; KE = m c^2 (gamma - 1)
+        gamma = jnp.sqrt(1.0 + jnp.sum((state.velocity / config.c) ** 2, axis=-1))
+        return config.mass * config.c**2 * jnp.sum(gamma - 1.0)
     return 0.5 * config.mass * jnp.sum(state.velocity**2)
 
 
@@ -203,7 +217,8 @@ class SortedElectromagneticPIC:
     """
 
     def __init__(self, config: EMConfig, position, velocity,
-                 e=None, b=None, tiling=None, resort_every: int = 6):
+                 e=None, b=None, tiling=None, resort_every: int = 6,
+                 check_spill: bool = True):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
         if config.n_dim != 2:
@@ -233,6 +248,16 @@ class SortedElectromagneticPIC:
         self._step = self._make_step()
         self._resort = self._make_resort()
         self._since_sort = 0
+        self.check_spill = check_spill
+
+    def _check_spill(self):
+        spilled = int(self.state.spill)
+        if spilled:
+            raise RuntimeError(
+                f"{spilled} particles out-drifted the sort margin and their "
+                f"current was dropped (charge conservation broken); reduce "
+                f"resort_every (now {self.resort_every}) or raise "
+                f"tiling.margin (now {self.tiling.margin})")
 
     def _make_step(self):
         from ..ops.interp import cic_gather_packed
@@ -310,6 +335,8 @@ class SortedElectromagneticPIC:
                 self._since_sort = 0
             self.state = self._step(self.state)
             self._since_sort += 1
+        if self.check_spill:
+            self._check_spill()
 
     def energies(self) -> dict[str, float]:
         cfg = self.config

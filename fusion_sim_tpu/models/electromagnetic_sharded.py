@@ -111,12 +111,15 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
     b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
 
     def _dist_left(gx, x_lo):
+        # crossed the low edge: ring distance behind x_lo, capped at half a
+        # slab so the left/right predicates are disjoint even at n_shards=2
+        # (motion is < 1 cell/step << slab/2, enforced by slab >= APRON_W)
         d = jnp.mod(x_lo - gx, nx)
-        return jnp.logical_and(d > 0, d <= slab)
+        return jnp.logical_and(d > 0, d <= slab / 2)
 
     def _dist_right(gx, x_hi):
         d = jnp.mod(gx - x_hi, nx)
-        return jnp.logical_and(d >= 0, d < slab)
+        return d < slab / 2
 
     def _shift_x(pos, offset):
         return jnp.concatenate([pos[:, :1] + offset, pos[:, 1:]], axis=1)

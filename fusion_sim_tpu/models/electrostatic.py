@@ -201,7 +201,8 @@ class SortedElectrostaticPIC:
     """
 
     def __init__(self, config: ESConfig, position, velocity,
-                 tiling=None, resort_every: int = 6):
+                 tiling=None, resort_every: int = 6,
+                 check_spill: bool = True):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
         if config.n_dim != 2:
@@ -229,6 +230,16 @@ class SortedElectrostaticPIC:
         self._step = self._make_step()
         self._resort = self._make_resort()
         self._since_sort = 0
+        self.check_spill = check_spill
+
+    def _check_spill(self):
+        spilled = int(self.state.spill)
+        if spilled:
+            raise RuntimeError(
+                f"{spilled} particles out-drifted the sort margin and their "
+                f"charge was dropped; reduce resort_every (now "
+                f"{self.resort_every}) or raise tiling.margin (now "
+                f"{self.tiling.margin}) so margin > resort_every * v_max*dt/dx")
 
     def _make_step(self):
         from ..ops.sorted_deposit import deposit_sorted_2d
@@ -299,6 +310,8 @@ class SortedElectrostaticPIC:
                 self._since_sort = 0
             self.state = self._step(self.state)
             self._since_sort += 1
+        if self.check_spill:
+            self._check_spill()
 
     def energies(self) -> dict[str, float]:
         cfg = self.config

@@ -245,6 +245,9 @@ class CylindricalParticlePusher:
         if "E" in value:
             e = jnp.asarray(value["E"], dtype=jnp.float32).reshape(spec.nr, spec.nz, 3)
             self.fields = self.fields._replace(e=e)
+            # grid E is not an analytic source; recorded so enable_fast_path
+            # can refuse instead of silently dropping it
+            self._sources.append(("grid_e",))
         if "B" in value:
             b = jnp.asarray(value["B"], dtype=jnp.float32).reshape(spec.nr, spec.nz, 3)
             self.fields = self.fields._replace(b=b)
@@ -323,6 +326,7 @@ class CylindricalParticlePusher:
             coil_current=coil_current, n_power=n_power,
         )
         self.fields = self.fields._replace(b=self.fields.b + delta)
+        self._sources.append(("spindle",))  # grid-only: blocks the fast path
 
     # ------------------------------------------------------------- fast path
     def enable_fast_path(self, sink_box=None, source_box=None,
@@ -346,7 +350,13 @@ class CylindricalParticlePusher:
         bz = sum(s[1] for s in self._sources if s[0] == "bz")
         btheta = sum(s[1] for s in self._sources if s[0] == "btheta")
         line = sum(s[1] for s in self._sources if s[0] == "line")
-        if any(s[0] not in ("loop", "bz", "btheta", "line") for s in self._sources):
+        if any(s[0] == "grid_e" for s in self._sources) and not any(uniform_e):
+            raise ValueError(
+                "a grid E field was set; the fast path cannot sample it — "
+                "pass uniform_e=(Er, Etheta, Ez) if the field is uniform, or "
+                "stay in grid mode")
+        if any(s[0] not in ("loop", "bz", "btheta", "line", "grid_e")
+               for s in self._sources):
             raise ValueError("fast path supports analytic sources only")
         if sink_box is None:
             sink_box = ((spec.nr - 1) / spec.nr * spec.radius,
@@ -359,7 +369,10 @@ class CylindricalParticlePusher:
             loops=loops, bz=bz, btheta=btheta, line_current=line,
             uniform_e=tuple(float(v) for v in uniform_e),
             sink_box=tuple(float(v) for v in sink_box),
-            source_box=tuple(float(v) for v in source_box))
+            source_box=tuple(float(v) for v in source_box),
+            # default grid mask keeps the on-axis column at the z walls
+            # (fusionsim.js:104-112: z-wall rows run r-cells 1..nr-2)
+            axis_keep_r=spec.radius / spec.nr)
         self._fast_multi = {}
         if rng_impl:
             self.state = self.state._replace(

@@ -54,6 +54,12 @@ class AnalyticScenario:
     uniform_e: tuple[float, float, float] = (0.0, 0.0, 0.0)  # (E_r, E_th, E_z) V/m
     sink_box: tuple[float, float, float] = (1.0, 0.0, 2.0)
     source_box: tuple[float, float, float, float] = (0.0, 0.125, 0.875, 1.125)
+    # Parity detail of the default grid mask (fusionsim.js:103-112): the
+    # z-wall sink rows run r-cells 1..nr-2, so the on-axis column (r cell 0)
+    # is NOT absorbed at the z extremes.  axis_keep_r > 0 reproduces that:
+    # particles with r < axis_keep_r survive the z walls (still absorbed at
+    # the r wall).
+    axis_keep_r: float = 0.0
 
 
 def b_field_at(scenario: AnalyticScenario, r: jax.Array, z: jax.Array) -> jax.Array:
@@ -151,7 +157,12 @@ def _substep(spec, scenario: AnalyticScenario, state: FastState) -> FastState:
     pr = jnp.sqrt(px * px + py * py)
 
     r_max, z_min, z_max = scenario.sink_box
-    keep = (pr * spec.radius < r_max) & (pz * spec.height > z_min) & (pz * spec.height < z_max)
+    r_phys_new = pr * spec.radius
+    z_phys_new = pz * spec.height
+    keep_z = (z_phys_new > z_min) & (z_phys_new < z_max)
+    if scenario.axis_keep_r > 0.0:
+        keep_z = keep_z | (r_phys_new < scenario.axis_keep_r)
+    keep = (r_phys_new < r_max) & keep_z
 
     r_lo, r_hi, z_lo, z_hi = scenario.source_box
     # normalized respawn coordinates (the inv-CDF of a uniform box is affine)
@@ -197,4 +208,5 @@ def default_scenario(radius: float = 1.0, height: float = 2.0,
         loops=((0.8 * radius, height, -1e7), (0.8 * radius, 0.0, 1e7)),
         sink_box=((nr - 1) / nr * radius, height / nz, (nz - 1) / nz * height),
         source_box=(0.0, 50 / 400 * radius, 350 / 800 * height, 450 / 800 * height),
+        axis_keep_r=radius / nr,
     )

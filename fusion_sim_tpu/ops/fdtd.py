@@ -127,7 +127,9 @@ def center_fields(e: jax.Array, b: jax.Array, e_offsets, b_offsets) -> jax.Array
             c = field[..., comp]
             for axis, o in enumerate(off):
                 if o:
-                    c = 0.5 * (c + jnp.roll(c, -1, axis=axis))
+                    # array index i holds the value at i+1/2; the node-i
+                    # average is (value at i-1/2 + value at i+1/2)/2
+                    c = 0.5 * (c + jnp.roll(c, 1, axis=axis))
             cols.append(c)
     return jnp.stack(cols, axis=-1)
 

@@ -24,6 +24,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _strides(shape: tuple[int, ...]) -> jax.Array:
+    """Row-major flattening strides for ``shape`` (int32 device vector)."""
+    out = []
+    s = 1
+    for n in reversed(shape):
+        out.append(s)
+        s *= n
+    return jnp.asarray(list(reversed(out)), jnp.int32)
+
+
 def _corner_weights(position: jax.Array, shape: tuple[int, ...]):
     """Base cell index and CIC fractional weights per axis.
 
@@ -50,12 +60,7 @@ def cic_deposit(
     base, frac = _corner_weights(position, shape)
     grid = jnp.zeros(shape, dtype=weights.dtype)
     flat = grid.reshape(-1)
-    strides = []
-    s = 1
-    for n in reversed(shape):
-        strides.append(s)
-        s *= n
-    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    strides = _strides(shape)
 
     for corner in itertools.product((0, 1), repeat=n_dim):
         offs = jnp.asarray(corner, jnp.int32)
@@ -82,12 +87,7 @@ def cic_gather(
     base, frac = _corner_weights(position, shape)
     channels = grid.shape[len(shape):]
     flat = grid.reshape((-1,) + channels)
-    strides = []
-    s = 1
-    for n in reversed(shape):
-        strides.append(s)
-        s *= n
-    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    strides = _strides(shape)
 
     out = 0.0
     for corner in itertools.product((0, 1), repeat=n_dim):
@@ -133,12 +133,7 @@ def cic_deposit_packed(
     base, frac = _corner_weights(position, shape)
     base = base % jnp.asarray(shape, jnp.int32)
 
-    strides = []
-    s = 1
-    for n in reversed(shape):
-        strides.append(s)
-        s *= n
-    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    strides = _strides(shape)
     flat_idx = jnp.sum(base * strides, axis=1)
 
     cols = []
@@ -189,12 +184,7 @@ def cic_gather_packed(
 
     base, frac = _corner_weights(position, shape)
     base = base % jnp.asarray(shape, jnp.int32)
-    strides = []
-    s = 1
-    for n in reversed(shape):
-        strides.append(s)
-        s *= n
-    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
+    strides = _strides(shape)
     flat_idx = jnp.sum(base * strides, axis=1)
 
     rows = table[flat_idx]  # (N, 2^d * C)

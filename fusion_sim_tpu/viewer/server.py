@@ -32,6 +32,7 @@ import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..models.pusher import CylindricalParticlePusher
+from ..scenarios import apply_default_scenario
 from ..utils.diagnostics import pusher_diagnostics
 from ..utils.png import encode_png
 from ..utils.render import frame_to_uint8
@@ -61,23 +62,6 @@ setInterval(async () => {
 </script></body></html>"""
 
 
-def _default_scenario(spec: dict) -> dict:
-    """The F2 setup (fusionsim.js:87-135) for a given spec."""
-    nr, nz = spec["nr"], spec["nz"]
-    n = spec["nparticles"] ** 2
-    sink = np.ones((nr, nz), np.float32)
-    sink[-1, :] = 0
-    sink[1:-1, 0] = 0
-    sink[1:-1, -1] = 0
-    source = np.zeros((nr, nz), np.float32)
-    source[: max(1, nr // 8), 7 * nz // 16: 9 * nz // 16] = 1.0
-    rng = np.random.default_rng(0)
-    return {
-        "position": 0.2 * (rng.random((n, 3)) - 0.5) + np.array([0, 0, spec["height"] / 2]),
-        "velocity": 0.002 * (rng.random((n, 3)) - 0.5),
-        "sink_mask": sink,
-        "source_pdf": source,
-    }
 
 
 class SimulationService:
@@ -101,10 +85,7 @@ class SimulationService:
             self.sim = CylindricalParticlePusher(spec)
             self.steps = 0
             if body.get("scenario") == "default":
-                self.sim.set(_default_scenario(spec))
-                self.sim.add_current_loop(0.8 * spec["radius"], spec["height"], -1e7)
-                self.sim.add_current_loop(0.8 * spec["radius"], 0.0, 1e7)
-                self.sim.precalc()
+                apply_default_scenario(self.sim)
             self._render_locked()
         return {"ok": True}
 

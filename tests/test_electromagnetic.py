@@ -130,6 +130,26 @@ def test_gauss_law_maintained_full_run():
     assert res1 - res0 < 5e-4 * max(res0, 1.0), (res0, res1)
 
 
+def test_center_fields_linear_exact():
+    """Averaging staggered samples of a LINEAR field must reproduce the node
+    values exactly — this pins the roll direction (a one-cell shift bug
+    passes uniform-field tests)."""
+    n = 16
+    x = np.arange(n)
+    e = np.zeros((n, n, 3), np.float32)
+    e[..., 0] = (x[:, None] + 0.5)            # Ex stored at (i+1/2, j): value=x
+    b = np.zeros((n, n, 3), np.float32)
+    b[..., 2] = (x[:, None] + 0.5) + (x[None, :] + 0.5)  # Bz at (i+1/2, j+1/2)
+    table = np.asarray(fdtd.center_fields(jnp.asarray(e), jnp.asarray(b),
+                                          fdtd.E_OFFSETS_2D, fdtd.B_OFFSETS_2D))
+    # interior nodes (wrap pollutes row/col 0 only)
+    np.testing.assert_allclose(table[1:, 1:, 0],
+                               np.broadcast_to(x[1:, None], (n - 1, n - 1)),
+                               rtol=1e-6)
+    expect_bz = x[1:, None] + x[None, 1:]
+    np.testing.assert_allclose(table[1:, 1:, 5], expect_bz, rtol=1e-6)
+
+
 def test_centered_gather_mode():
     """'centered' field gather: physics stays sane (finite fields, Gauss law
     maintained — deposition is unchanged) and a uniform B gives the same
