@@ -199,6 +199,39 @@ def test_boris_kick_gyration():
     np.testing.assert_allclose(cosang, np.cos(theta), rtol=1e-5)
 
 
+def test_relativistic_mode():
+    """Proper-velocity convention: gyrofrequency slows by gamma, coordinate
+    speed stays below c, and drift uses u/gamma."""
+    n_cells, d = 16, 0.5
+    # tiny macro-charge at q/m = -1: self-fields scale with q^2/m -> 1e-8,
+    # negligible, while the external-B rotation is unchanged
+    config = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                         dt=0.1 * d, charge=-1e-8, mass=1e-8,
+                         relativistic=True)
+    b0 = np.zeros((n_cells, n_cells, 3), np.float32)
+    b0[..., 2] = 1.0
+    u0 = 2.0  # proper velocity 2c -> gamma = sqrt(5)
+    pos = np.array([[8.0, 8.0]], np.float32)
+    vel = np.array([[u0, 0.0, 0.0]], np.float32)
+    sim = em.ElectromagneticPIC(config, pos, vel, b=b0)
+    gamma = np.sqrt(1 + u0**2)
+
+    x_prev = np.asarray(sim.state.position).copy()
+    for _ in range(10):
+        sim.step()
+        x_now = np.asarray(sim.state.position)
+        step_len = np.linalg.norm((x_now - x_prev)) * d
+        # coordinate displacement per step must be subluminal
+        assert step_len < config.c * config.dt + 1e-6
+        x_prev = x_now.copy()
+    u = np.asarray(sim.state.velocity)[0]
+    # |u| conserved by the magnetic rotation
+    np.testing.assert_allclose(np.linalg.norm(u), u0, rtol=1e-4)
+    # relativistic KE convention: m c^2 (gamma - 1)
+    np.testing.assert_allclose(sim.energies()["kinetic"],
+                               config.mass * (gamma - 1), rtol=1e-3)
+
+
 def test_cfl_enforced():
     import pytest
     with pytest.raises(ValueError, match="CFL"):
