@@ -149,7 +149,7 @@ def _ellipke(m: jax.Array) -> tuple[jax.Array, jax.Array]:
     (|error| < 2e-8), valid for 0 <= m < 1.  Used by the exact loop field.
     """
     m1 = jnp.clip(1.0 - m, 1e-12, 1.0)
-    ln = jnp.log(1.0 / m1)
+    ln = -jnp.log(m1)  # log(1/m1) without the division
     ka = ((0.01451196212 * m1 + 0.03742563713) * m1 + 0.03590092383) * m1 + 0.09666344259
     ka = ka * m1 + 1.38629436112
     kb = ((0.00441787012 * m1 + 0.03328355346) * m1 + 0.06880248576) * m1 + 0.12498593597
@@ -178,15 +178,20 @@ def current_loop_b_exact(
     """
     dz = z - loop_z
     rho = jnp.maximum(r, 0.0)
-    denom = (loop_r + rho) ** 2 + dz * dz
-    m = 4.0 * loop_r * rho / denom
+    dz2 = dz * dz
+    denom = (loop_r + rho) ** 2 + dz2
+    inv_denom = 1.0 / denom
+    m = (4.0 * loop_r) * rho * inv_denom
     big_k, big_e = _ellipke(m)
-    alpha2 = (loop_r - rho) ** 2 + dz * dz
-    pref = MU_0 * current / (2.0 * PI * jnp.sqrt(denom))
-    safe_rho = jnp.where(rho > 1e-9 * loop_r, rho, 1.0)
-    br = pref * (dz / safe_rho) * (-big_k + (loop_r**2 + rho**2 + dz**2) / alpha2 * big_e)
-    bz = pref * (big_k + (loop_r**2 - rho**2 - dz**2) / alpha2 * big_e)
-    on_axis_bz = MU_0 * current * loop_r**2 / (2.0 * (loop_r**2 + dz * dz) ** 1.5)
+    inv_alpha2 = 1.0 / ((loop_r - rho) ** 2 + dz2)
+    pref = (MU_0 / (2.0 * PI)) * current * jax.lax.rsqrt(denom)
+    inv_rho = 1.0 / jnp.where(rho > 1e-9 * loop_r, rho, 1.0)
+    r2 = loop_r * loop_r
+    rho2 = rho * rho
+    br = pref * (dz * inv_rho) * ((r2 + rho2 + dz2) * inv_alpha2 * big_e - big_k)
+    bz = pref * (big_k + (r2 - rho2 - dz2) * inv_alpha2 * big_e)
+    ax = r2 + dz2
+    on_axis_bz = (0.5 * MU_0) * current * r2 * jax.lax.rsqrt(ax) / ax
     on_axis = rho <= 1e-9 * loop_r
     br = jnp.where(on_axis, 0.0, br)
     bz = jnp.where(on_axis, on_axis_bz, bz)
