@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,6 +233,120 @@ def deposit_sorted_2d(
 
     # only weight-carrying particles count as spill (filler rows from the
     # padded layout land in trailing out-of-range blocks with weight 0)
+    spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
+    return g, spill
+
+
+@dataclasses.dataclass(frozen=True)
+class Tiling3D:
+    """3D tile geometry for the sorted deposition (see Tiling2D)."""
+
+    tile: tuple[int, int, int] = (8, 8, 16)
+    block: int = 1024
+    margin: int = 2
+    dtype: str = "float32"
+
+    def n_tiles(self, shape: tuple[int, int, int]) -> tuple[int, int, int]:
+        out = []
+        for n, t in zip(shape, self.tile):
+            if n % t:
+                raise ValueError(f"grid {shape} not divisible by tile {self.tile}")
+            out.append(n // t)
+        return tuple(out)
+
+
+def tile_ids_3d(position: jax.Array, shape: tuple[int, int, int],
+                tiling: Tiling3D) -> jax.Array:
+    nts = tiling.n_tiles(shape)
+    base = jnp.floor(position).astype(jnp.int32)
+    tid = 0
+    for a in range(3):
+        t = jnp.clip(base[:, a] // tiling.tile[a], 0, nts[a] - 1)
+        tid = tid * nts[a] + t
+    return tid
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling"))
+def deposit_sorted_3d(
+    position: jax.Array,
+    weights: jax.Array,
+    tile_id: jax.Array,
+    shape: tuple[int, int, int],
+    tiling: Tiling3D,
+) -> tuple[jax.Array, jax.Array]:
+    """3D CIC deposit of tile-sorted particles (digit-matmul form).
+
+    The 3D CIC weight is a rank-1 triple product Ar (x) Ay (x) Az; two axes
+    fold into one outer-product factor per particle, leaving one batched
+    matmul per block:  win (wx, wy*wz) = Ax^T @ (Ay (x) Az).
+    Same layout contract as deposit_sorted_2d (build the padded layout with
+    per-tile block padding keyed on ``tile_ids_3d``).
+    """
+    nts = tiling.n_tiles(shape)
+    p_blk = tiling.block
+    m = tiling.margin
+    wins = tuple(t + 2 * m + 1 for t in tiling.tile)
+    wx, wy, wz = wins
+
+    n = position.shape[0]
+    nb = n // p_blk
+    base = jnp.floor(position).astype(jnp.int32)
+    frac = position - base
+
+    blk_tile = tile_id[::p_blk]
+    t_idx = []
+    rem = blk_tile
+    for a in (2, 1, 0):
+        t_idx.append(rem % nts[a])
+        rem = rem // nts[a]
+    t_idx = t_idx[::-1]  # (tx, ty, tz) per block
+    origins = [t_idx[a] * tiling.tile[a] - m for a in range(3)]
+
+    db = []
+    in_win = True
+    for a in range(3):
+        d = jnp.mod(base[:, a].reshape(nb, p_blk) - origins[a][:, None], shape[a])
+        in_win = in_win & (d < wins[a] - 1)
+        db.append(jnp.minimum(d, wins[a] - 2))
+    wb = jnp.where(in_win, weights.reshape(nb, p_blk), 0.0)
+
+    def axis_factor(a, weighted):
+        f = frac[:, a].reshape(nb, p_blk)
+        h = jnp.arange(wins[a], dtype=jnp.int32)
+        w1 = (wb * (1 - f)) if weighted else (1 - f)
+        w2 = (wb * f) if weighted else f
+        return (w1[..., None] * (db[a][..., None] == h)
+                + w2[..., None] * (db[a][..., None] + 1 == h))
+
+    ax = axis_factor(0, weighted=True)                     # (nb, P, wx)
+    ay = axis_factor(1, weighted=False)                    # (nb, P, wy)
+    az = axis_factor(2, weighted=False)                    # (nb, P, wz)
+    ayz = (ay[..., :, None] * az[..., None, :]).reshape(nb, p_blk, wy * wz)
+
+    mm = jnp.bfloat16 if tiling.dtype == "bfloat16" else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if tiling.dtype == "bfloat16"
+                 else jax.lax.Precision.HIGHEST)
+    win = jnp.einsum("bph,bpl->bhl", ax.astype(mm), ayz.astype(mm),
+                     preferred_element_type=jnp.float32, precision=precision)
+    win = win.reshape(nb, wx, wy, wz)
+
+    # segment blocks into tile windows, then fold the 3x3x3 tile overlap
+    tw = jax.ops.segment_sum(win.reshape(nb, -1), blk_tile,
+                             num_segments=int(np.prod(nts)))
+    tw = tw.reshape(*nts, wx, wy, wz)
+    full = jnp.zeros((*nts, *[3 * t for t in tiling.tile]), jnp.float32)
+    sl = tuple(slice(t - m, t - m + w) for t, w in zip(tiling.tile, wins))
+    full = full.at[(slice(None),) * 3 + sl].set(tw)
+    g = jnp.zeros(shape, jnp.float32)
+    tx, ty, tz = tiling.tile
+    for si in range(3):
+        for sj in range(3):
+            for sk in range(3):
+                part = full[:, :, :, si * tx:(si + 1) * tx,
+                            sj * ty:(sj + 1) * ty, sk * tz:(sk + 1) * tz]
+                part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
+                g = g + part.transpose(0, 3, 1, 4, 2, 5).reshape(shape)
+
     spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
     return g, spill
 

@@ -89,6 +89,26 @@ class ClickArea:
                 and self.y <= py < self.y + self.height)
 
 
+@dataclasses.dataclass(eq=False)
+class ImageClickArea(ClickArea):
+    """Selectable region hit-tested against an image mask
+    (``makeImageClickArea``, utilities.js:1806-1841): a click counts only
+    where the mask is opaque (> threshold)."""
+
+    mask: np.ndarray | None = None     # (h, w) alpha/opacity array
+    threshold: float = 0.5
+
+    def contains(self, px: int, py: int) -> bool:
+        if not super().contains(px, py):
+            return False
+        if self.mask is None:
+            return True
+        my, mx = py - self.y, px - self.x
+        if my >= self.mask.shape[0] or mx >= self.mask.shape[1]:
+            return False
+        return float(self.mask[my, mx]) > self.threshold
+
+
 class CanvasFigure:
     """Layered figure: render all layers into one uint8 RGB canvas.
 

@@ -124,6 +124,42 @@ def test_esirkepov_sorted_matches_reference():
     assert np.abs(residual).max() < 3e-5 * max(np.abs(rho0).max() / dt, 1.0)
 
 
+def test_deposit_sorted_3d_matches_reference():
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling3D, deposit_sorted_3d, tile_ids_3d)
+
+    shape = (16, 16, 32)
+    tiling = Tiling3D(tile=(8, 8, 16), block=128, margin=2)
+    rng = np.random.default_rng(9)
+    n = 4096
+    pos = rng.random((n, 3)).astype(np.float32) * np.array(shape, np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    # host-side padded layout keyed on 3D tiles
+    tid = np.asarray(tile_ids_3d(jnp.asarray(pos), shape, tiling))
+    order = np.argsort(tid, kind="stable")
+    pos_s, w_s, tid_s = pos[order], w[order], tid[order]
+    n_tiles = 2 * 2 * 2
+    chunks_p, chunks_w, chunks_t = [], [], []
+    for t in range(n_tiles):
+        sel = tid_s == t
+        cnt = int(sel.sum())
+        pad = (-cnt) % tiling.block
+        chunks_p += [pos_s[sel], np.zeros((pad, 3), np.float32)]
+        chunks_w += [w_s[sel], np.zeros(pad, np.float32)]
+        chunks_t += [np.full(cnt + pad, t)]
+    pos_p = jnp.asarray(np.concatenate(chunks_p))
+    w_p = jnp.asarray(np.concatenate(chunks_w))
+    tid_p = jnp.asarray(np.concatenate(chunks_t), jnp.int32)
+
+    grid, spill = deposit_sorted_3d(pos_p, w_p, tid_p, shape, tiling)
+    assert int(spill) == 0
+    ref = cic_deposit_packed(jnp.asarray(pos), jnp.asarray(w), shape)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
+                               atol=1e-5 * float(jnp.abs(ref).max()))
+    np.testing.assert_allclose(float(grid.sum()), float(w.sum()), rtol=1e-4)
+
+
 def test_sort_by_tile_payloads():
     rng = np.random.default_rng(4)
     pos = rng.random((1000, 2)).astype(np.float32) * 64

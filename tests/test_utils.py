@@ -80,6 +80,15 @@ def test_figure_compositing_and_click():
     assert fig.click(15, 15) == []                      # miss clears
 
 
+def test_image_click_area_mask():
+    mask = np.zeros((10, 10), np.float32)
+    mask[2:5, 2:5] = 1.0
+    area = figure.ImageClickArea(0, 0, 10, 10, "img", mask=mask)
+    assert area.contains(3, 3)        # opaque pixel
+    assert not area.contains(8, 8)    # transparent pixel
+    assert not area.contains(15, 3)   # outside rect
+
+
 def test_animation_loop_runs_and_stops():
     fig = figure.CanvasFigure(4, 4)
     seen = []
