@@ -50,6 +50,11 @@ class EMConfig:
     # 'centered': fields averaged to nodes once per step, one 6-channel
     # gather row/particle (the uniform-centering fast variant).
     field_gather: str = "staggered"
+    # Process particles in this many sequential chunks per step (lax.scan
+    # with a current accumulator).  The packed gather/deposit intermediates
+    # are O(N * stencil_channels); at 3e7+ particles in 3D they exceed HBM
+    # unless chunked (e.g. chunks=8 at 3e7, 128^3).  1 = no chunking.
+    particle_chunks: int = 1
 
     @property
     def n_dim(self) -> int:
@@ -99,21 +104,20 @@ def make_step_fn(config: EMConfig):
     e_off = fdtd.E_OFFSETS_2D if config.n_dim == 2 else fdtd.E_OFFSETS_3D
     b_off = fdtd.B_OFFSETS_2D if config.n_dim == 2 else fdtd.B_OFFSETS_3D
 
-    @jax.jit
-    def step(state: EMState) -> EMState:
+    def push_and_deposit(e_field, b_field, position, velocity):
+        """Gather -> kick -> drift -> deposit for one particle batch."""
         if config.field_gather == "centered":
             from ..ops.interp import cic_gather_packed
 
-            table = fdtd.center_fields(state.e, state.b, e_off, b_off)
-            eb = cic_gather_packed(table, state.position, shape)  # (N, 6)
+            table = fdtd.center_fields(e_field, b_field, e_off, b_off)
+            eb = cic_gather_packed(table, position, shape)  # (N, 6)
             e_at_p, b_at_p = eb[:, :3], eb[:, 3:]
         else:
-            e_at_p = fdtd.gather_staggered(state.e, state.position, e_off, shape)
-            b_at_p = fdtd.gather_staggered(state.b, state.position, b_off, shape)
-        velocity = boris_kick(state.velocity, e_at_p, b_at_p, qm_half_dt,
+            e_at_p = fdtd.gather_staggered(e_field, position, e_off, shape)
+            b_at_p = fdtd.gather_staggered(b_field, position, b_off, shape)
+        velocity = boris_kick(velocity, e_at_p, b_at_p, qm_half_dt,
                               config.relativistic, config.c)
 
-        x0 = state.position
         if config.relativistic:
             # velocity stores the proper velocity u = gamma*v (the convention
             # boris_kick's gamma = sqrt(1 + |u/c|^2) implies); the coordinate
@@ -124,16 +128,39 @@ def make_step_fn(config: EMConfig):
             coord_v = velocity / gamma
         else:
             coord_v = velocity
-        drift = config.dt * coord_v[:, : config.n_dim] / dxv
-        x1_unwrapped = x0 + drift
+        x1_unwrapped = position + config.dt * coord_v[:, : config.n_dim] / dxv
         x1 = jnp.mod(x1_unwrapped, grid_f)
 
         if config.n_dim == 2:
-            j = esirkepov_deposit_2d(x0, x1_unwrapped, coord_v[:, 2],
+            j = esirkepov_deposit_2d(position, x1_unwrapped, coord_v[:, 2],
                                      config.charge, config.dt, shape, dx)
         else:
-            j = esirkepov_deposit_3d(x0, x1_unwrapped, config.charge,
+            j = esirkepov_deposit_3d(position, x1_unwrapped, config.charge,
                                      config.dt, shape, dx)
+        return x1, velocity, j
+
+    @jax.jit
+    def step(state: EMState) -> EMState:
+        chunks = config.particle_chunks
+        if chunks <= 1:
+            x1, velocity, j = push_and_deposit(state.e, state.b,
+                                               state.position, state.velocity)
+        else:
+            n = state.position.shape[0]
+            if n % chunks:
+                raise ValueError(f"N={n} not divisible by particle_chunks={chunks}")
+            pos_c = state.position.reshape(chunks, n // chunks, -1)
+            vel_c = state.velocity.reshape(chunks, n // chunks, 3)
+
+            def body(j_acc, xs):
+                p, v = xs
+                x1_c, v_c, j_c = push_and_deposit(state.e, state.b, p, v)
+                return j_acc + j_c, (x1_c, v_c)
+
+            j0 = jnp.zeros((*shape, 3), jnp.float32)
+            j, (x1_c, vel_out) = jax.lax.scan(body, j0, (pos_c, vel_c))
+            x1 = x1_c.reshape(n, config.n_dim)
+            velocity = vel_out.reshape(n, 3)
 
         b_half = fdtd.advance_b_half(state.b, state.e, config.dt, dx)
         e_new = fdtd.advance_e_full(state.e, b_half, j, config.dt, dx,

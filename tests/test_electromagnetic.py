@@ -199,6 +199,27 @@ def test_boris_kick_gyration():
     np.testing.assert_allclose(cosang, np.cos(theta), rtol=1e-5)
 
 
+def test_particle_chunked_step_matches():
+    """particle_chunks splits the push/deposit into sequential batches
+    (HBM bound at 3e7+ particles); results must match the unchunked step."""
+    rng = np.random.default_rng(6)
+    n_cells, d, n = 16, 0.5, 1024
+    pos = rng.random((n, 2)) * n_cells
+    vel = 0.1 * rng.standard_normal((n, 3))
+    outs = []
+    for chunks in (1, 4):
+        config = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                             dt=0.2 * d, charge=-0.01, mass=0.01,
+                             field_gather="centered", particle_chunks=chunks)
+        sim = em.ElectromagneticPIC(config, pos, vel)
+        sim.step(5)
+        outs.append(sim.state)
+    np.testing.assert_allclose(np.asarray(outs[0].e), np.asarray(outs[1].e),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs[0].position),
+                               np.asarray(outs[1].position), rtol=1e-6)
+
+
 def test_relativistic_mode():
     """Proper-velocity convention: gyrofrequency slows by gamma, coordinate
     speed stays below c, and drift uses u/gamma."""
