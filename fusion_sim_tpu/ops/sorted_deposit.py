@@ -101,24 +101,25 @@ def sort_by_tile(position: jax.Array, shape: tuple[int, int],
     return (tid_s, pos_s, *rest)
 
 
-def build_padded_layout(position: jax.Array, shape: tuple[int, int],
-                        tiling: Tiling2D, *payloads: jax.Array):
+def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
+                        tiling, *payloads: jax.Array):
     """Sort particles by tile AND pad every tile's segment to a multiple of
     ``tiling.block`` with dead filler rows (weight handling is the caller's:
     fillers carry position 0 and payload 0 — give weights as a payload and
     they become zero-weight).
 
-    This is the layout ``deposit_sorted_2d`` assumes: each block then lies
+    This is the layout the sorted deposits assume: each block then lies
     entirely inside one tile, so spill stays zero until particles drift
-    further than ``margin`` cells (resort cadence).
+    further than ``margin`` cells (resort cadence).  Works for 2D
+    (``Tiling2D``) and 3D (``Tiling3D``) grids.
 
     Returns ``(tile_id, position, *payloads, n_valid)`` arrays of fixed
     length ``N + n_tiles*block`` (fillers sorted to the end of their tile's
     segment; surplus fillers at the global end carry tile_id = n_tiles,
     consumed as trailing all-dead blocks).
     """
-    ntr, ntz = tiling.n_tiles(shape)
-    n_tiles = ntr * ntz
+    n_dim = len(shape)
+    n_tiles = int(np.prod(tiling.n_tiles(shape)))
     p_blk = tiling.block
     n = position.shape[0]
     if n % p_blk:
@@ -126,7 +127,8 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, int],
                          "(append dead rows first)")
     total_pad = n_tiles * p_blk
 
-    tid = tile_ids(position, shape, tiling)
+    tid = (tile_ids(position, shape, tiling) if n_dim == 2
+           else tile_ids_3d(position, shape, tiling))
     tid_sorted = jnp.sort(tid)
     # per-tile counts via boundaries in the sorted ids
     bounds = jnp.searchsorted(tid_sorted, jnp.arange(n_tiles + 1))
@@ -144,8 +146,8 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, int],
     filler_key = filler_tile * 2 + 1
     all_keys = jnp.concatenate([key, filler_key]).astype(jnp.int32)
     all_pos = jnp.concatenate([position,
-                               jnp.zeros((total_pad, 2), position.dtype)])
-    operands = [all_keys, all_pos[:, 0], all_pos[:, 1]]
+                               jnp.zeros((total_pad, n_dim), position.dtype)])
+    operands = [all_keys] + [all_pos[:, a] for a in range(n_dim)]
     widths = []
     for p in payloads:
         if p.ndim == 1:
@@ -158,9 +160,9 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, int],
             widths.append(p.shape[1])
     out = jax.lax.sort(tuple(operands), num_keys=1)
     tid_out = out[0] // 2
-    pos_out = jnp.stack([out[1], out[2]], axis=-1)
+    pos_out = jnp.stack(out[1:1 + n_dim], axis=-1)
     rest = []
-    i = 3
+    i = 1 + n_dim
     for w in widths:
         if w == 1:
             rest.append(out[i])

@@ -15,6 +15,8 @@ JSON API (mirrors the engine API surface, empic.js:1157-1526):
     POST /api/add_bz            {Bz}               (empic.js:1391)
     POST /api/add_btheta        {Btheta}           (empic.js:1402)
     POST /api/precalc                               (empic.js:1413)
+    POST /api/enable_fast_path  {sink_box?, source_box?, uniform_e?}
+    POST /api/disable_fast_path
     POST /api/start | /api/stop                     (fusionsim.js:162,207)
     POST /api/step              {n}                 single-shot stepping
     GET  /api/state             {running, fps, steps, diagnostics}
@@ -106,6 +108,12 @@ class SimulationService:
                 self.sim.add_btheta(body["Btheta"])
             elif name == "precalc":
                 self.sim.precalc()
+            elif name == "enable_fast_path":
+                self.sim.enable_fast_path(**{
+                    k: v for k, v in body.items()
+                    if k in ("sink_box", "source_box", "uniform_e")})
+            elif name == "disable_fast_path":
+                self.sim.disable_fast_path()
             else:
                 raise KeyError(name)
             self._render_locked()

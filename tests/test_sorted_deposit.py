@@ -135,22 +135,9 @@ def test_deposit_sorted_3d_matches_reference():
     pos = rng.random((n, 3)).astype(np.float32) * np.array(shape, np.float32)
     w = rng.random(n).astype(np.float32)
 
-    # host-side padded layout keyed on 3D tiles
-    tid = np.asarray(tile_ids_3d(jnp.asarray(pos), shape, tiling))
-    order = np.argsort(tid, kind="stable")
-    pos_s, w_s, tid_s = pos[order], w[order], tid[order]
-    n_tiles = 2 * 2 * 2
-    chunks_p, chunks_w, chunks_t = [], [], []
-    for t in range(n_tiles):
-        sel = tid_s == t
-        cnt = int(sel.sum())
-        pad = (-cnt) % tiling.block
-        chunks_p += [pos_s[sel], np.zeros((pad, 3), np.float32)]
-        chunks_w += [w_s[sel], np.zeros(pad, np.float32)]
-        chunks_t += [np.full(cnt + pad, t)]
-    pos_p = jnp.asarray(np.concatenate(chunks_p))
-    w_p = jnp.asarray(np.concatenate(chunks_w))
-    tid_p = jnp.asarray(np.concatenate(chunks_t), jnp.int32)
+    # the padded layout builder is dimension-generic
+    tid_p, pos_p, w_p, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(w))
 
     grid, spill = deposit_sorted_3d(pos_p, w_p, tid_p, shape, tiling)
     assert int(spill) == 0
