@@ -235,23 +235,22 @@ class SortedEMState(NamedTuple):
 
 
 class SortedElectromagneticPIC:
-    """2D3V EM PIC with sorted digit-matmul Esirkepov deposition.
+    """EM PIC (2D3V or 3D) with sorted digit-matmul Esirkepov deposition.
 
     Physics identical to ``ElectromagneticPIC(field_gather='centered')``;
-    the current deposition runs via ops/sorted_deposit.esirkepov_sorted_2d
-    (windowed matmuls instead of the 27-channel scatter).  Same layout /
-    resort contract as SortedElectrostaticPIC.
+    the current deposition runs via ops/sorted_deposit (windowed matmuls
+    instead of the 27/81-channel scatter).  Same layout / resort contract
+    as SortedElectrostaticPIC.
     """
 
     def __init__(self, config: EMConfig, position, velocity,
                  e=None, b=None, tiling=None, resort_every: int = 6,
                  check_spill: bool = True):
-        from ..ops.sorted_deposit import Tiling2D, build_padded_layout
+        from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
+                                          build_padded_layout)
 
-        if config.n_dim != 2:
-            raise ValueError("sorted EM variant is 2D3V")
         self.config = config
-        self.tiling = tiling or Tiling2D()
+        self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
         n = np.asarray(position).shape[0]
         if n % self.tiling.block:
@@ -260,7 +259,7 @@ class SortedElectromagneticPIC:
         self.n_real = n
         shape = config.grid_shape
 
-        pos = jnp.asarray(position, jnp.float32).reshape(n, 2)
+        pos = jnp.asarray(position, jnp.float32).reshape(n, config.n_dim)
         vel = jnp.asarray(velocity, jnp.float32).reshape(n, 3)
         tid, pos_p, v0, v1, v2, valid_p, _ = build_padded_layout(
             pos, shape, self.tiling, vel[:, 0], vel[:, 1], vel[:, 2],
@@ -288,31 +287,38 @@ class SortedElectromagneticPIC:
 
     def _make_step(self):
         from ..ops.interp import cic_gather_packed
-        from ..ops.sorted_deposit import esirkepov_sorted_2d
+        from ..ops.sorted_deposit import (esirkepov_sorted_2d,
+                                          esirkepov_sorted_3d)
 
         config = self.config
         tiling = self.tiling
         shape = config.grid_shape
-        nx, ny = shape
+        ndim = config.n_dim
         dxv = jnp.asarray(config.cell_size, jnp.float32)
         grid_f = jnp.asarray(shape, jnp.float32)
         qm_half_dt = config.charge / config.mass * config.dt * 0.5
+        e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
+        b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
 
         @jax.jit
         def step(state: SortedEMState) -> SortedEMState:
-            table = fdtd.center_fields(state.e, state.b, fdtd.E_OFFSETS_2D,
-                                       fdtd.B_OFFSETS_2D)
+            table = fdtd.center_fields(state.e, state.b, e_off, b_off)
             eb = cic_gather_packed(table, jnp.mod(state.position, grid_f), shape)
             velocity = boris_kick(state.velocity, eb[:, :3], eb[:, 3:],
                                   qm_half_dt, config.relativistic, config.c)
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
             x0 = state.position
-            x1 = x0 + config.dt * velocity[:, :2] / dxv  # unwrapped for deposit
+            x1 = x0 + config.dt * velocity[:, :ndim] / dxv  # unwrapped for deposit
 
             charge = jnp.where(state.valid, jnp.float32(config.charge), 0.0)
-            j, spill = esirkepov_sorted_2d(
-                x0, x1, velocity[:, 2], charge, state.tile_id, config.dt,
-                shape, config.cell_size, tiling)
+            if ndim == 2:
+                j, spill = esirkepov_sorted_2d(
+                    x0, x1, velocity[:, 2], charge, state.tile_id, config.dt,
+                    shape, config.cell_size, tiling)
+            else:
+                j, spill = esirkepov_sorted_3d(
+                    x0, x1, charge, state.tile_id, config.dt,
+                    shape, config.cell_size, tiling)
 
             b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
                                          config.cell_size)
@@ -330,24 +336,26 @@ class SortedElectromagneticPIC:
         return step
 
     def _make_resort(self):
-        from ..ops.sorted_deposit import build_padded_layout, tile_ids
+        from ..ops.sorted_deposit import (build_padded_layout, tile_ids,
+                                          tile_ids_3d)
 
         config = self.config
         tiling = self.tiling
         n_real = self.n_real
+        ndim = config.n_dim
 
         @jax.jit
         def resort(state: SortedEMState) -> SortedEMState:
-            tid_new = tile_ids(state.position, config.grid_shape, tiling)
+            tid_new = (tile_ids if ndim == 2 else tile_ids_3d)(
+                state.position, config.grid_shape, tiling)
             key = jnp.where(state.valid, tid_new, jnp.int32(10 ** 9))
-            out = jax.lax.sort(
-                (key, state.position[:, 0], state.position[:, 1],
-                 state.velocity[:, 0], state.velocity[:, 1],
-                 state.velocity[:, 2]), num_keys=1)
-            pos = jnp.stack([out[1][:n_real], out[2][:n_real]], axis=-1)
+            operands = (key,) + tuple(state.position[:, a] for a in range(ndim)) \
+                + tuple(state.velocity[:, a] for a in range(3))
+            out = jax.lax.sort(operands, num_keys=1)
+            pos = jnp.stack([out[1 + a][:n_real] for a in range(ndim)], axis=-1)
+            v_cols = [out[1 + ndim + a][:n_real] for a in range(3)]
             tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
-                pos, config.grid_shape, tiling,
-                out[3][:n_real], out[4][:n_real], out[5][:n_real],
+                pos, config.grid_shape, tiling, *v_cols,
                 jnp.ones((n_real,), jnp.float32))
             return state._replace(
                 position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),

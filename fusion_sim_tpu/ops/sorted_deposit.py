@@ -353,6 +353,146 @@ def deposit_sorted_3d(
     return g, spill
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "dt", "cell_size"))
+def esirkepov_sorted_3d(
+    x0: jax.Array,
+    x1: jax.Array,
+    charge: jax.Array,
+    tile_id: jax.Array,
+    dt: float,
+    shape: tuple[int, int, int],
+    cell_size: tuple[float, float, float],
+    tiling: Tiling3D,
+) -> tuple[jax.Array, jax.Array]:
+    """3D charge-conserving current deposition for tile-sorted particles.
+
+    Esirkepov's 3D weight for component a (axes b, c the other two) is
+    W_a = dS_a * [S0_b S0_c + (dS_b S0_c + S0_b dS_c)/2 + dS_b dS_c/3],
+    whose bracket splits into two separable pairs (same pairing as the 2D
+    Jz):  (S0_b + dS_b/2) (x) S0_c  +  (S0_b/2 + dS_b/3) (x) dS_c.
+    Each J component is then ONE matmul per block:
+    [coef * cumsum(dS_a)]^T @ [pair1 + pair2 outer products].
+
+    The (P, w_b*w_c) outer-product factor is large at scale, so blocks are
+    processed in scanned groups with a tile-window accumulator.
+    """
+    nts = tiling.n_tiles(shape)
+    n_tiles = int(np.prod(nts))
+    p_blk = tiling.block
+    m = tiling.margin
+    wins = tuple(t + 2 * m + 1 for t in tiling.tile)
+    d_cell = cell_size
+    vol = d_cell[0] * d_cell[1] * d_cell[2]
+
+    n = x0.shape[0]
+    nb = n // p_blk
+    q = jnp.broadcast_to(jnp.asarray(charge, jnp.float32), (n,)).reshape(nb, p_blk)
+
+    def shapes_1d(x, base):
+        k = jnp.arange(3, dtype=jnp.float32)
+        d = jnp.abs(x[..., None] - (base[..., None].astype(jnp.float32) + k))
+        return jnp.maximum(0.0, 1.0 - d)
+
+    bases, s0, ds, db = [], [], [], []
+    blk_tile = tile_id[::p_blk]
+    rem = blk_tile
+    t_idx = []
+    for a in (2, 1, 0):
+        t_idx.append(rem % nts[a])
+        rem = rem // nts[a]
+    t_idx = t_idx[::-1]
+    in_win = True
+    for a in range(3):
+        base_a = jnp.floor(jnp.minimum(x0[:, a], x1[:, a])).astype(jnp.int32).reshape(nb, p_blk)
+        s0_a = shapes_1d(x0[:, a].reshape(nb, p_blk), base_a)
+        s1_a = shapes_1d(x1[:, a].reshape(nb, p_blk), base_a)
+        origin = t_idx[a] * tiling.tile[a] - m
+        d_a = jnp.mod(base_a - origin[:, None], shape[a])
+        in_win = in_win & (d_a <= wins[a] - 3)
+        bases.append(base_a)
+        s0.append(s0_a)
+        ds.append(s1_a - s0_a)
+        db.append(jnp.minimum(d_a, wins[a] - 3))
+    qm = jnp.where(in_win, q, 0.0)
+
+    mm = jnp.bfloat16 if tiling.dtype == "bfloat16" else jnp.float32
+    precision = (jax.lax.Precision.DEFAULT if tiling.dtype == "bfloat16"
+                 else jax.lax.Precision.HIGHEST)
+
+    # scanned block groups: bound the (P, w_b*w_c) outer-product memory
+    group = max(1, min(nb, int(5e8 // (p_blk * max(w1 * w2 for w1 in wins
+                                                   for w2 in wins) * 4))))
+    n_groups = (nb + group - 1) // group
+    pad_blocks = n_groups * group - nb
+
+    def pad_g(arr):
+        if pad_blocks:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((pad_blocks, *arr.shape[1:]), arr.dtype)])
+        return arr.reshape(n_groups, group, *arr.shape[1:])
+
+    s0_g = [pad_g(a) for a in s0]
+    ds_g = [pad_g(a) for a in ds]
+    db_g = [pad_g(a) for a in db]
+    qm_g = pad_g(qm)
+    # group padding targets tile 0 with zero weights — contributes nothing
+    blk_tile_g = pad_g(blk_tile)
+
+    def group_body(tw_acc, xs):
+        s0x, s0y, s0z, dsx, dsy, dsz, dbx, dby, dbz, qb, bt = xs
+        s0_l = [s0x, s0y, s0z]
+        ds_l = [dsx, dsy, dsz]
+        db_l = [dbx, dby, dbz]
+        wins_l = wins
+        out_wins = []
+        for a in range(3):
+            b_ax, c_ax = [ax for ax in range(3) if ax != a]
+            coef = -(d_cell[a] / (vol * dt))
+            fa = _expand_window((qb * coef)[..., None] * jnp.cumsum(ds_l[a], axis=-1),
+                                db_l[a], wins_l[a])
+            p1b = _expand_window(s0_l[b_ax] + 0.5 * ds_l[b_ax], db_l[b_ax], wins_l[b_ax])
+            p1c = _expand_window(s0_l[c_ax], db_l[c_ax], wins_l[c_ax])
+            p2b = _expand_window(0.5 * s0_l[b_ax] + ds_l[b_ax] / 3.0, db_l[b_ax], wins_l[b_ax])
+            p2c = _expand_window(ds_l[c_ax], db_l[c_ax], wins_l[c_ax])
+            mix = (p1b[..., :, None] * p1c[..., None, :]
+                   + p2b[..., :, None] * p2c[..., None, :])
+            mix = mix.reshape(group, p_blk, wins_l[b_ax] * wins_l[c_ax])
+            win_a = jnp.einsum("bph,bpl->bhl", fa.astype(mm), mix.astype(mm),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+            # axes of win_a: (a-window, b-window x c-window); reorder to
+            # (x, y, z) window order
+            win_a = win_a.reshape(group, wins_l[a], wins_l[b_ax], wins_l[c_ax])
+            win_a = jnp.moveaxis(win_a, 1, 1 + a)
+            out_wins.append(win_a)
+        win = jnp.stack(out_wins, axis=-1)  # (group, wx, wy, wz, 3)
+        tw_acc = tw_acc + jax.ops.segment_sum(
+            win.reshape(group, -1), bt, num_segments=n_tiles)
+        return tw_acc, None
+
+    tw0 = jnp.zeros((n_tiles, int(np.prod(wins)) * 3), jnp.float32)
+    tw, _ = jax.lax.scan(group_body, tw0,
+                         (*s0_g, *ds_g, *db_g, qm_g, blk_tile_g))
+    tw = tw.reshape(*nts, *wins, 3)
+
+    # dense 3x3x3 tile assembly (channelled)
+    full = jnp.zeros((*nts, *[3 * t for t in tiling.tile], 3), jnp.float32)
+    sl = tuple(slice(t - m, t - m + w) for t, w in zip(tiling.tile, wins))
+    full = full.at[(slice(None),) * 3 + sl].set(tw)
+    g = jnp.zeros((*shape, 3), jnp.float32)
+    tx, ty, tz = tiling.tile
+    for si in range(3):
+        for sj in range(3):
+            for sk in range(3):
+                part = full[:, :, :, si * tx:(si + 1) * tx,
+                            sj * ty:(sj + 1) * ty, sk * tz:(sk + 1) * tz, :]
+                part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
+                g = g + part.transpose(0, 3, 1, 4, 2, 5, 6).reshape(*shape, 3)
+
+    spill = jnp.sum((~in_win) & (q != 0))
+    return g, spill
+
+
 def _assemble_tile_windows(win: jax.Array, blk_tile: jax.Array,
                            shape: tuple[int, int], tiling: Tiling2D,
                            wr: int, wz: int) -> jax.Array:

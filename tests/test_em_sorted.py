@@ -38,6 +38,33 @@ def test_sorted_em_matches_reference_model():
     np.testing.assert_allclose(e_fast["field"], e_ref["field"], rtol=2e-2)
 
 
+def test_sorted_em_3d_matches_reference_model():
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    d = 0.5
+    cells = 16
+    config = em.EMConfig(grid_shape=(cells,) * 3, cell_size=(d,) * 3,
+                         dt=0.15 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered")
+    rng = np.random.default_rng(3)
+    n = 2048
+    pos = rng.random((n, 3)).astype(np.float32) * cells
+    vel = (0.2 * rng.standard_normal((n, 3))).astype(np.float32)
+
+    ref = em.ElectromagneticPIC(config, pos, vel)
+    fast = em.SortedElectromagneticPIC(
+        config, pos, vel, tiling=Tiling3D(tile=(8, 8, 8), block=256, margin=2),
+        resort_every=3)
+    for _ in range(2):
+        ref.step(3)
+        fast.step(3)
+    assert int(fast.state.spill) == 0
+    np.testing.assert_allclose(np.asarray(fast.state.e), np.asarray(ref.state.e),
+                               atol=3e-4 * max(float(jnp.abs(ref.state.e).max()), 1e-9))
+    np.testing.assert_allclose(np.asarray(fast.state.b), np.asarray(ref.state.b),
+                               atol=3e-4 * max(float(jnp.abs(ref.state.b).max()), 1e-9))
+
+
 def test_sorted_em_gauss_law():
     """The sorted Esirkepov keeps the discrete continuity equation, so
     Gauss's law residual must not grow over a run."""

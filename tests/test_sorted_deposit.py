@@ -147,6 +147,51 @@ def test_deposit_sorted_3d_matches_reference():
     np.testing.assert_allclose(float(grid.sum()), float(w.sum()), rtol=1e-4)
 
 
+def test_esirkepov_sorted_3d_matches_reference():
+    from fusion_sim_tpu.ops.esirkepov import esirkepov_deposit_3d
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling3D, esirkepov_sorted_3d)
+
+    shape = (16, 16, 32)
+    tiling = Tiling3D(tile=(8, 8, 16), block=128, margin=2)
+    cell = (0.9, 1.1, 0.7)
+    dt = 0.3
+    rng = np.random.default_rng(11)
+    n = 2048
+    x0 = rng.random((n, 3)).astype(np.float32) * np.array(shape, np.float32)
+    x1 = x0 + ((rng.random((n, 3)) - 0.5) * 0.9).astype(np.float32)
+    q = -1.3
+    qw = np.full(n, q, np.float32)
+
+    tid, x0_p, a, b, c, qw_p, _ = build_padded_layout(
+        jnp.asarray(x0), shape, tiling,
+        jnp.asarray(x1[:, 0]), jnp.asarray(x1[:, 1]), jnp.asarray(x1[:, 2]),
+        jnp.asarray(qw))
+    x1_p = jnp.stack([a, b, c], axis=-1)
+
+    j_sorted, spill = esirkepov_sorted_3d(
+        x0_p, x1_p, qw_p, tid, dt, shape, cell, tiling)
+    assert int(spill) == 0
+    j_ref = esirkepov_deposit_3d(jnp.asarray(x0), jnp.asarray(x1), q, dt,
+                                 shape, cell)
+    scale = float(jnp.abs(j_ref).max())
+    np.testing.assert_allclose(np.asarray(j_sorted), np.asarray(j_ref),
+                               atol=3e-5 * scale)
+
+    # discrete continuity
+    from fusion_sim_tpu.ops.interp import cic_deposit
+    vol = cell[0] * cell[1] * cell[2]
+    w = jnp.full((n,), q / vol, jnp.float32)
+    sh = jnp.asarray(shape, jnp.float32)
+    rho0 = np.asarray(cic_deposit(jnp.asarray(x0) % sh, w, shape))
+    rho1 = np.asarray(cic_deposit(jnp.asarray(x1) % sh, w, shape))
+    j = np.asarray(j_sorted)
+    div = sum((j[..., ax] - np.roll(j[..., ax], 1, axis=ax)) / cell[ax]
+              for ax in range(3))
+    residual = (rho1 - rho0) / dt + div
+    assert np.abs(residual).max() < 5e-5 * max(np.abs(rho0).max() / dt, 1.0)
+
+
 def test_sort_by_tile_payloads():
     rng = np.random.default_rng(4)
     pos = rng.random((1000, 2)).astype(np.float32) * 64
