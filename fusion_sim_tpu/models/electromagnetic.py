@@ -279,11 +279,14 @@ class SortedElectromagneticPIC:
     def _check_spill(self):
         spilled = int(self.state.spill)
         if spilled:
-            raise RuntimeError(
-                f"{spilled} particles out-drifted the sort margin and their "
-                f"current was dropped (charge conservation broken); reduce "
-                f"resort_every (now {self.resort_every}) or raise "
-                f"tiling.margin (now {self.tiling.margin})")
+            import warnings
+
+            warnings.warn(
+                f"{spilled} particle-deposits took the slow exact fallback "
+                f"(out-drifted the sort margin); reduce resort_every (now "
+                f"{self.resort_every}) or raise tiling.margin (now "
+                f"{self.tiling.margin}) to keep the fast path hot",
+                RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
         from ..ops.interp import cic_gather_packed
@@ -312,13 +315,27 @@ class SortedElectromagneticPIC:
 
             charge = jnp.where(state.valid, jnp.float32(config.charge), 0.0)
             if ndim == 2:
-                j, spill = esirkepov_sorted_2d(
+                j, spill, spill_mask = esirkepov_sorted_2d(
                     x0, x1, velocity[:, 2], charge, state.tile_id, config.dt,
                     shape, config.cell_size, tiling)
             else:
-                j, spill = esirkepov_sorted_3d(
+                j, spill, spill_mask = esirkepov_sorted_3d(
                     x0, x1, charge, state.tile_id, config.dt,
                     shape, config.cell_size, tiling)
+
+            # exact fallback for margin out-drifters (charge conservation
+            # holds regardless of resort cadence; only paid when spill > 0)
+            def fallback():
+                q_sp = jnp.where(spill_mask, charge, 0.0)
+                if ndim == 2:
+                    return esirkepov_deposit_2d(x0, x1, velocity[:, 2], q_sp,
+                                                config.dt, shape,
+                                                config.cell_size)
+                return esirkepov_deposit_3d(x0, x1, q_sp, config.dt, shape,
+                                            config.cell_size)
+
+            j = j + jax.lax.cond(spill > 0, fallback,
+                                 lambda: jnp.zeros((*shape, 3), jnp.float32))
 
             b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
                                          config.cell_size)

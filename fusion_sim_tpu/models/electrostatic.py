@@ -235,13 +235,17 @@ class SortedElectrostaticPIC:
     def _check_spill(self):
         spilled = int(self.state.spill)
         if spilled:
-            raise RuntimeError(
-                f"{spilled} particles out-drifted the sort margin and their "
-                f"charge was dropped; reduce resort_every (now "
+            import warnings
+
+            warnings.warn(
+                f"{spilled} particle-deposits took the slow exact fallback "
+                f"(out-drifted the sort margin); reduce resort_every (now "
                 f"{self.resort_every}) or raise tiling.margin (now "
-                f"{self.tiling.margin}) so margin > resort_every * v_max*dt/dx")
+                f"{self.tiling.margin}) to keep the fast path hot",
+                RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
+        from ..ops.interp import cic_deposit_packed
         from ..ops.sorted_deposit import deposit_sorted_2d
 
         config = self.config
@@ -255,8 +259,16 @@ class SortedElectrostaticPIC:
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
-            rho, spill = deposit_sorted_2d(state.position, w, state.tile_id,
-                                           shape, tiling)
+            rho, spill, spill_mask = deposit_sorted_2d(
+                state.position, w, state.tile_id, shape, tiling)
+            # exact fallback: particles past the sort margin deposit through
+            # the packed scatter — only paid on steps where spill occurred
+            rho = rho + jax.lax.cond(
+                spill > 0,
+                lambda: cic_deposit_packed(
+                    jnp.mod(state.position, grid_f),
+                    jnp.where(spill_mask, w, 0.0), shape),
+                lambda: jnp.zeros(shape, jnp.float32))
             if config.neutralizing_background:
                 # zero-mean over real charge (fillers carry none)
                 rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
@@ -322,7 +334,7 @@ class SortedElectrostaticPIC:
 
         w = jnp.where(self.state.valid,
                       jnp.float32(cfg.charge / cfg.cell_volume), 0.0)
-        rho, _ = deposit_sorted_2d(self.state.position, w, self.state.tile_id,
+        rho, _, _ = deposit_sorted_2d(self.state.position, w, self.state.tile_id,
                                    cfg.grid_shape, self.tiling)
         if cfg.neutralizing_background:
             rho = rho - jnp.mean(rho)

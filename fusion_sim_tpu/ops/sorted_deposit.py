@@ -235,8 +235,8 @@ def deposit_sorted_2d(
 
     # only weight-carrying particles count as spill (filler rows from the
     # padded layout land in trailing out-of-range blocks with weight 0)
-    spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
-    return g, spill
+    spill_mask = (~in_win) & (weights.reshape(nb, p_blk) != 0)
+    return g, jnp.sum(spill_mask), spill_mask.reshape(-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -349,8 +349,8 @@ def deposit_sorted_3d(
                 part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
                 g = g + part.transpose(0, 3, 1, 4, 2, 5).reshape(shape)
 
-    spill = jnp.sum((~in_win) & (weights.reshape(nb, p_blk) != 0))
-    return g, spill
+    spill_mask = (~in_win) & (weights.reshape(nb, p_blk) != 0)
+    return g, jnp.sum(spill_mask), spill_mask.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "dt", "cell_size"))
@@ -489,8 +489,8 @@ def esirkepov_sorted_3d(
                 part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
                 g = g + part.transpose(0, 3, 1, 4, 2, 5, 6).reshape(*shape, 3)
 
-    spill = jnp.sum((~in_win) & (q != 0))
-    return g, spill
+    spill_mask = (~in_win) & (q != 0)
+    return g, jnp.sum(spill_mask), spill_mask.reshape(-1)
 
 
 def _assemble_tile_windows(win: jax.Array, blk_tile: jax.Array,
@@ -633,5 +633,5 @@ def esirkepov_sorted_2d(
 
     win = jnp.stack([win_jx, win_jy, win_jz], axis=-1)  # (nb, wr, wz, 3)
     grid = _assemble_tile_windows(win, blk_tile, shape, tiling, wr, wz)
-    spill = jnp.sum((~in_win) & (q != 0))
-    return grid, spill
+    spill_mask = (~in_win) & (q != 0)
+    return grid, jnp.sum(spill_mask), spill_mask.reshape(-1)

@@ -44,6 +44,28 @@ def test_sorted_es_matches_reference_model():
                                    atol=0.05)
 
 
+def test_spill_fallback_is_exact():
+    """With a deliberately stale sort (huge resort_every, tiny margin) the
+    slow fallback keeps physics identical to the reference model."""
+    import warnings
+
+    config, pos, vel = _setup(n=4096, seed=5)
+    vel = vel * 10.0  # fast drift: out-runs the margin quickly
+    ref = es.ElectrostaticPIC(config, pos, vel)
+    fast = es.SortedElectrostaticPIC(
+        config, pos, vel, tiling=Tiling2D(tile_r=16, tile_z=16, block=256,
+                                          margin=1), resort_every=10 ** 6)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for _ in range(3):
+            ref.step(4)
+            fast.step(4)
+    assert int(fast.state.spill) > 0, "test needs actual spill"
+    e_ref = ref.energies()
+    e_fast = fast.energies()
+    np.testing.assert_allclose(e_fast["kinetic"], e_ref["kinetic"], rtol=2e-3)
+
+
 def test_sorted_es_energy_drift_matches_reference():
     """This coarse hot setup self-heats (physical PIC grid heating, ~1.5%
     per 100 steps in the reference model too); the sorted path must not add

@@ -29,7 +29,7 @@ def _sorted_particles(n, seed=0):
 
 def test_matches_packed_reference():
     tid, pos_s, w_s, pos, w = _sorted_particles(5000)
-    grid, spill = deposit_sorted_2d(pos_s, w_s, tid, SHAPE, TILING)
+    grid, spill, _ = deposit_sorted_2d(pos_s, w_s, tid, SHAPE, TILING)
     ref = cic_deposit_packed(jnp.asarray(pos), jnp.asarray(w), SHAPE)
     assert int(spill) == 0
     # bf16 one-hot weights: ~0.4% relative accuracy
@@ -46,7 +46,7 @@ def test_margin_tolerates_drift():
     drift = (rng.random(pos_s.shape) - 0.5) * 2 * (TILING.margin - 1)
     pos_drifted = jnp.mod(pos_s + drift.astype(np.float32),
                           jnp.asarray(SHAPE, jnp.float32))
-    grid, spill = deposit_sorted_2d(pos_drifted, w_s, tid, SHAPE, TILING)
+    grid, spill, _ = deposit_sorted_2d(pos_drifted, w_s, tid, SHAPE, TILING)
     assert int(spill) == 0
     ref = cic_deposit_packed(pos_drifted, w_s, SHAPE)
     np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
@@ -57,7 +57,7 @@ def test_spill_reported_beyond_margin():
     tid, pos_s, w_s, *_ = _sorted_particles(2000, seed=3)
     # teleport some particles far away: they must be counted as spill
     pos_tele = pos_s.at[:100].set(jnp.mod(pos_s[:100] + 40.0, 64.0))
-    _, spill = deposit_sorted_2d(pos_tele, w_s, tid, SHAPE, TILING)
+    _, spill, _ = deposit_sorted_2d(pos_tele, w_s, tid, SHAPE, TILING)
     assert int(spill) >= 90  # most of the 100 moved out of window
 
 
@@ -71,7 +71,7 @@ def test_periodic_boundary_tiles():
     w = np.full((n,), 0.5, np.float32)
     tid, pos_p, w_p, _ = build_padded_layout(jnp.asarray(pos), SHAPE, TILING,
                                              jnp.asarray(w))
-    grid, spill = deposit_sorted_2d(pos_p, w_p, tid, SHAPE, TILING)
+    grid, spill, _ = deposit_sorted_2d(pos_p, w_p, tid, SHAPE, TILING)
     ref = cic_deposit_packed(jnp.asarray(pos), jnp.asarray(w), SHAPE)
     assert int(spill) == 0
     np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
@@ -101,7 +101,7 @@ def test_esirkepov_sorted_matches_reference():
         jnp.asarray(qw))
     x1_s = jnp.stack([x1a, x1b], axis=-1)
 
-    j_sorted, spill = esirkepov_sorted_2d(
+    j_sorted, spill, _ = esirkepov_sorted_2d(
         x0_s, x1_s, vz_s, qw_s, tid, dt, SHAPE, cell, TILING)
     assert int(spill) == 0
     j_ref = esirkepov_deposit_2d(jnp.asarray(x0), jnp.asarray(x1),
@@ -139,7 +139,7 @@ def test_deposit_sorted_3d_matches_reference():
     tid_p, pos_p, w_p, _ = build_padded_layout(
         jnp.asarray(pos), shape, tiling, jnp.asarray(w))
 
-    grid, spill = deposit_sorted_3d(pos_p, w_p, tid_p, shape, tiling)
+    grid, spill, _ = deposit_sorted_3d(pos_p, w_p, tid_p, shape, tiling)
     assert int(spill) == 0
     ref = cic_deposit_packed(jnp.asarray(pos), jnp.asarray(w), shape)
     np.testing.assert_allclose(np.asarray(grid), np.asarray(ref),
@@ -169,7 +169,7 @@ def test_esirkepov_sorted_3d_matches_reference():
         jnp.asarray(qw))
     x1_p = jnp.stack([a, b, c], axis=-1)
 
-    j_sorted, spill = esirkepov_sorted_3d(
+    j_sorted, spill, _ = esirkepov_sorted_3d(
         x0_p, x1_p, qw_p, tid, dt, shape, cell, tiling)
     assert int(spill) == 0
     j_ref = esirkepov_deposit_3d(jnp.asarray(x0), jnp.asarray(x1), q, dt,
