@@ -245,10 +245,15 @@ class SortedElectromagneticPIC:
 
     def __init__(self, config: EMConfig, position, velocity,
                  e=None, b=None, tiling=None, resort_every: int = 6,
-                 check_spill: bool = True):
+                 check_spill: bool = True, spill_fallback: bool = True):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
+        # spill_fallback=False drops out-of-margin deposits (warned via the
+        # spill counter) instead of taking the exact packed-scatter branch —
+        # XLA reserves the branch's temporaries even when unexecuted, which
+        # matters at HBM-limit particle counts.
+        self.spill_fallback = spill_fallback
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
@@ -302,6 +307,7 @@ class SortedElectromagneticPIC:
         qm_half_dt = config.charge / config.mass * config.dt * 0.5
         e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
+        use_fallback = self.spill_fallback
 
         @jax.jit
         def step(state: SortedEMState) -> SortedEMState:
@@ -323,19 +329,20 @@ class SortedElectromagneticPIC:
                     x0, x1, charge, state.tile_id, config.dt,
                     shape, config.cell_size, tiling)
 
-            # exact fallback for margin out-drifters (charge conservation
-            # holds regardless of resort cadence; only paid when spill > 0)
-            def fallback():
-                q_sp = jnp.where(spill_mask, charge, 0.0)
-                if ndim == 2:
-                    return esirkepov_deposit_2d(x0, x1, velocity[:, 2], q_sp,
-                                                config.dt, shape,
-                                                config.cell_size)
-                return esirkepov_deposit_3d(x0, x1, q_sp, config.dt, shape,
-                                            config.cell_size)
+            if use_fallback:
+                # exact fallback for margin out-drifters (charge conservation
+                # holds for any resort cadence; only paid when spill > 0)
+                def fallback():
+                    q_sp = jnp.where(spill_mask, charge, 0.0)
+                    if ndim == 2:
+                        return esirkepov_deposit_2d(x0, x1, velocity[:, 2],
+                                                    q_sp, config.dt, shape,
+                                                    config.cell_size)
+                    return esirkepov_deposit_3d(x0, x1, q_sp, config.dt,
+                                                shape, config.cell_size)
 
-            j = j + jax.lax.cond(spill > 0, fallback,
-                                 lambda: jnp.zeros((*shape, 3), jnp.float32))
+                j = j + jax.lax.cond(spill > 0, fallback,
+                                     lambda: jnp.zeros((*shape, 3), jnp.float32))
 
             b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
                                          config.cell_size)
