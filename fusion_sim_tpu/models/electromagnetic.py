@@ -104,12 +104,17 @@ def make_step_fn(config: EMConfig):
     e_off = fdtd.E_OFFSETS_2D if config.n_dim == 2 else fdtd.E_OFFSETS_3D
     b_off = fdtd.B_OFFSETS_2D if config.n_dim == 2 else fdtd.B_OFFSETS_3D
 
-    def push_and_deposit(e_field, b_field, position, velocity):
-        """Gather -> kick -> drift -> deposit for one particle batch."""
+    def push_and_deposit(e_field, b_field, position, velocity,
+                         centered_table=None):
+        """Gather -> kick -> drift -> deposit for one particle batch.
+
+        ``centered_table`` lets the chunked path precompute the node-centered
+        field table once per step instead of once per chunk."""
         if config.field_gather == "centered":
             from ..ops.interp import cic_gather_packed
 
-            table = fdtd.center_fields(e_field, b_field, e_off, b_off)
+            table = (centered_table if centered_table is not None
+                     else fdtd.center_fields(e_field, b_field, e_off, b_off))
             eb = cic_gather_packed(table, position, shape)  # (N, 6)
             e_at_p, b_at_p = eb[:, :3], eb[:, 3:]
         else:
@@ -151,10 +156,13 @@ def make_step_fn(config: EMConfig):
                 raise ValueError(f"N={n} not divisible by particle_chunks={chunks}")
             pos_c = state.position.reshape(chunks, n // chunks, -1)
             vel_c = state.velocity.reshape(chunks, n // chunks, 3)
+            table = (fdtd.center_fields(state.e, state.b, e_off, b_off)
+                     if config.field_gather == "centered" else None)
 
             def body(j_acc, xs):
                 p, v = xs
-                x1_c, v_c, j_c = push_and_deposit(state.e, state.b, p, v)
+                x1_c, v_c, j_c = push_and_deposit(state.e, state.b, p, v,
+                                                  centered_table=table)
                 return j_acc + j_c, (x1_c, v_c)
 
             j0 = jnp.zeros((*shape, 3), jnp.float32)
@@ -286,11 +294,15 @@ class SortedElectromagneticPIC:
         if spilled:
             import warnings
 
+            if self.spill_fallback:
+                msg = (f"{spilled} particle-deposits took the slow exact "
+                       f"fallback (out-drifted the sort margin)")
+            else:
+                msg = (f"{spilled} particle-deposits were DROPPED "
+                       f"(spill_fallback=False; charge conservation broken)")
             warnings.warn(
-                f"{spilled} particle-deposits took the slow exact fallback "
-                f"(out-drifted the sort margin); reduce resort_every (now "
-                f"{self.resort_every}) or raise tiling.margin (now "
-                f"{self.tiling.margin}) to keep the fast path hot",
+                msg + f"; reduce resort_every (now {self.resort_every}) or "
+                f"raise tiling.margin (now {self.tiling.margin})",
                 RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
@@ -316,13 +328,20 @@ class SortedElectromagneticPIC:
             velocity = boris_kick(state.velocity, eb[:, :3], eb[:, 3:],
                                   qm_half_dt, config.relativistic, config.c)
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
+            if config.relativistic:
+                # velocity stores proper velocity u = gamma*v (see make_step_fn)
+                gamma = jnp.sqrt(1.0 + jnp.sum((velocity / config.c) ** 2,
+                                               axis=-1, keepdims=True))
+                coord_v = velocity / gamma
+            else:
+                coord_v = velocity
             x0 = state.position
-            x1 = x0 + config.dt * velocity[:, :ndim] / dxv  # unwrapped for deposit
+            x1 = x0 + config.dt * coord_v[:, :ndim] / dxv  # unwrapped for deposit
 
             charge = jnp.where(state.valid, jnp.float32(config.charge), 0.0)
             if ndim == 2:
                 j, spill, spill_mask = esirkepov_sorted_2d(
-                    x0, x1, velocity[:, 2], charge, state.tile_id, config.dt,
+                    x0, x1, coord_v[:, 2], charge, state.tile_id, config.dt,
                     shape, config.cell_size, tiling)
             else:
                 j, spill, spill_mask = esirkepov_sorted_3d(
@@ -335,7 +354,7 @@ class SortedElectromagneticPIC:
                 def fallback():
                     q_sp = jnp.where(spill_mask, charge, 0.0)
                     if ndim == 2:
-                        return esirkepov_deposit_2d(x0, x1, velocity[:, 2],
+                        return esirkepov_deposit_2d(x0, x1, coord_v[:, 2],
                                                     q_sp, config.dt, shape,
                                                     config.cell_size)
                     return esirkepov_deposit_3d(x0, x1, q_sp, config.dt,
@@ -403,7 +422,12 @@ class SortedElectromagneticPIC:
         fe = float((0.5 * cfg.eps0 * jnp.sum(self.state.e ** 2)
                     + 0.5 / mu0 * jnp.sum(self.state.b ** 2)) * cfg.cell_volume)
         v = jnp.where(self.state.valid[:, None], self.state.velocity, 0.0)
-        ke = 0.5 * cfg.mass * float(jnp.sum(v ** 2))
+        if cfg.relativistic:
+            gamma = jnp.sqrt(1.0 + jnp.sum((v / cfg.c) ** 2, axis=-1))
+            ke = float(cfg.mass * cfg.c ** 2
+                       * jnp.sum(jnp.where(self.state.valid, gamma - 1.0, 0.0)))
+        else:
+            ke = 0.5 * cfg.mass * float(jnp.sum(v ** 2))
         return {"field": fe, "kinetic": ke, "total": fe + ke}
 
 

@@ -202,11 +202,16 @@ class SortedElectrostaticPIC:
 
     def __init__(self, config: ESConfig, position, velocity,
                  tiling=None, resort_every: int = 6,
-                 check_spill: bool = True):
+                 check_spill: bool = True, spill_fallback: bool = True):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
         if config.n_dim != 2:
             raise ValueError("sorted layout variant is 2D")
+        # spill_fallback=False drops out-of-margin deposits (warned via the
+        # spill counter) instead of compiling the exact packed-scatter
+        # branch, whose temporaries XLA reserves even when unexecuted —
+        # matters at HBM-limit particle counts.
+        self.spill_fallback = spill_fallback
         self.config = config
         self.tiling = tiling or Tiling2D()
         self.resort_every = resort_every
@@ -237,11 +242,15 @@ class SortedElectrostaticPIC:
         if spilled:
             import warnings
 
+            if self.spill_fallback:
+                msg = (f"{spilled} particle-deposits took the slow exact "
+                       f"fallback (out-drifted the sort margin)")
+            else:
+                msg = (f"{spilled} particle-deposits were DROPPED "
+                       f"(spill_fallback=False; charge not conserved)")
             warnings.warn(
-                f"{spilled} particle-deposits took the slow exact fallback "
-                f"(out-drifted the sort margin); reduce resort_every (now "
-                f"{self.resort_every}) or raise tiling.margin (now "
-                f"{self.tiling.margin}) to keep the fast path hot",
+                msg + f"; reduce resort_every (now {self.resort_every}) or "
+                f"raise tiling.margin (now {self.tiling.margin})",
                 RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
@@ -255,20 +264,22 @@ class SortedElectrostaticPIC:
         grid_f = jnp.asarray(shape, jnp.float32)
         qm_dt = config.charge / config.mass * config.dt
         w0 = config.charge / config.cell_volume
+        use_fallback = self.spill_fallback
 
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
             rho, spill, spill_mask = deposit_sorted_2d(
                 state.position, w, state.tile_id, shape, tiling)
-            # exact fallback: particles past the sort margin deposit through
-            # the packed scatter — only paid on steps where spill occurred
-            rho = rho + jax.lax.cond(
-                spill > 0,
-                lambda: cic_deposit_packed(
-                    jnp.mod(state.position, grid_f),
-                    jnp.where(spill_mask, w, 0.0), shape),
-                lambda: jnp.zeros(shape, jnp.float32))
+            if use_fallback:
+                # exact fallback: particles past the sort margin deposit via
+                # the packed scatter — only paid on steps with spill
+                rho = rho + jax.lax.cond(
+                    spill > 0,
+                    lambda: cic_deposit_packed(
+                        jnp.mod(state.position, grid_f),
+                        jnp.where(spill_mask, w, 0.0), shape),
+                    lambda: jnp.zeros(shape, jnp.float32))
             if config.neutralizing_background:
                 # zero-mean over real charge (fillers carry none)
                 rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
@@ -330,12 +341,20 @@ class SortedElectrostaticPIC:
         v = self.state.velocity
         ke = 0.5 * cfg.mass * float(jnp.sum(jnp.where(
             self.state.valid[:, None], v, 0.0) ** 2))
+        from ..ops.interp import cic_deposit_packed
         from ..ops.sorted_deposit import deposit_sorted_2d
 
         w = jnp.where(self.state.valid,
                       jnp.float32(cfg.charge / cfg.cell_volume), 0.0)
-        rho, _, _ = deposit_sorted_2d(self.state.position, w, self.state.tile_id,
-                                   cfg.grid_shape, self.tiling)
+        rho, spill, spill_mask = deposit_sorted_2d(
+            self.state.position, w, self.state.tile_id,
+            cfg.grid_shape, self.tiling)
+        if int(spill):
+            # diagnostic consistency with the step's exact fallback
+            grid_f = jnp.asarray(cfg.grid_shape, jnp.float32)
+            rho = rho + cic_deposit_packed(
+                jnp.mod(self.state.position, grid_f),
+                jnp.where(spill_mask, w, 0.0), cfg.grid_shape)
         if cfg.neutralizing_background:
             rho = rho - jnp.mean(rho)
         _, e_grid = solve_fields(cfg, rho)

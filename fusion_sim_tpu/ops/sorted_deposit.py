@@ -21,9 +21,9 @@ dropped; the returned ``spill`` counts what was).
 
 Usage pattern (the caller owns the sort cadence):
 
-    order = sort_by_tile(position, shape, tiling)        # every K steps
-    ... keep particle arrays in sorted order ...
-    rho, spill = deposit_sorted_2d(position, weights, tile_id, shape, tiling)
+    tid, pos, w, _ = build_padded_layout(position, shape, tiling, weights)
+    ... keep particle arrays in the padded sorted layout; rebuild every K steps ...
+    rho, spill, spill_mask = deposit_sorted_2d(pos, w, tid, shape, tiling)
 """
 
 from __future__ import annotations
@@ -179,8 +179,9 @@ def deposit_sorted_2d(
     tile_id: jax.Array,
     shape: tuple[int, int],
     tiling: Tiling2D,
-) -> tuple[jax.Array, jax.Array]:
-    """CIC deposit of tile-sorted particles; returns ``(grid, spill)``.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """CIC deposit of tile-sorted particles; returns
+    ``(grid, spill_count, spill_mask)``.
 
     ``position`` (N, 2) grid units, sorted so equal ``tile_id`` runs are
     contiguous (N must be a multiple of ``tiling.block``; pad with
@@ -275,8 +276,9 @@ def deposit_sorted_3d(
     tile_id: jax.Array,
     shape: tuple[int, int, int],
     tiling: Tiling3D,
-) -> tuple[jax.Array, jax.Array]:
-    """3D CIC deposit of tile-sorted particles (digit-matmul form).
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """3D CIC deposit of tile-sorted particles (digit-matmul form);
+    returns ``(grid, spill_count, spill_mask)``.
 
     The 3D CIC weight is a rank-1 triple product Ar (x) Ay (x) Az; two axes
     fold into one outer-product factor per particle, leaving one batched
@@ -363,7 +365,7 @@ def esirkepov_sorted_3d(
     shape: tuple[int, int, int],
     cell_size: tuple[float, float, float],
     tiling: Tiling3D,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """3D charge-conserving current deposition for tile-sorted particles.
 
     Esirkepov's 3D weight for component a (axes b, c the other two) is
@@ -393,7 +395,7 @@ def esirkepov_sorted_3d(
         d = jnp.abs(x[..., None] - (base[..., None].astype(jnp.float32) + k))
         return jnp.maximum(0.0, 1.0 - d)
 
-    bases, s0, ds, db = [], [], [], []
+    s0, ds, db = [], [], []
     blk_tile = tile_id[::p_blk]
     rem = blk_tile
     t_idx = []
@@ -409,7 +411,6 @@ def esirkepov_sorted_3d(
         origin = t_idx[a] * tiling.tile[a] - m
         d_a = jnp.mod(base_a - origin[:, None], shape[a])
         in_win = in_win & (d_a <= wins[a] - 3)
-        bases.append(base_a)
         s0.append(s0_a)
         ds.append(s1_a - s0_a)
         db.append(jnp.minimum(d_a, wins[a] - 3))
@@ -552,7 +553,7 @@ def esirkepov_sorted_2d(
     shape: tuple[int, int],
     cell_size: tuple[float, float],
     tiling: Tiling2D,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Charge-conserving current deposition for tile-sorted particles.
 
     The digit-matmul form of ops/esirkepov.esirkepov_deposit_2d: every
@@ -565,7 +566,7 @@ def esirkepov_sorted_2d(
 
     (the Jz pairing combines Esirkepov's four terms into two separable
     ones).  Same layout contract as deposit_sorted_2d; ``charge`` must be 0
-    on filler rows.  Returns ``(j_grid (nr, nz, 3), spill)``.
+    on filler rows.  Returns ``(j_grid (nr, nz, 3), spill_count, spill_mask)``.
     """
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)

@@ -91,9 +91,10 @@ class ClickArea:
 
 @dataclasses.dataclass(eq=False)
 class ImageClickArea(ClickArea):
-    """Selectable region hit-tested against an image mask
-    (``makeImageClickArea``, utilities.js:1806-1841): a click counts only
-    where the mask is opaque (> threshold)."""
+    """Image-backed selectable region (the ``makeImageClickArea`` role,
+    utilities.js:1785-1841).  The reference hit-tests only the bounding
+    rectangle; the optional opacity ``mask`` test here is an extension —
+    with ``mask=None`` behavior matches the reference's rectangle test."""
 
     mask: np.ndarray | None = None     # (h, w) alpha/opacity array
     threshold: float = 0.5
