@@ -65,6 +65,33 @@ def test_sorted_em_3d_matches_reference_model():
                                atol=3e-4 * max(float(jnp.abs(ref.state.b).max()), 1e-9))
 
 
+def test_sorted_em_relativistic_matches_reference():
+    """Relativistic proper-velocity convention: the sorted model must apply
+    the same u/gamma coordinate drift as the reference model."""
+    d = 0.5
+    cells = 32
+    config = em.EMConfig(grid_shape=(cells, cells), cell_size=(d, d),
+                         dt=0.2 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered", relativistic=True)
+    rng = np.random.default_rng(8)
+    n = 2048
+    pos = rng.random((n, 2)).astype(np.float32) * cells
+    vel = (1.5 * rng.standard_normal((n, 3))).astype(np.float32)  # u ~ c
+
+    ref = em.ElectromagneticPIC(config, pos, vel)
+    fast = em.SortedElectromagneticPIC(
+        config, pos, vel, tiling=Tiling2D(tile_r=16, tile_z=16, block=256,
+                                          margin=3), resort_every=3)
+    for _ in range(2):
+        ref.step(3)
+        fast.step(3)
+    assert int(fast.state.spill) == 0
+    np.testing.assert_allclose(np.asarray(fast.state.e), np.asarray(ref.state.e),
+                               atol=3e-4 * max(float(jnp.abs(ref.state.e).max()), 1e-9))
+    np.testing.assert_allclose(fast.energies()["kinetic"],
+                               ref.energies()["kinetic"], rtol=2e-3)
+
+
 def test_sorted_em_gauss_law():
     """The sorted Esirkepov keeps the discrete continuity equation, so
     Gauss's law residual must not grow over a run."""
