@@ -141,6 +141,37 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["a"], blob["a"])
 
 
+def test_profiling_timer():
+    import time as _time
+
+    from fusion_sim_tpu.utils.profiling import Timer
+
+    t = Timer()
+    with t.phase("work"):
+        _time.sleep(0.01)
+    with t.phase("work"):
+        _time.sleep(0.01)
+    rep = t.report()
+    assert rep["work"]["count"] == 2
+    assert rep["work"]["total_s"] >= 0.02
+
+
+def test_scenarios_factory_matches_reference_setup():
+    from fusion_sim_tpu.scenarios import default_scenario_arrays
+
+    spec = {"nr": 400, "nz": 800, "nparticles": 4, "height": 2.0}
+    arrs = default_scenario_arrays(spec)
+    sink = arrs["sink_mask"]
+    # fusionsim.js:103-112: r_max wall absorbs at all z; z walls absorb for
+    # r-rows 1..nr-2 (axis row kept)
+    assert (sink[-1, :] == 0).all()
+    assert (sink[1:-1, 0] == 0).all() and (sink[1:-1, -1] == 0).all()
+    assert sink[0, 0] == 1 and sink[0, -1] == 1
+    # source box: r-cells [0,50), z-cells [350,450) at this grid
+    src = arrs["source_pdf"]
+    assert src[:50, 350:450].all() and src.sum() == 50 * 100
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     from fusion_sim_tpu.utils.checkpoint import load_orbax, save_orbax
 
@@ -193,6 +224,13 @@ def test_viewer_http_api():
         assert frame[:8] == b"\x89PNG\r\n\x1a\n"
         page = get("/")
         assert b"fusion-sim tpu" in page
+        # fast-path toggle endpoints
+        out = post("/api/enable_fast_path", {})
+        assert out["ok"]
+        out = post("/api/step", {"n": 2})
+        assert out["steps"] == 5
+        out = post("/api/disable_fast_path", {})
+        assert out["ok"]
         # error path: unknown field command
         try:
             post("/api/bogus", {})
