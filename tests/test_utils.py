@@ -141,6 +141,34 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["a"], blob["a"])
 
 
+def test_debug_sanitizers():
+    import jax
+    import pytest
+
+    from fusion_sim_tpu.utils.debug import assert_finite, checked, debug_nans
+
+    # assert_finite flags the offending leaf
+    good = {"a": jnp.ones(3), "b": jnp.zeros((2, 2))}
+    assert_finite(good)
+    bad = {"a": jnp.ones(3), "b": jnp.array([1.0, np.nan])}
+    with pytest.raises(FloatingPointError, match="b"):
+        assert_finite(bad)
+
+    # checkify wrapper surfaces a NaN as an error value
+    def f(x):
+        return jnp.log(x)
+
+    err, out = checked(f)(jnp.array(-1.0))
+    with pytest.raises(Exception):
+        err.throw()
+
+    # debug_nans restores the flag
+    prev = jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == prev
+
+
 def test_profiling_timer():
     import time as _time
 
