@@ -349,8 +349,9 @@ class SortedElectrostaticPIC:
         rho, spill, spill_mask = deposit_sorted_2d(
             self.state.position, w, self.state.tile_id,
             cfg.grid_shape, self.tiling)
-        if int(spill):
-            # diagnostic consistency with the step's exact fallback
+        if self.spill_fallback and int(spill):
+            # diagnostic consistency with the step's exact fallback (when the
+            # step drops spill, the diagnostic must see the same rho)
             grid_f = jnp.asarray(cfg.grid_shape, jnp.float32)
             rho = rho + cic_deposit_packed(
                 jnp.mod(self.state.position, grid_f),

@@ -242,11 +242,16 @@ def deposit_sorted_2d(
 
 @dataclasses.dataclass(frozen=True)
 class Tiling3D:
-    """3D tile geometry for the sorted deposition (see Tiling2D)."""
+    """3D tile geometry for the sorted deposition (see Tiling2D).
 
-    tile: tuple[int, int, int] = (8, 8, 16)
-    block: int = 1024
-    margin: int = 2
+    Defaults are the best measured configuration at config[3] scale
+    (PERFORMANCE.md: 8^3 tiles, margin 1, block 512 -> 1609 ms/step at 3e7
+    particles, 128^3); margin 1 implies a short resort cadence, but
+    out-drifters fall back exactly by default (spill_fallback)."""
+
+    tile: tuple[int, int, int] = (8, 8, 8)
+    block: int = 512
+    margin: int = 1
     dtype: str = "float32"
 
     def n_tiles(self, shape: tuple[int, int, int]) -> tuple[int, int, int]:

@@ -45,8 +45,12 @@ def assert_finite(tree, name: str = "state") -> None:
     """Raise with the offending leaf path if any value is non-finite."""
     leaves = jax.tree_util.tree_leaves_with_path(tree)
     for path, leaf in leaves:
-        arr = np.asarray(leaf)
-        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
-            bad = int((~np.isfinite(arr)).sum())
+        # dtype check on the JAX side: ml_dtypes like bfloat16 have numpy
+        # dtype kind 'V', so a numpy-kind=='f' guard would skip them
+        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+            continue
+        finite = np.asarray(jnp.isfinite(leaf))
+        if not finite.all():
+            bad = int((~finite).sum())
             raise FloatingPointError(
                 f"{name}{jax.tree_util.keystr(path)}: {bad} non-finite values")
