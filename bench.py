@@ -85,7 +85,12 @@ def main() -> None:
     sim.enable_fast_path()
     fast_pushes = measure(sim, steps_per_batch=50, batches=4)
 
-    es_steps = bench_es_10m()
+    # The ES section compiles several large programs (minutes over the
+    # tunnel); never let it take down the headline line.
+    try:
+        es_steps = bench_es_10m()
+    except Exception as e:  # noqa: BLE001
+        es_steps = f"failed: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "particle_pushes_per_sec_per_chip",
