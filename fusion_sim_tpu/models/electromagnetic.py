@@ -288,9 +288,13 @@ class SortedElectromagneticPIC:
         self._resort = self._make_resort()
         self._since_sort = 0
         self.check_spill = check_spill
+        self._spill_seen = 0
 
     def _check_spill(self):
-        spilled = int(self.state.spill)
+        # report the delta since the previous check, not the cumulative
+        # counter (one spill event must not re-warn forever)
+        spilled = int(self.state.spill) - self._spill_seen
+        self._spill_seen += spilled
         if spilled:
             import warnings
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import validate_object
+from ..config import Optional as OptionalSpec, validate_object
 from ..constants import SPEED_OF_LIGHT
 from ..ops import fields as field_ops
 from ..ops.boris import BorisCoefficients, precompute_rotation, push_velocity
@@ -54,6 +54,8 @@ SPEC_SCHEMA = {
     "nparticles": "number",  # particle count is nparticles^2 (empic.js:107)
     "particle_mass": "number",    # kg
     "particle_charge": "number",  # C
+    # extension beyond the reference spec: coefficient sampling mode
+    "interp": OptionalSpec("string"),  # 'nearest' (parity) | 'bilinear'
 }
 
 
@@ -121,7 +123,8 @@ def _substep(spec: PusherSpec, fields: FieldState, state: PusherState) -> Pusher
     location, empic.js:714-717).
     """
     rand, key = substep_uniforms(state.key, spec.n_total)
-    velocity = push_velocity(state.position, state.velocity, state.alive, rand, fields.coeffs)
+    velocity = push_velocity(state.position, state.velocity, state.alive, rand,
+                             fields.coeffs, interp=spec.interp)
     position, alive = push_position(
         state.position, velocity, rand, fields.sink_mask, fields.inv_cdf, spec.step_factor
     )
@@ -196,6 +199,7 @@ class CylindricalParticlePusher:
                 nparticles=int(spec["nparticles"]),
                 particle_mass=float(spec["particle_mass"]),
                 particle_charge=float(spec["particle_charge"]),
+                interp=str(spec.get("interp", "nearest")),
             )
         self.spec = spec
         self.loop_field_mode = loop_field_mode
@@ -251,6 +255,10 @@ class CylindricalParticlePusher:
         if "B" in value:
             b = jnp.asarray(value["B"], dtype=jnp.float32).reshape(spec.nr, spec.nz, 3)
             self.fields = self.fields._replace(b=b)
+            # grid B replaces any recorded analytic sources; marked so
+            # enable_fast_path refuses instead of silently reconstructing B
+            # from the recorded analytic sources alone
+            self._sources.append(("grid_b",))
         if "position" in value:
             pos = jnp.asarray(value["position"], dtype=jnp.float32).reshape(spec.n_total, 3)
             self.state = self.state._replace(
@@ -355,6 +363,11 @@ class CylindricalParticlePusher:
                 "a grid E field was set; the fast path cannot sample it — "
                 "pass uniform_e=(Er, Etheta, Ez) if the field is uniform, or "
                 "stay in grid mode")
+        if any(s[0] == "grid_b" for s in self._sources):
+            raise ValueError(
+                "a grid B field was set via set({'B': ...}); the fast path "
+                "recomputes B analytically from recorded sources and would "
+                "silently drop it — stay in grid mode")
         if any(s[0] not in ("loop", "bz", "btheta", "line", "grid_e")
                for s in self._sources):
             raise ValueError("fast path supports analytic sources only")

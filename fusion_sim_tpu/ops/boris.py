@@ -116,12 +116,39 @@ def gather_nearest(field: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return field[iu, iv]
 
 
+def gather_bilinear(field: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Bilinear/CLAMP gather of ``(nr, nz, C)`` at normalized (u, v).
+
+    The opt-in "exacter variant" of the reference's NEAREST sampling
+    (utilities.js:556-560): texel-center LINEAR filtering with clamp-to-edge,
+    i.e. what the reference would do with gl.LINEAR on its coefficient
+    textures.  Smooths the per-cell staircase in R1/R2/R3/A at the cost of
+    four gather rows folded into one packed row (same trick as the deposit).
+    """
+    nr, nz = field.shape[0], field.shape[1]
+    tu = u * nr - 0.5
+    tv = v * nz - 0.5
+    iu0 = jnp.clip(jnp.floor(tu).astype(jnp.int32), 0, nr - 1)
+    iv0 = jnp.clip(jnp.floor(tv).astype(jnp.int32), 0, nz - 1)
+    iu1 = jnp.minimum(iu0 + 1, nr - 1)
+    iv1 = jnp.minimum(iv0 + 1, nz - 1)
+    fu = jnp.clip(tu - jnp.floor(tu), 0.0, 1.0)[..., None]
+    fv = jnp.clip(tv - jnp.floor(tv), 0.0, 1.0)[..., None]
+    f00 = field[iu0, iv0]
+    f01 = field[iu0, iv1]
+    f10 = field[iu1, iv0]
+    f11 = field[iu1, iv1]
+    return ((1 - fu) * (1 - fv) * f00 + (1 - fu) * fv * f01
+            + fu * (1 - fv) * f10 + fu * fv * f11)
+
+
 def push_velocity(
     position: jax.Array,
     velocity: jax.Array,
     alive: jax.Array,
     rand: jax.Array,
     coeffs: BorisCoefficients,
+    interp: str = "nearest",
 ) -> jax.Array:
     """One velocity half-kick for all particles.
 
@@ -137,7 +164,9 @@ def push_velocity(
        0.001 * U(-1, 1)^3 from this substep's uniforms.
 
     ``position``/``velocity``: (N, 3) normalized; ``alive``: (N,) the w flag;
-    ``rand``: (N, >=3) uniforms in [0, 1).
+    ``rand``: (N, >=3) uniforms in [0, 1).  ``interp`` selects the
+    coefficient sampling: 'nearest' (reference parity) or 'bilinear'
+    (opt-in exacter variant — see PusherSpec.interp).
     """
     x, y, z = position[..., 0], position[..., 1], position[..., 2]
     r = jnp.sqrt(x * x + y * y)
@@ -151,7 +180,12 @@ def push_velocity(
     # One fused 12-channel gather instead of four 3-channel ones: XLA TPU
     # gathers are latency-bound per row, so row width is nearly free.
     packed = jnp.concatenate([coeffs.r1, coeffs.r2, coeffs.r3, coeffs.a], axis=-1)
-    rows = gather_nearest(packed, r, z)
+    if interp == "bilinear":
+        rows = gather_bilinear(packed, r, z)
+    elif interp == "nearest":
+        rows = gather_nearest(packed, r, z)
+    else:
+        raise ValueError(f"unknown interp {interp!r} (nearest|bilinear)")
     r1, r2, r3, a = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12]
 
     cyl = jnp.stack([vr, va, vz], axis=-1)

@@ -33,9 +33,14 @@ class Timer:
     Usage::
 
         t = Timer()
-        with t.phase("push", fence=state):
+        with t.phase("push", fence=lambda: state):
             state = step(fields, state)
         print(t.report())
+
+    ``fence`` is evaluated at context *exit*, so pass a zero-arg callable
+    returning the phase's output buffers (a plain PyTree fences whatever was
+    materialized at entry, which under async dispatch excludes the phase's
+    own device work).
     """
 
     def __init__(self):
@@ -49,7 +54,7 @@ class Timer:
             yield
         finally:
             if fence is not None:
-                sync(fence)
+                sync(fence() if callable(fence) else fence)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

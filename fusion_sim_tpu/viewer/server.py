@@ -130,10 +130,11 @@ class SimulationService:
     def start(self) -> dict:
         if self.sim is None:
             return {"ok": False, "error": "not configured"}
-        if not self.running:
-            self.running = True
-            self._thread = threading.Thread(target=self._run, daemon=True)
-            self._thread.start()
+        with self.lock:  # two concurrent POSTs must not spawn two run threads
+            if not self.running:
+                self.running = True
+                self._thread = threading.Thread(target=self._run, daemon=True)
+                self._thread.start()
         return {"ok": True}
 
     def stop(self) -> dict:

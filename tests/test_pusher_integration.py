@@ -127,3 +127,47 @@ def test_checkpoint_roundtrip(sim):
     sim2.step()
     np.testing.assert_array_equal(np.asarray(sim.state.position),
                                   np.asarray(sim2.state.position))
+
+
+def test_grid_b_blocks_fast_path():
+    """set({'B': ...}) must refuse enable_fast_path (a grid B is not an
+    analytic source; ADVICE r1: previously the fast path silently dropped it)."""
+    sim = CylindricalParticlePusher(SPEC, seed=0)
+    sim.set({"B": np.zeros((SPEC["nr"], SPEC["nz"], 3), np.float32)})
+    sim.precalc()
+    with pytest.raises(ValueError, match="grid B"):
+        sim.enable_fast_path()
+
+
+def test_bilinear_interp_variant():
+    """spec.interp='bilinear' is the opt-in exacter sampling: identical to
+    NEAREST on a uniform field, different (but finite/stable) on the mirror
+    field."""
+    spec_bi = dict(SPEC, interp="bilinear")
+    a = CylindricalParticlePusher(SPEC, seed=0)
+    b = CylindricalParticlePusher(spec_bi, seed=0)
+    n = SPEC["nparticles"] ** 2
+    rng = np.random.default_rng(1)
+    pos = 0.2 * (rng.random((n, 3)) - 0.5) + np.array([0.3, 0, 1.0])
+    vel = 0.002 * (rng.random((n, 3)) - 0.5)
+    for sim in (a, b):
+        sim.set({"position": pos, "velocity": vel})
+        sim.add_bz(0.5)  # uniform field: coefficients constant over cells
+        sim.precalc()
+        sim.step(5)
+    # bilinear of a constant sums four weighted terms -> f32 rounding only
+    np.testing.assert_allclose(np.asarray(a.state.velocity),
+                               np.asarray(b.state.velocity), atol=1e-8)
+
+    c = CylindricalParticlePusher(SPEC, seed=0)
+    d = CylindricalParticlePusher(spec_bi, seed=0)
+    for sim in (c, d):
+        sim.set({"position": pos, "velocity": vel})
+        sim.add_current_loop(0.8, 2.0, -1e7)
+        sim.add_current_loop(0.8, 0.0, 1e7)
+        sim.precalc()
+        sim.step(10)
+    vc = np.asarray(c.state.velocity)
+    vd = np.asarray(d.state.velocity)
+    assert np.all(np.isfinite(vd))
+    assert not np.allclose(vc, vd)  # sampling mode is actually consulted
