@@ -187,6 +187,7 @@ class SortedESState(NamedTuple):
     valid: jax.Array      # (Npad,) bool
     step: jax.Array
     spill: jax.Array      # cumulative dropped-mass particle count (must stay 0)
+    rho: jax.Array | None = None  # pallas backend: charge at current positions
 
 
 class SortedElectrostaticPIC:
@@ -202,11 +203,15 @@ class SortedElectrostaticPIC:
 
     def __init__(self, config: ESConfig, position, velocity,
                  tiling=None, resort_every: int = 6,
-                 check_spill: bool = True, spill_fallback: bool = True):
+                 check_spill: bool = True, spill_fallback: bool = True,
+                 backend: str = "xla"):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
         if config.n_dim != 2:
             raise ValueError("sorted layout variant is 2D")
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend {backend!r} (xla|pallas)")
+        self.backend = backend
         # spill_fallback=False drops out-of-margin deposits (warned via the
         # spill counter) instead of compiling the exact packed-scatter
         # branch, whose temporaries XLA reserves even when unexecuted —
@@ -232,7 +237,11 @@ class SortedElectrostaticPIC:
             velocity=jnp.stack([vel0, vel1], axis=-1),
             tile_id=tid, valid=valid_p > 0.5,
             step=jnp.int32(0), spill=jnp.int32(0))
-        self._step = self._make_step()
+        if backend == "pallas":
+            self.state = self.state._replace(rho=self._initial_rho())
+            self._step = self._make_step_pallas()
+        else:
+            self._step = self._make_step()
         self._resort = self._make_resort()
         self._since_sort = 0
         self.check_spill = check_spill
@@ -300,6 +309,73 @@ class SortedElectrostaticPIC:
 
         return step
 
+    def _initial_rho(self):
+        """Deposit at the current (freshly sorted) positions — seeds the
+        pallas backend's carried rho."""
+        from ..ops.sorted_deposit import deposit_sorted_2d
+
+        w = jnp.where(self.state.valid,
+                      jnp.float32(self.config.charge / self.config.cell_volume),
+                      0.0)
+        rho, _, _ = deposit_sorted_2d(self.state.position, w,
+                                      self.state.tile_id,
+                                      self.config.grid_shape, self.tiling)
+        return rho
+
+    def _make_step_pallas(self):
+        """Fused-kernel step: solve E from the carried rho, then ONE Pallas
+        kernel does gather + kick + drift + deposit (ops/pallas_pic.py) —
+        the BASELINE 'push+deposit+solve fused in one jit' shape."""
+        from ..ops.pallas_pic import fused_es2d_substep
+
+        config = self.config
+        tiling = self.tiling
+        shape = config.grid_shape
+        grid_f = jnp.asarray(shape, jnp.float32)
+        dx = jnp.asarray(config.cell_size, jnp.float32)
+        qm_dt = float(config.charge / config.mass * config.dt)
+        c_r = float(config.dt / config.cell_size[0])
+        c_z = float(config.dt / config.cell_size[1])
+        w0 = config.charge / config.cell_volume
+        use_fallback = self.spill_fallback
+        # Mosaic kernels need real TPU hardware; CPU (tests) interprets
+        interpret = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def step(state: SortedESState) -> SortedESState:
+            rho = state.rho
+            if config.neutralizing_background:
+                rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
+            _, e_grid = solve_fields(config, rho)
+            w = jnp.where(state.valid, jnp.float32(w0), 0.0)
+            pos, vel, rho_new, in_win = fused_es2d_substep(
+                e_grid, state.position, state.velocity, w, state.tile_id,
+                shape, tiling, qm_dt, c_r, c_z, interpret=interpret)
+            spill_mask = (~in_win) & state.valid
+            spill = jnp.sum(spill_mask)
+            if use_fallback:
+                # exact patch for rows past the sort margin: slow packed
+                # gather/scatter, paid only on steps with spill
+                def patched():
+                    e_sp = cic_gather_packed(
+                        e_grid, jnp.mod(state.position, grid_f), shape)
+                    vel_c = state.velocity + qm_dt * e_sp
+                    pos_c = jnp.mod(
+                        state.position + config.dt * vel_c / dx, grid_f)
+                    sp = spill_mask[:, None]
+                    rho_c = rho_new + cic_deposit_packed(
+                        pos_c, jnp.where(spill_mask, w, 0.0), shape)
+                    return (jnp.where(sp, pos_c, pos),
+                            jnp.where(sp, vel_c, vel), rho_c)
+
+                pos, vel, rho_new = jax.lax.cond(
+                    spill > 0, patched, lambda: (pos, vel, rho_new))
+            return state._replace(position=pos, velocity=vel, rho=rho_new,
+                                  step=state.step + 1,
+                                  spill=state.spill + spill.astype(jnp.int32))
+
+        return step
+
     def _make_resort(self):
         from ..ops.sorted_deposit import build_padded_layout, tile_ids
 
@@ -326,7 +402,7 @@ class SortedElectrostaticPIC:
             return SortedESState(
                 position=pos_p, velocity=jnp.stack([v0p, v1p], axis=-1),
                 tile_id=tid, valid=validp > 0.5,
-                step=state.step, spill=state.spill)
+                step=state.step, spill=state.spill, rho=state.rho)
 
         return resort
 

@@ -533,6 +533,216 @@ def _assemble_tile_windows(win: jax.Array, blk_tile: jax.Array,
     return g
 
 
+def extract_tile_windows(grid: jax.Array, shape: tuple[int, int],
+                         tiling: Tiling2D, wr: int, wz: int) -> jax.Array:
+    """Per-tile periodic windows of ``grid`` — the inverse of
+    ``_assemble_tile_windows`` (dense rolls + concats, no gather).
+
+    ``grid``: (nr, nz[, C]).  Returns (ntr, ntz, wr, wz[, C]) where window
+    [i, j] is anchored at (i*tile_r - margin, j*tile_z - margin), wrapping
+    periodically.
+    """
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    tr_t, tz_t = tiling.tile_r, tiling.tile_z
+    m = tiling.margin
+    channels = grid.shape[2:]
+    g = grid.reshape(ntr, tr_t, ntz, tz_t, *channels)
+    g = jnp.moveaxis(g, 2, 1)  # (ntr, ntz, tr, tz, C)
+
+    rows = jnp.concatenate([
+        jnp.roll(g, 1, axis=0)[:, :, tr_t - m:],
+        g,
+        jnp.roll(g, -1, axis=0)[:, :, : wr - tr_t - m],
+    ], axis=2)  # (ntr, ntz, wr, tz, C)
+    win = jnp.concatenate([
+        jnp.roll(rows, 1, axis=1)[:, :, :, tz_t - m:],
+        rows,
+        jnp.roll(rows, -1, axis=1)[:, :, :, : wz - tz_t - m],
+    ], axis=3)  # (ntr, ntz, wr, wz, C)
+    return win
+
+
+def _axis_gather_factors(d: jax.Array, frac: jax.Array, width: int,
+                         mode: str) -> jax.Array:
+    """(nb, P, width) interpolation row per particle for one axis.
+
+    ``mode='cic'``: linear weights at d and d+1; ``mode='nearest'``: one-hot
+    at round-to-cell NEAREST (the texture-sampling semantics — the caller
+    passes d already floored to the sample cell and frac is ignored).
+    """
+    h = jnp.arange(width, dtype=jnp.int32)
+    if mode == "nearest":
+        return (d[..., None] == h).astype(jnp.float32)
+    return ((1.0 - frac)[..., None] * (d[..., None] == h)
+            + frac[..., None] * (d[..., None] + 1 == h))
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "mode"))
+def gather_sorted_2d(
+    grid: jax.Array,
+    position: jax.Array,
+    tile_id: jax.Array,
+    shape: tuple[int, int],
+    tiling: Tiling2D,
+    mode: str = "cic",
+) -> tuple[jax.Array, jax.Array]:
+    """Tile-window gather for tile-sorted particles — the MXU answer to the
+    ~25-40 ns/row XLA gather floor (the hot gather of empic.js:749-773 and of
+    the self-consistent loop).
+
+    CIC gather is separable like the deposit:  value_p = ar_p @ W_b @ az_p^T
+    with W_b the block's (wr, wz) window — so a whole block is two batched
+    matmuls (az @ W^T then a row-reduction against ar) with NO per-row
+    latency.  Windows come from ``extract_tile_windows`` (dense rolls) and
+    one tiny (n_blocks,)-row lookup.
+
+    ``grid``: (nr, nz[, C]); ``position``: (N, 2) grid units, tile-sorted
+    with ``tile_id`` (N a multiple of ``tiling.block``).  Returns
+    ``(values (N[, C]), in_win (N,) bool)`` — out-of-window particles (past
+    the sort margin) get clamped-window values; callers patch them with the
+    exact slow path when ``~in_win`` has any survivors with weight.
+    """
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    p_blk = tiling.block
+    m = tiling.margin
+    wr = tiling.tile_r + 2 * m + 1
+    wz = tiling.tile_z + 2 * m + 1
+    channels = grid.shape[2:]
+    n = position.shape[0]
+    nb = n // p_blk
+
+    base = jnp.floor(position).astype(jnp.int32)
+    frac = position - base
+
+    blk_tile = tile_id[::p_blk]
+    blk_tr = (blk_tile // ntz) * tiling.tile_r - m
+    blk_tz = (blk_tile % ntz) * tiling.tile_z - m
+    dr = jnp.mod(base[:, 0].reshape(nb, p_blk) - blk_tr[:, None], nr)
+    dz = jnp.mod(base[:, 1].reshape(nb, p_blk) - blk_tz[:, None], nz)
+    in_win = (dr < wr - 1) & (dz < wz - 1)
+    drc = jnp.clip(dr, 0, wr - 2)
+    dzc = jnp.clip(dz, 0, wz - 2)
+
+    ar = _axis_gather_factors(drc, frac[:, 0].reshape(nb, p_blk), wr, mode)
+    az = _axis_gather_factors(dzc, frac[:, 1].reshape(nb, p_blk), wz, mode)
+
+    win = extract_tile_windows(grid, shape, tiling, wr, wz)
+    win_b = win.reshape(ntr * ntz, wr, wz, *channels)[blk_tile]
+    if not channels:
+        win_b = win_b[..., None]
+
+    # value = ar . (W @ az):  t (nb, P, wr, C) then reduce over wr with ar
+    t = jnp.einsum("bpl,bhlc->bphc", az, win_b,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bph,bphc->bpc", ar, t,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(n, *channels) if channels else out.reshape(n)
+    return out, in_win.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "mode"))
+def gather_sorted_3d(
+    grid: jax.Array,
+    position: jax.Array,
+    tile_id: jax.Array,
+    shape: tuple[int, int, int],
+    tiling: Tiling3D,
+    mode: str = "cic",
+) -> tuple[jax.Array, jax.Array]:
+    """3D tile-window gather (see gather_sorted_2d).
+
+    The triple product folds pairwise like the 3D deposit:  the (y, z) axes
+    combine into one outer-product factor per particle, leaving two batched
+    contractions per block group.  Block groups are scanned to bound the
+    (P, wy*wz) intermediate.
+    """
+    nts = tiling.n_tiles(shape)
+    n_tiles = int(np.prod(nts))
+    p_blk = tiling.block
+    m = tiling.margin
+    wins = tuple(t + 2 * m + 1 for t in tiling.tile)
+    wx, wy, wz = wins
+    channels = grid.shape[3:]
+    c = int(np.prod(channels)) if channels else 1
+    n = position.shape[0]
+    nb = n // p_blk
+
+    base = jnp.floor(position).astype(jnp.int32)
+    frac = position - base
+
+    blk_tile = tile_id[::p_blk]
+    rem = blk_tile
+    t_idx = []
+    for a in (2, 1, 0):
+        t_idx.append(rem % nts[a])
+        rem = rem // nts[a]
+    t_idx = t_idx[::-1]
+
+    db, fr, in_win = [], [], True
+    for a in range(3):
+        origin = t_idx[a] * tiling.tile[a] - m
+        d = jnp.mod(base[:, a].reshape(nb, p_blk) - origin[:, None], shape[a])
+        in_win = in_win & (d < wins[a] - 1)
+        db.append(jnp.minimum(d, wins[a] - 2))
+        fr.append(frac[:, a].reshape(nb, p_blk))
+
+    ax = _axis_gather_factors(db[0], fr[0], wx, mode)
+    ay = _axis_gather_factors(db[1], fr[1], wy, mode)
+    az = _axis_gather_factors(db[2], fr[2], wz, mode)
+
+    # per-tile windows by pairwise axis concat of rolls (dense, no gather)
+    g = grid.reshape(nts[0], tiling.tile[0], nts[1], tiling.tile[1],
+                     nts[2], tiling.tile[2], c)
+    g = g.transpose(0, 2, 4, 1, 3, 5, 6)  # (ntx, nty, ntz, tx, ty, tz, c)
+    for a in range(3):
+        t_a = tiling.tile[a]
+        w_a = wins[a]
+        lead = tuple([slice(None)] * (3 + a))
+        g = jnp.concatenate([
+            jnp.roll(g, 1, axis=a)[lead + (slice(t_a - m, None),)],
+            g,
+            jnp.roll(g, -1, axis=a)[lead + (slice(0, w_a - t_a - m),)],
+        ], axis=3 + a)
+    win = g.reshape(n_tiles, wx, wy, wz, c)
+
+    # scan block groups to bound the (P, wy*wz) pairwise factor
+    group = max(1, min(nb, int(2e8 // (p_blk * wy * wz * 4))))
+    n_groups = (nb + group - 1) // group
+    pad_blocks = n_groups * group - nb
+
+    def pad_g(arr):
+        if pad_blocks:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((pad_blocks, *arr.shape[1:]), arr.dtype)])
+        return arr.reshape(n_groups, group, *arr.shape[1:])
+
+    ax_g, ay_g, az_g = pad_g(ax), pad_g(ay), pad_g(az)
+    bt_g = pad_g(blk_tile)
+
+    def group_body(_, xs):
+        axb, ayb, azb, bt = xs
+        win_b = win[bt]  # (group, wx, wy, wz, c)
+        ayz = (ayb[..., :, None] * azb[..., None, :]).reshape(
+            group, p_blk, wy * wz)
+        t = jnp.einsum("bpm,bxmc->bpxc", ayz,
+                       win_b.reshape(group, wx, wy * wz, c),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("bpx,bpxc->bpc", axb, t,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return None, out
+
+    _, vals = jax.lax.scan(group_body, None, (ax_g, ay_g, az_g, bt_g))
+    vals = vals.reshape(n_groups * group * p_blk, c)[: n]
+    out = vals.reshape(n, *channels) if channels else vals.reshape(n)
+    return out, in_win.reshape(-1)
+
+
 def _expand_window(factors: jax.Array, db: jax.Array, width: int) -> jax.Array:
     """Expand per-particle 3-node stencil factors onto window rows.
 

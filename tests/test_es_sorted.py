@@ -84,3 +84,52 @@ def test_sorted_es_energy_drift_matches_reference():
     drift = abs(sim.energies()["total"] - e0) / abs(e0)
     assert int(sim.state.spill) == 0
     assert drift < drift_ref * 1.1 + 1e-4, (drift, drift_ref)
+
+
+def test_pallas_backend_matches_xla_backend():
+    """backend='pallas' (fused gather+kick+drift+deposit kernel, interpret
+    mode on CPU) tracks the XLA sorted model at rounding level."""
+    config, pos, vel = _setup(n=4096, seed=2)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=3)
+    a = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                  resort_every=4)
+    b = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                  resort_every=4, backend="pallas")
+    for _ in range(3):
+        a.step(4)
+        b.step(4)
+    assert int(b.state.spill) == 0
+    e_a, e_b = a.energies(), b.energies()
+    np.testing.assert_allclose(e_b["kinetic"], e_a["kinetic"], rtol=2e-3)
+    np.testing.assert_allclose(e_b["field"], e_a["field"], rtol=2e-2)
+    pos_a = np.asarray(a.state.position)[np.asarray(a.state.valid)]
+    pos_b = np.asarray(b.state.position)[np.asarray(b.state.valid)]
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pos_b[:, ax]), np.sort(pos_a[:, ax]),
+                                   atol=0.05)
+
+
+def test_pallas_backend_spill_fallback():
+    """Spilled rows in the fused kernel are patched exactly (vs plain model)."""
+    import warnings
+
+    config, pos, vel = _setup(n=4096, seed=5)
+    vel = vel * 10.0
+    ref = es.ElectrostaticPIC(config, pos, vel)
+    fast = es.SortedElectrostaticPIC(
+        config, pos, vel, tiling=Tiling2D(tile_r=16, tile_z=16, block=256,
+                                          margin=1), resort_every=10 ** 6,
+        backend="pallas")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for _ in range(3):
+            ref.step(4)
+            fast.step(4)
+    assert int(fast.state.spill) > 0  # the scenario actually spills
+    e_ref, e_fast = ref.energies(), fast.energies()
+    np.testing.assert_allclose(e_fast["kinetic"], e_ref["kinetic"], rtol=2e-3)
+    pos_f = np.asarray(fast.state.position)[np.asarray(fast.state.valid)]
+    pos_r = np.asarray(ref.state.position)
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pos_f[:, ax]), np.sort(pos_r[:, ax]),
+                                   atol=0.05)

@@ -208,3 +208,101 @@ def test_sort_by_tile_payloads():
     np.testing.assert_allclose(float(w_s.sum()), float(w.sum()), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(vel_s).sum(axis=0),
                                vel.sum(axis=0), rtol=1e-4)
+
+
+def test_gather_sorted_2d_matches_cic_gather():
+    """Tile-window factorized gather == exact CIC gather for in-window
+    particles (the sorted-layout contract)."""
+    from fusion_sim_tpu.ops.interp import cic_gather
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling2D, build_padded_layout, gather_sorted_2d)
+
+    shape = (64, 128)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=2)
+    rng = np.random.default_rng(0)
+    n = 4096
+    pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
+    grid = rng.standard_normal((*shape, 2)).astype(np.float32)
+
+    tid, pos_p, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.ones((n,), jnp.float32))
+    vals, in_win = gather_sorted_2d(jnp.asarray(grid), pos_p, tid, shape, tiling)
+    keep = validp > 0.5
+    # freshly sorted: every REAL particle in window (fillers sit at 0)
+    assert bool(jnp.all(jnp.where(keep, in_win, True)))
+
+    ref = cic_gather(jnp.asarray(grid), pos_p, shape)
+    np.testing.assert_allclose(np.asarray(vals)[np.asarray(keep)],
+                               np.asarray(ref)[np.asarray(keep)],
+                               rtol=1e-5, atol=1e-6)
+
+    # scalar grid path
+    vals1, _ = gather_sorted_2d(jnp.asarray(grid[..., 0]), pos_p, tid, shape, tiling)
+    ref1 = cic_gather(jnp.asarray(grid[..., 0]), pos_p, shape)
+    np.testing.assert_allclose(np.asarray(vals1)[np.asarray(keep)],
+                               np.asarray(ref1)[np.asarray(keep)],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gather_sorted_2d_nearest_mode():
+    """mode='nearest' reproduces NEAREST texel sampling (empic.js texture
+    semantics) for in-window particles."""
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling2D, build_padded_layout, gather_sorted_2d)
+
+    shape = (32, 64)
+    tiling = Tiling2D(tile_r=8, tile_z=16, block=32, margin=2)
+    rng = np.random.default_rng(1)
+    n = 1024
+    pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
+    grid = rng.standard_normal((*shape, 3)).astype(np.float32)
+
+    tid, pos_p, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.ones((n,), jnp.float32))
+    vals, in_win = gather_sorted_2d(jnp.asarray(grid), pos_p, tid, shape,
+                                    tiling, mode="nearest")
+    base = np.floor(np.asarray(pos_p)).astype(int) % np.array(shape)
+    ref = grid[base[:, 0], base[:, 1]]
+    keep = np.asarray(validp > 0.5)
+    np.testing.assert_allclose(np.asarray(vals)[keep], ref[keep], rtol=1e-6)
+
+
+def test_gather_sorted_2d_out_of_window_flagged():
+    """Particles drifted past the margin are flagged (clamped values)."""
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling2D, build_padded_layout, gather_sorted_2d)
+
+    shape = (64, 64)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=2)
+    rng = np.random.default_rng(2)
+    n = 256
+    pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
+    tid, pos_p, _, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.ones((n,), jnp.float32))
+    # push every particle far out of its window
+    pos_drift = jnp.mod(pos_p + 24.0, jnp.asarray(shape, jnp.float32))
+    grid = jnp.ones(shape, jnp.float32)
+    _, in_win = gather_sorted_2d(grid, pos_drift, tid, shape, tiling)
+    assert not bool(jnp.all(in_win))
+
+
+def test_gather_sorted_3d_matches_cic_gather():
+    from fusion_sim_tpu.ops.interp import cic_gather
+    from fusion_sim_tpu.ops.sorted_deposit import (
+        Tiling3D, build_padded_layout, gather_sorted_3d)
+
+    shape = (16, 16, 32)
+    tiling = Tiling3D(tile=(8, 8, 8), block=32, margin=1)
+    rng = np.random.default_rng(3)
+    n = 2048
+    pos = (rng.random((n, 3)) * np.array(shape)).astype(np.float32)
+    grid = rng.standard_normal((*shape, 6)).astype(np.float32)
+
+    tid, pos_p, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.ones((n,), jnp.float32))
+    vals, in_win = gather_sorted_3d(jnp.asarray(grid), pos_p, tid, shape, tiling)
+    keep = np.asarray(validp > 0.5)
+    assert bool(np.all(np.where(keep, np.asarray(in_win), True)))
+    ref = cic_gather(jnp.asarray(grid), pos_p, shape)
+    np.testing.assert_allclose(np.asarray(vals)[keep],
+                               np.asarray(ref)[keep], rtol=1e-4, atol=1e-5)
