@@ -1,0 +1,76 @@
+"""Benchmark: sorted ES PIC step, XLA backend vs fused-Pallas backend.
+
+PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_es_fused.py --n 10002432
+"""
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from fusion_sim_tpu.models import electrostatic as es
+from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+
+def fence(sim):
+    np.asarray(sim.state.position[:1])
+
+
+def bench(sim, label, n_steps=20, reps=3):
+    sim.step(1)  # compile
+    fence(sim)
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sim.step(n_steps)
+        fence(sim)
+        best.append((time.perf_counter() - t0) / n_steps)
+    med = sorted(best)[len(best) // 2]
+    n = sim.n_real
+    print(f"{label}: {1e3 * med:.1f} ms/step  ({n / med:.2e} particle-updates/s)"
+          f"   spill={int(sim.state.spill)}")
+    return med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_002_432)
+    ap.add_argument("--cells", type=int, default=512)
+    ap.add_argument("--tile", type=int, default=32)
+    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--margin", type=int, default=4)
+    ap.add_argument("--resort", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    length = 2 * np.pi
+    d = length / args.cells
+    vol = length * length
+    config = es.ESConfig(grid_shape=(args.cells, args.cells),
+                         cell_size=(d, d), dt=0.05,
+                         charge=-vol / args.n, mass=vol / args.n)
+    rng = np.random.default_rng(0)
+    pos = rng.random((args.n, 2)).astype(np.float32) * args.cells
+    vel = (0.05 * rng.standard_normal((args.n, 2))).astype(np.float32)
+    tiling = Tiling2D(tile_r=args.tile, tile_z=args.tile,
+                      block=args.block, margin=args.margin)
+    print(f"n={args.n:.2e} cells={args.cells} tile={args.tile} "
+          f"block={args.block} margin={args.margin} resort={args.resort} "
+          f"dev={jax.devices()[0]}")
+
+    sim_p = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=args.resort,
+                                      backend="pallas", check_spill=False)
+    t_p = bench(sim_p, "pallas fused", n_steps=args.steps)
+    del sim_p
+
+    sim_x = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=args.resort,
+                                      check_spill=False)
+    t_x = bench(sim_x, "xla sorted  ", n_steps=args.steps)
+    print(f"speedup: {t_x / t_p:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,11 @@ with ar/az the CIC tent weights  max(0, 1 - |local - iota|)  — built as 2D
 (P, w) arrays only (the (P, wr, wz) broadcast that Mosaic rejects is never
 formed; round-1 negative result, PERFORMANCE.md).
 
+Mosaic tiling rules (block last-two dims divisible by (8, 128) or equal to
+the array dims) shape the data layout: particle rows are fed as
+(P/128, 128) blocks of an (nb*P/128, 128) array, block origins ride the
+scalar-prefetch channel, and windows/outputs use whole-dim blocks.
+
 Gather of the reference's hot loop: empic.js:749-773 samples 4 coefficient
 textures per particle; the sorted-window form replaces its per-particle
 texture fetches with block matmuls.
@@ -32,12 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gather2d_kernel(origin_ref, pos_r_ref, pos_z_ref, win_ref, out_ref,
                      *, nr, nz, wr, wz, n_c, mode):
-    p = pos_r_ref.shape[1]
-    orr = origin_ref[0, 0].astype(jnp.float32)
-    orz = origin_ref[0, 1].astype(jnp.float32)
+    sub, lanes = pos_r_ref.shape
+    p = sub * lanes
+    b = pl.program_id(0)
+    orr = origin_ref[b, 0].astype(jnp.float32)
+    orz = origin_ref[b, 1].astype(jnp.float32)
 
-    lr = jnp.mod(pos_r_ref[0, :].reshape(p, 1) - orr, float(nr))
-    lz = jnp.mod(pos_z_ref[0, :].reshape(p, 1) - orz, float(nz))
+    lr = jnp.mod(pos_r_ref[...].reshape(p, 1) - orr, float(nr))
+    lz = jnp.mod(pos_z_ref[...].reshape(p, 1) - orz, float(nz))
 
     iota_r = jax.lax.broadcasted_iota(jnp.float32, (p, wr), 1)
     iota_z = jax.lax.broadcasted_iota(jnp.float32, (p, wz), 1)
@@ -69,12 +76,17 @@ def gather_sorted_2d_pallas(
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in Pallas replacement for gather_sorted_2d (same contract:
     returns ``(values (N[, C]), in_win (N,))``; out-of-window values are 0
-    here — callers already patch ``~in_win`` rows via the exact path)."""
+    here — callers already patch ``~in_win`` rows via the exact path).
+
+    Requires ``tiling.block`` to be a multiple of 128 (lane width)."""
     from .sorted_deposit import extract_tile_windows
 
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)
     p_blk = tiling.block
+    if p_blk % 128:
+        raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
+    sub = p_blk // 128
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
@@ -92,23 +104,27 @@ def gather_sorted_2d_pallas(
     win_b = win.reshape(ntr * ntz, wr, wz, n_c)[blk_tile]      # (nb, wr, wz, C)
     win_b = win_b.transpose(0, 3, 2, 1)                        # (nb, C, wz, wr)
 
-    pos_r = position[:, 0].reshape(nb, p_blk)
-    pos_z = position[:, 1].reshape(nb, p_blk)
+    pos_r = position[:, 0].reshape(nb * sub, 128)
+    pos_z = position[:, 1].reshape(nb * sub, 128)
 
     kernel = functools.partial(_gather2d_kernel, nr=nr, nz=nz, wr=wr, wz=wz,
                                n_c=n_c, mode=mode)
-    out = pl.pallas_call(
-        kernel,
+    row_spec = pl.BlockSpec((sub, 128), lambda b, *_: (b, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, p_blk), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p_blk), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_c, wz, wr), lambda b: (b, 0, 0, 0),
+            row_spec, row_spec,
+            pl.BlockSpec((1, n_c, wz, wr), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_c, p_blk), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, n_c, p_blk), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, n_c, p_blk), jnp.float32),
         interpret=interpret,
     )(origins, pos_r, pos_z, win_b)

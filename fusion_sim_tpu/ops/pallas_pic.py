@@ -18,6 +18,10 @@ Out-of-window rows (drifted past the sort margin since the last resort, or
 pushed out this substep) contribute NO deposit and are flagged; the model
 patches them with the exact packed path under its spill_fallback cond —
 identical semantics to the XLA sorted model.
+
+Mosaic layout notes: particle rows are (P/128, 128) blocks of
+(nb*P/128, 128) arrays; block origins ride the scalar-prefetch channel
+(see ops/pallas_gather.py).
 """
 
 from __future__ import annotations
@@ -26,7 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,12 +38,14 @@ def _es2d_kernel(origin_ref, posr_ref, posz_ref, velr_ref, velz_ref, w_ref,
                  ewin_ref,
                  nposr_ref, nposz_ref, nvelr_ref, nvelz_ref, rho_ref, inw_ref,
                  *, nr, nz, wr, wz, qm_dt, c_r, c_z):
-    p = posr_ref.shape[1]
-    orr = origin_ref[0, 0].astype(jnp.float32)
-    orz = origin_ref[0, 1].astype(jnp.float32)
+    sub, lanes = posr_ref.shape
+    p = sub * lanes
+    b = pl.program_id(0)
+    orr = origin_ref[b, 0].astype(jnp.float32)
+    orz = origin_ref[b, 1].astype(jnp.float32)
 
-    posr = posr_ref[0, :].reshape(p, 1)
-    posz = posz_ref[0, :].reshape(p, 1)
+    posr = posr_ref[...].reshape(p, 1)
+    posz = posz_ref[...].reshape(p, 1)
     lr = jnp.mod(posr - orr, float(nr))
     lz = jnp.mod(posz - orz, float(nz))
 
@@ -56,10 +61,10 @@ def _es2d_kernel(origin_ref, posr_ref, posz_ref, velr_ref, velz_ref, w_ref,
     tz_ = jnp.dot(az, ewin_ref[0, 1], preferred_element_type=jnp.float32)
     ez = jnp.sum(ar * tz_, axis=1, keepdims=True)
 
-    w = w_ref[0, :].reshape(p, 1)
+    w = w_ref[...].reshape(p, 1)
     valid = w != 0.0
-    velr = velr_ref[0, :].reshape(p, 1)
-    velz = velz_ref[0, :].reshape(p, 1)
+    velr = velr_ref[...].reshape(p, 1)
+    velz = velz_ref[...].reshape(p, 1)
     nvelr = jnp.where(valid, velr + qm_dt * ex, 0.0)
     nvelz = jnp.where(valid, velz + qm_dt * ez, 0.0)
     nposr = jnp.mod(posr + c_r * nvelr, float(nr))
@@ -77,11 +82,11 @@ def _es2d_kernel(origin_ref, posr_ref, posz_ref, velr_ref, velz_ref, w_ref,
         arn, azn * wm, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (wr, wz)
 
-    nposr_ref[0, :] = nposr.reshape(1, p)[0]
-    nposz_ref[0, :] = nposz.reshape(1, p)[0]
-    nvelr_ref[0, :] = nvelr.reshape(1, p)[0]
-    nvelz_ref[0, :] = nvelz.reshape(1, p)[0]
-    inw_ref[0, :] = inw.astype(jnp.float32).reshape(1, p)[0]
+    nposr_ref[...] = nposr.reshape(sub, lanes)
+    nposz_ref[...] = nposz.reshape(sub, lanes)
+    nvelr_ref[...] = nvelr.reshape(sub, lanes)
+    nvelz_ref[...] = nvelz.reshape(sub, lanes)
+    inw_ref[...] = inw.astype(jnp.float32).reshape(sub, lanes)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_dt",
@@ -102,16 +107,20 @@ def fused_es2d_substep(
     """One fused particle substep for tile-sorted 2D ES PIC.
 
     ``e_grid``: (nr, nz, 2); particle arrays in the padded sorted layout
-    (N = nb * tiling.block, weights 0 on fillers).  Returns
-    ``(position', velocity', rho', in_win)`` where rho' is the charge
-    deposited at the NEW positions (feeds the next step's solve) and in_win
-    flags rows whose gather AND deposit stayed inside their block window.
+    (N = nb * tiling.block, weights 0 on fillers, block % 128 == 0).
+    Returns ``(position', velocity', rho', in_win)`` where rho' is the
+    charge deposited at the NEW positions (feeds the next step's solve) and
+    in_win flags rows whose gather AND deposit stayed inside their block
+    window.
     """
     from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
 
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)
     p_blk = tiling.block
+    if p_blk % 128:
+        raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
+    sub = p_blk // 128
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
@@ -127,38 +136,38 @@ def fused_es2d_substep(
     ewin_b = ewin.reshape(ntr * ntz, wr, wz, 2)[blk_tile]  # (nb, wr, wz, 2)
     ewin_b = ewin_b.transpose(0, 3, 2, 1)                  # (nb, 2, wz, wr)
 
-    posr = position[:, 0].reshape(nb, p_blk)
-    posz = position[:, 1].reshape(nb, p_blk)
-    velr = velocity[:, 0].reshape(nb, p_blk)
-    velz = velocity[:, 1].reshape(nb, p_blk)
-    w = weights.reshape(nb, p_blk)
+    rows = lambda v: v.reshape(nb * sub, 128)
+    posr, posz = rows(position[:, 0]), rows(position[:, 1])
+    velr, velz = rows(velocity[:, 0]), rows(velocity[:, 1])
+    w = rows(weights)
 
     kernel = functools.partial(_es2d_kernel, nr=nr, nz=nz, wr=wr, wz=wz,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z)
-    row = lambda b: (b, 0)
-    row_spec = pl.BlockSpec((1, p_blk), row, memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
+    row_spec = pl.BlockSpec((sub, 128), lambda b, *_: (b, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((nb * sub, 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 2), row, memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, 2, wz, wr), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, wz, wr), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, wr, wz), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, wr, wz), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
         ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nb, p_blk), jnp.float32),
-            jax.ShapeDtypeStruct((nb, p_blk), jnp.float32),
-            jax.ShapeDtypeStruct((nb, p_blk), jnp.float32),
-            jax.ShapeDtypeStruct((nb, p_blk), jnp.float32),
+            row_shape, row_shape, row_shape, row_shape,
             jax.ShapeDtypeStruct((nb, wr, wz), jnp.float32),
-            jax.ShapeDtypeStruct((nb, p_blk), jnp.float32),
+            row_shape,
         ),
         interpret=interpret,
     )(origins, posr, posz, velr, velz, w, ewin_b)

@@ -267,3 +267,57 @@ def conjugate_gradient(
     x, r, _, _, iterations = jax.lax.while_loop(cond, body, (x, r, p, rs, jnp.int32(0)))
     rel = jnp.linalg.norm(r) / bnorm
     return SolveResult(correlation=1.0 - rel, diff=rel, iterations=iterations, result=x)
+
+
+def poisson_fft_sharded(
+    rho_local: jax.Array,
+    full_shape: tuple[int, ...],
+    dx: tuple[float, ...],
+    axis_name: str,
+    eps0: float = 1.0,
+) -> jax.Array:
+    """Distributed spectral Poisson solve for x-slab-decomposed grids.
+
+    The SURVEY §2.6/§5 "sharded FFT (jnp.fft under pjit)" field solve,
+    written for use INSIDE shard_map: ``rho_local`` is this shard's
+    (nx/S, *rest) slab of the periodic grid.  Pencil algorithm:
+
+        1. FFT along the local (non-sharded) axes;
+        2. all_to_all transpose: x-slabs -> axis-1 pencils (rides ICI);
+        3. FFT along x (now local);
+        4. multiply by the inverse Laplacian eigenvalues of this shard's
+           k-pencil (k = 0 zeroed: mean of phi is gauge);
+        5. inverse transforms in reverse order.
+
+    Requires full_shape[0] and full_shape[1] divisible by the axis size.
+    Returns this shard's phi slab (real float32).
+    """
+    from jax import lax
+
+    s = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    nx = full_shape[0]
+    rest = full_shape[1:]
+    if rest[0] % s:
+        raise ValueError(f"axis-1 size {rest[0]} not divisible by {s} shards")
+
+    rest_axes = tuple(range(1, len(full_shape)))
+    rk = jnp.fft.fftn(rho_local.astype(jnp.complex64), axes=rest_axes)
+    # (nx/S, n1, ...) -> (nx, n1/S, ...): split axis 1 over shards, stack x
+    rk = lax.all_to_all(rk, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    rk = jnp.fft.fft(rk, axis=0)
+
+    kx = 2 * jnp.pi * jnp.fft.fftfreq(nx, d=dx[0])
+    k1_full = 2 * jnp.pi * jnp.fft.fftfreq(rest[0], d=dx[1])
+    k1 = lax.dynamic_slice(k1_full, (me * (rest[0] // s),), (rest[0] // s,))
+    ksq = kx[:, None] ** 2 + (k1 ** 2)[None, :]
+    for a in range(2, len(full_shape)):
+        ka = 2 * jnp.pi * jnp.fft.fftfreq(full_shape[a], d=dx[a])
+        ksq = ksq[..., None] + (ka ** 2)[(None,) * a]
+    inv = jnp.where(ksq > 0, 1.0 / (eps0 * ksq), 0.0)
+    pk = rk * inv
+
+    pk = jnp.fft.ifft(pk, axis=0)
+    pk = lax.all_to_all(pk, axis_name, split_axis=0, concat_axis=1, tiled=True)
+    phi = jnp.fft.ifftn(pk, axes=rest_axes).real
+    return phi.astype(jnp.float32)

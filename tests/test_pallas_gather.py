@@ -21,7 +21,7 @@ def _layout(shape, tiling, n, seed=0, channels=2):
 
 def test_pallas_gather_matches_cic():
     shape = (64, 128)
-    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=2)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
     grid, pos_p, tid, keep = _layout(shape, tiling, 4096)
     vals, in_win = gather_sorted_2d_pallas(grid, pos_p, tid, shape, tiling,
                                            interpret=True)
@@ -33,7 +33,7 @@ def test_pallas_gather_matches_cic():
 
 def test_pallas_gather_nearest_matches_xla():
     shape = (32, 64)
-    tiling = Tiling2D(tile_r=8, tile_z=16, block=32, margin=2)
+    tiling = Tiling2D(tile_r=8, tile_z=16, block=128, margin=2)
     grid, pos_p, tid, keep = _layout(shape, tiling, 1024, seed=1, channels=3)
     vals, _ = gather_sorted_2d_pallas(grid, pos_p, tid, shape, tiling,
                                       mode="nearest", interpret=True)
@@ -44,7 +44,7 @@ def test_pallas_gather_nearest_matches_xla():
 
 def test_pallas_gather_scalar_grid():
     shape = (64, 64)
-    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=2)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
     rng = np.random.default_rng(2)
     n = 2048
     pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)

@@ -10,7 +10,7 @@ from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, build_padded_layout
 
 def test_fused_es2d_substep_matches_composed_step():
     shape = (64, 128)
-    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=2)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
     rng = np.random.default_rng(0)
     n = 4096
     pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
@@ -49,7 +49,7 @@ def test_fused_es2d_substep_matches_composed_step():
 
 def test_fused_es2d_substep_flags_out_of_window():
     shape = (64, 64)
-    tiling = Tiling2D(tile_r=16, tile_z=16, block=64, margin=1)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=1)
     rng = np.random.default_rng(1)
     n = 512
     pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
