@@ -16,7 +16,10 @@ from fusion_sim_tpu.ops.sorted_deposit import (
 
 
 def fence(x):
-    np.asarray(jax.tree.leaves(x)[0])[:1]
+    # Slice ON DEVICE first, then copy one element.  np.asarray(whole_leaf)
+    # drags the full array through the tunnel (~2 s for 80 MB) and poisons
+    # every timing it fences.
+    np.asarray(jax.tree.leaves(x)[0].reshape(-1)[:1])
 
 
 def timeit(f, *args, n=10):

@@ -253,15 +253,17 @@ class SortedElectromagneticPIC:
 
     def __init__(self, config: EMConfig, position, velocity,
                  e=None, b=None, tiling=None, resort_every: int = 6,
-                 check_spill: bool = True, spill_fallback: bool = True):
+                 check_spill: bool = True, spill_fallback: bool = True,
+                 spill_capacity: int = 16384):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
-        # spill_fallback=False drops out-of-margin deposits (warned via the
-        # spill counter) instead of taking the exact packed-scatter branch —
-        # XLA reserves the branch's temporaries even when unexecuted, which
-        # matters at HBM-limit particle counts.
+        # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
+        # rows per step with the exact deposit on compacted buffers
+        # (ops.interp.spill_rows — fixed-size temporaries, no cond branch);
+        # False drops their deposits entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
+        self.spill_capacity = int(spill_capacity)
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
@@ -310,9 +312,10 @@ class SortedElectromagneticPIC:
                 RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
-        from ..ops.interp import cic_gather_packed
+        from ..ops.interp import cic_gather_packed, spill_rows_cond
         from ..ops.sorted_deposit import (esirkepov_sorted_2d,
-                                          esirkepov_sorted_3d)
+                                          esirkepov_sorted_3d,
+                                          gather_sorted_2d, gather_sorted_3d)
 
         config = self.config
         tiling = self.tiling
@@ -324,11 +327,25 @@ class SortedElectromagneticPIC:
         e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         use_fallback = self.spill_fallback
+        capacity = self.spill_capacity
 
         @jax.jit
         def step(state: SortedEMState) -> SortedEMState:
             table = fdtd.center_fields(state.e, state.b, e_off, b_off)
-            eb = cic_gather_packed(table, jnp.mod(state.position, grid_f), shape)
+            # tile-window gather (MXU matmuls, no per-row latency); rows past
+            # the sort margin get the exact packed gather via a compacted
+            # fixed-capacity patch
+            gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
+            eb, g_inw = gather_fn(table, state.position, state.tile_id,
+                                  shape, tiling)
+            if use_fallback:
+                g_mask = (~g_inw) & state.valid
+                g_idx, g_ok = spill_rows_cond(g_mask, jnp.sum(g_mask),
+                                              capacity,
+                                              state.position.shape[0])
+                eb_k = cic_gather_packed(
+                    table, jnp.mod(state.position[g_idx], grid_f), shape)
+                eb = eb.at[g_idx].set(eb_k, mode="drop")
             velocity = boris_kick(state.velocity, eb[:, :3], eb[:, 3:],
                                   qm_half_dt, config.relativistic, config.c)
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
@@ -353,19 +370,20 @@ class SortedElectromagneticPIC:
                     shape, config.cell_size, tiling)
 
             if use_fallback:
-                # exact fallback for margin out-drifters (charge conservation
-                # holds for any resort cadence; only paid when spill > 0)
-                def fallback():
-                    q_sp = jnp.where(spill_mask, charge, 0.0)
-                    if ndim == 2:
-                        return esirkepov_deposit_2d(x0, x1, coord_v[:, 2],
-                                                    q_sp, config.dt, shape,
-                                                    config.cell_size)
-                    return esirkepov_deposit_3d(x0, x1, q_sp, config.dt,
-                                                shape, config.cell_size)
-
-                j = j + jax.lax.cond(spill > 0, fallback,
-                                     lambda: jnp.zeros((*shape, 3), jnp.float32))
+                # exact patch for up to `capacity` margin out-drifters:
+                # Esirkepov deposit on compacted (capacity,) buffers (charge
+                # conservation holds while spill stays under capacity)
+                idx, ok = spill_rows_cond(spill_mask, spill, capacity,
+                                          x0.shape[0])
+                q_k = jnp.where(ok, charge[idx], 0.0)
+                if ndim == 2:
+                    j = j + esirkepov_deposit_2d(
+                        x0[idx], x1[idx], coord_v[idx, 2], q_k, config.dt,
+                        shape, config.cell_size)
+                else:
+                    j = j + esirkepov_deposit_3d(
+                        x0[idx], x1[idx], q_k, config.dt, shape,
+                        config.cell_size)
 
             b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
                                          config.cell_size)
@@ -473,3 +491,31 @@ class ElectromagneticPIC:
 
     def set_state(self, blob: dict[str, np.ndarray]) -> None:
         self.state = EMState(**{k: jnp.asarray(v) for k, v in blob.items()})
+
+
+def weibel(
+    n_particles: int = 500_000,
+    n_cells: int = 128,
+    v0: float = 0.2,
+    length: float = 32.0,
+    noise: float = 1e-3,
+    seed: int = 0,
+    sorted_layout: bool = False,
+) -> "ElectromagneticPIC | SortedElectromagneticPIC":
+    """2D Weibel (filamentation) instability setup: two cold
+    counter-streaming (out-of-plane) electron beams, omega_p = 1 / c = 1
+    units; B-field energy grows at gamma ~ v0 * omega_p.  The standard EM
+    PIC validation scenario (examples/weibel.py runs it end to end)."""
+    d = length / n_cells
+    vol = length * length
+    config = EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                     dt=0.4 * d, charge=-vol / n_particles,
+                     mass=vol / n_particles, field_gather="centered")
+    rng = np.random.default_rng(seed)
+    pos = rng.random((n_particles, 2)) * n_cells
+    vel = np.zeros((n_particles, 3), np.float32)
+    vel[: n_particles // 2, 2] = v0
+    vel[n_particles // 2:, 2] = -v0
+    vel[:, :2] = noise * rng.standard_normal((n_particles, 2))
+    cls = SortedElectromagneticPIC if sorted_layout else ElectromagneticPIC
+    return cls(config, pos, vel)

@@ -204,6 +204,7 @@ class SortedElectrostaticPIC:
     def __init__(self, config: ESConfig, position, velocity,
                  tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
+                 spill_capacity: int = 16384,
                  backend: str = "xla"):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
@@ -212,11 +213,12 @@ class SortedElectrostaticPIC:
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend {backend!r} (xla|pallas)")
         self.backend = backend
-        # spill_fallback=False drops out-of-margin deposits (warned via the
-        # spill counter) instead of compiling the exact packed-scatter
-        # branch, whose temporaries XLA reserves even when unexecuted —
-        # matters at HBM-limit particle counts.
+        # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
+        # rows per step with the exact packed transfers (compacted via
+        # ops.interp.spill_rows — fixed-size temporaries, no cond branch);
+        # False drops their deposits entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
+        self.spill_capacity = int(spill_capacity)
         self.config = config
         self.tiling = tiling or Tiling2D()
         self.resort_every = resort_every
@@ -267,8 +269,8 @@ class SortedElectrostaticPIC:
                 RuntimeWarning, stacklevel=3)
 
     def _make_step(self):
-        from ..ops.interp import cic_deposit_packed
-        from ..ops.sorted_deposit import deposit_sorted_2d
+        from ..ops.interp import cic_deposit_packed, spill_rows_cond
+        from ..ops.sorted_deposit import deposit_sorted_2d, gather_sorted_2d
 
         config = self.config
         tiling = self.tiling
@@ -278,6 +280,7 @@ class SortedElectrostaticPIC:
         qm_dt = config.charge / config.mass * config.dt
         w0 = config.charge / config.cell_volume
         use_fallback = self.spill_fallback
+        capacity = self.spill_capacity
 
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
@@ -285,20 +288,27 @@ class SortedElectrostaticPIC:
             rho, spill, spill_mask = deposit_sorted_2d(
                 state.position, w, state.tile_id, shape, tiling)
             if use_fallback:
-                # exact fallback: particles past the sort margin deposit via
-                # the packed scatter — only paid on steps with spill
-                rho = rho + jax.lax.cond(
-                    spill > 0,
-                    lambda: cic_deposit_packed(
-                        jnp.mod(state.position, grid_f),
-                        jnp.where(spill_mask, w, 0.0), shape),
-                    lambda: jnp.zeros(shape, jnp.float32))
+                # exact patch: up to `capacity` past-the-margin rows deposit
+                # via the packed scatter on compacted (capacity,) buffers;
+                # the O(N) compaction runs only on steps with spill
+                idx, ok = spill_rows_cond(spill_mask, spill, capacity,
+                                          state.position.shape[0])
+                rho = rho + cic_deposit_packed(
+                    jnp.mod(state.position[idx], grid_f),
+                    jnp.where(ok, w[idx], 0.0), shape)
             if config.neutralizing_background:
                 # zero-mean over real charge (fillers carry none)
                 rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
             _, e_grid = solve_fields(config, rho)
-            e_at_p = cic_gather_packed(e_grid, jnp.mod(state.position, grid_f),
-                                       shape)
+            # tile-window gather (~5x the packed row gather's throughput);
+            # gather and deposit share the window criterion at the same
+            # positions, so the deposit's spill idx patches both
+            e_at_p, _ = gather_sorted_2d(e_grid, state.position,
+                                         state.tile_id, shape, tiling)
+            if use_fallback:
+                e_k = cic_gather_packed(
+                    e_grid, jnp.mod(state.position[idx], grid_f), shape)
+                e_at_p = e_at_p.at[idx].set(e_k, mode="drop")
             velocity = state.velocity + qm_dt * e_at_p
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
             position = state.position + (config.dt * velocity) / dx
@@ -338,38 +348,40 @@ class SortedElectrostaticPIC:
         c_z = float(config.dt / config.cell_size[1])
         w0 = config.charge / config.cell_volume
         use_fallback = self.spill_fallback
+        capacity = self.spill_capacity
         # Mosaic kernels need real TPU hardware; CPU (tests) interprets
         interpret = jax.default_backend() != "tpu"
 
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
+            from ..ops.interp import spill_rows_cond
+
             rho = state.rho
             if config.neutralizing_background:
                 rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
             _, e_grid = solve_fields(config, rho)
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
+            # out-of-window rows come back frozen (kernel-side select); the
+            # exact patch below re-pushes up to `capacity` of them
             pos, vel, rho_new, in_win = fused_es2d_substep(
                 e_grid, state.position, state.velocity, w, state.tile_id,
                 shape, tiling, qm_dt, c_r, c_z, interpret=interpret)
             spill_mask = (~in_win) & state.valid
             spill = jnp.sum(spill_mask)
             if use_fallback:
-                # exact patch for rows past the sort margin: slow packed
-                # gather/scatter, paid only on steps with spill
-                def patched():
-                    e_sp = cic_gather_packed(
-                        e_grid, jnp.mod(state.position, grid_f), shape)
-                    vel_c = state.velocity + qm_dt * e_sp
-                    pos_c = jnp.mod(
-                        state.position + config.dt * vel_c / dx, grid_f)
-                    sp = spill_mask[:, None]
-                    rho_c = rho_new + cic_deposit_packed(
-                        pos_c, jnp.where(spill_mask, w, 0.0), shape)
-                    return (jnp.where(sp, pos_c, pos),
-                            jnp.where(sp, vel_c, vel), rho_c)
-
-                pos, vel, rho_new = jax.lax.cond(
-                    spill > 0, patched, lambda: (pos, vel, rho_new))
+                # compacted exact patch: the O(N) index compaction runs only
+                # on steps WITH spill (lax.cond); the K-row gather/scatter
+                # ops below are sentinel no-ops on clean steps
+                idx, ok = spill_rows_cond(spill_mask, spill, capacity,
+                                          pos.shape[0])
+                pos_k = jnp.mod(state.position[idx], grid_f)
+                e_k = cic_gather_packed(e_grid, pos_k, shape)
+                vel_k = state.velocity[idx] + qm_dt * e_k
+                pos_k = jnp.mod(pos_k + config.dt * vel_k / dx, grid_f)
+                rho_new = rho_new + cic_deposit_packed(
+                    pos_k, jnp.where(ok, w[idx], 0.0), shape)
+                pos = pos.at[idx].set(pos_k, mode="drop")
+                vel = vel.at[idx].set(vel_k, mode="drop")
             return state._replace(position=pos, velocity=vel, rho=rho_new,
                                   step=state.step + 1,
                                   spill=state.spill + spill.astype(jnp.int32))

@@ -5,19 +5,28 @@ The XLA form (ops/sorted_deposit.gather_sorted_2d) materializes the
 VMEM, so the whole gather is MXU matmuls + VPU tents with zero HBM
 intermediates beyond the windows themselves.
 
-Per block b (P particles, one (wr, wz) window W):
+Layout rules this kernel was tuned around (measured on v5e, see
+PERFORMANCE.md "Pallas lowering pitfalls"):
 
-    value_p = sum_{h,l} ar[p,h] az[p,l] W[h,l]        (separable CIC)
-            = rowsum( ar * (az @ W^T) )               (two 2D ops, MXU+VPU)
+- particles ride the LANE axis; window offsets ride SUBLANES.  Per block
+  (P particles, one (wr, wz) window W):
 
-with ar/az the CIC tent weights  max(0, 1 - |local - iota|)  — built as 2D
-(P, w) arrays only (the (P, wr, wz) broadcast that Mosaic rejects is never
-formed; round-1 negative result, PERFORMANCE.md).
+      ar[h, p] = tent(lr_p - h)            (wr, P)  sublane-iota broadcast
+      az[l, p] = tent(lz_p - l)            (wz, P)
+      u        = W^T @ ar                  (wz, P)  one MXU matmul
+      value_p  = sum_l az[l, p] * u[l, p]  (1,  P)  sublane reduce
 
-Mosaic tiling rules (block last-two dims divisible by (8, 128) or equal to
-the array dims) shape the data layout: particle rows are fed as
-(P/128, 128) blocks of an (nb*P/128, 128) array, block origins ride the
-scalar-prefetch channel, and windows/outputs use whole-dim blocks.
+- G blocks share one grid step ((1, G, P) row blocks) to amortize per-step
+  pipeline overhead (~7 us/step measured);
+- per-g results are CONCATENATED and written once per step — single-sublane
+  ref reads/writes lower to scalar loops (~10 us/block measured!);
+- the whole per-tile window set stays RESIDENT in VMEM (a few MB) and each
+  block fetches its window by dynamic leading-dim indexing (measured free);
+- window-relative (local) coordinates are precomputed in XLA — no per-g
+  scalar origin reads in the kernel;
+- scalar prefetch operands are 1D (2D SMEM operands row-pad to 512 B and
+  overflow the 1 MiB SMEM at ~10k blocks);
+- tpu.iota is integer-only: build int32, convert on the VPU.
 
 Gather of the reference's hot loop: empic.js:749-773 samples 4 coefficient
 textures per particle; the sorted-window form replaces its per-particle
@@ -35,36 +44,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather2d_kernel(origin_ref, pos_r_ref, pos_z_ref, win_ref, out_ref,
-                     *, nr, nz, wr, wz, n_c, mode):
-    sub, lanes = pos_r_ref.shape
-    p = sub * lanes
-    b = pl.program_id(0)
-    orr = origin_ref[b, 0].astype(jnp.float32)
-    orz = origin_ref[b, 1].astype(jnp.float32)
-
-    lr = jnp.mod(pos_r_ref[...].reshape(p, 1) - orr, float(nr))
-    lz = jnp.mod(pos_z_ref[...].reshape(p, 1) - orz, float(nz))
-
-    iota_r = jax.lax.broadcasted_iota(jnp.float32, (p, wr), 1)
-    iota_z = jax.lax.broadcasted_iota(jnp.float32, (p, wz), 1)
-    if mode == "cic":
-        # CIC = tent: covers both corners, zero outside the window
-        ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))
-        az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z))
-    else:  # nearest: box at floor(local)
-        dr = lr - iota_r
-        dz = lz - iota_z
-        ar = ((dr >= 0.0) & (dr < 1.0)).astype(jnp.float32)
-        az = ((dz >= 0.0) & (dz < 1.0)).astype(jnp.float32)
-
+def _gather2d_kernel(tile_ref, lr_ref, lz_ref, win_ref, out_ref,
+                     *, wr, wz, n_c, n_g, mode, precision):
+    s = pl.program_id(0)
+    p = lr_ref.shape[-1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
+    lr_all = lr_ref[0]  # (G, P) — read whole rows once
+    lz_all = lz_ref[0]
+    rows = [[] for _ in range(n_c)]
+    for g in range(n_g):
+        t = tile_ref[s * n_g + g]
+        lr = jax.lax.slice(lr_all, (g, 0), (g + 1, p))
+        lz = jax.lax.slice(lz_all, (g, 0), (g + 1, p))
+        if mode == "cic":
+            # CIC = tent: covers both corners, zero outside the window
+            ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr, P)
+            az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z))  # (wz, P)
+        else:  # nearest: box at floor(local)
+            dr = lr - iota_r
+            dz = lz - iota_z
+            ar = ((dr >= 0.0) & (dr < 1.0)).astype(jnp.float32)
+            az = ((dz >= 0.0) & (dz < 1.0)).astype(jnp.float32)
+        for c in range(n_c):
+            u = jax.lax.dot_general(
+                win_ref[t, c], ar, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            rows[c].append(jnp.sum(az * u, axis=0, keepdims=True))
     for c in range(n_c):
-        w = win_ref[0, c]  # (wz, wr)
-        t = jnp.dot(az, w, preferred_element_type=jnp.float32)  # (P, wr)
-        out_ref[0, c, :] = jnp.sum(ar * t, axis=1)
+        out_ref[0, c] = jnp.concatenate(rows[c], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "tiling", "mode", "interpret"))
+def _local_coords(position, tile_id, shape, tiling, p_blk):
+    """Window-relative coordinates per particle (XLA side, fully vectorized).
+
+    Periodic wrap folds domain-edge crossings back into the window, exactly
+    like the XLA sorted paths (sorted_deposit.py)."""
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    m = tiling.margin
+    n = position.shape[0]
+    nb = n // p_blk
+    blk_tile = tile_id[::p_blk].astype(jnp.int32)
+    blk_tr = (blk_tile // ntz) * tiling.tile_r - m
+    blk_tz = (blk_tile % ntz) * tiling.tile_z - m
+    lr = jnp.mod(position[:, 0].reshape(nb, p_blk) - blk_tr[:, None].astype(position.dtype), nr)
+    lz = jnp.mod(position[:, 1].reshape(nb, p_blk) - blk_tz[:, None].astype(position.dtype), nz)
+    return blk_tile, blk_tr, blk_tz, lr, lz
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "mode",
+                                             "precision", "interpret"))
 def gather_sorted_2d_pallas(
     grid: jax.Array,
     position: jax.Array,
@@ -72,11 +102,14 @@ def gather_sorted_2d_pallas(
     shape: tuple[int, int],
     tiling,
     mode: str = "cic",
+    precision: str = "highest",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in Pallas replacement for gather_sorted_2d (same contract:
-    returns ``(values (N[, C]), in_win (N,))``; out-of-window values are 0
-    here — callers already patch ``~in_win`` rows via the exact path).
+    returns ``(values (N[, C]), in_win (N,))``; out-of-window values are
+    garbage here — callers already patch ``~in_win`` rows via the exact
+    path).  ``precision='default'`` uses single-pass bf16 MXU matmuls
+    (~20% faster, ~1e-3 relative error); 'highest' is f32-exact.
 
     Requires ``tiling.block`` to be a multiple of 128 (lane width)."""
     from .sorted_deposit import extract_tile_windows
@@ -86,7 +119,6 @@ def gather_sorted_2d_pallas(
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
-    sub = p_blk // 128
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
@@ -94,42 +126,51 @@ def gather_sorted_2d_pallas(
     n_c = int(np.prod(channels)) if channels else 1
     n = position.shape[0]
     nb = n // p_blk
+    n_g = 32                     # blocks per grid step (amortizes ~7us/step)
+    nb_pad = -(-nb // n_g) * n_g
+    nsteps = nb_pad // n_g
 
-    blk_tile = tile_id[::p_blk]
-    blk_tr = (blk_tile // ntz) * tiling.tile_r - m
-    blk_tz = (blk_tile % ntz) * tiling.tile_z - m
-    origins = jnp.stack([blk_tr, blk_tz], axis=-1).astype(jnp.int32)  # (nb, 2)
+    blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
+        position, tile_id, shape, tiling, p_blk)
+    if nb_pad != nb:
+        # dead filler blocks: tile 0 with far-out local coords -> zero tents
+        blk_tile = jnp.concatenate(
+            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+        fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
+        lr = jnp.concatenate([lr, fill])
+        lz = jnp.concatenate([lz, fill])
 
     win = extract_tile_windows(grid.reshape(nr, nz, n_c), shape, tiling, wr, wz)
-    win_b = win.reshape(ntr * ntz, wr, wz, n_c)[blk_tile]      # (nb, wr, wz, C)
-    win_b = win_b.transpose(0, 3, 2, 1)                        # (nb, C, wz, wr)
+    win_t = win.reshape(ntr * ntz, wr, wz, n_c).transpose(0, 3, 2, 1)
 
-    pos_r = position[:, 0].reshape(nb * sub, 128)
-    pos_z = position[:, 1].reshape(nb * sub, 128)
-
-    kernel = functools.partial(_gather2d_kernel, nr=nr, nz=nz, wr=wr, wz=wz,
-                               n_c=n_c, mode=mode)
-    row_spec = pl.BlockSpec((sub, 128), lambda b, *_: (b, 0),
+    kernel = functools.partial(_gather2d_kernel, wr=wr, wz=wz, n_c=n_c,
+                               n_g=n_g, mode=mode, precision=precision)
+    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nsteps,),
         in_specs=[
             row_spec, row_spec,
-            pl.BlockSpec((1, n_c, wz, wr), lambda b, *_: (b, 0, 0, 0),
+            # whole window set resident in VMEM; blocks index it dynamically
+            pl.BlockSpec((ntr * ntz, n_c, wz, wr), lambda s, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_c, p_blk), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, n_c, n_g, p_blk), lambda s, *_: (s, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, n_c, p_blk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nsteps, n_c, n_g, p_blk), jnp.float32),
+        # resident window set lane-pads each (wz, wr) window to (wz, 128);
+        # give the kernel headroom over the 16 MB default (v5e: 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(origins, pos_r, pos_z, win_b)
+    )(blk_tile, lr.reshape(nsteps, n_g, p_blk), lz.reshape(nsteps, n_g, p_blk),
+      win_t)
 
-    vals = out.transpose(0, 2, 1).reshape(n, n_c)
+    vals = out.transpose(0, 2, 3, 1).reshape(nb_pad * p_blk, n_c)[:n]
     vals = vals.reshape(n, *channels) if channels else vals.reshape(n)
 
     # in_win (XLA, cheap dense): same criterion as gather_sorted_2d

@@ -4,24 +4,27 @@ This is the north-star shape (BASELINE: "push+deposit+solve fused in one
 jit"): per particle block, everything between two field solves happens in
 VMEM —
 
-    E_p   = rowsum(ar * (az @ E_win_c))      gather (separable CIC, MXU)
-    v'    = v + (q dt / m) E_p               kick   (VPU)
-    x'    = x + dt v' / dx                   drift  (VPU)
-    W_rho = ar'^T @ (az' * w)                deposit at x' (MXU, K=P)
+    E_p   = sublane-reduce(az * (W_c^T @ ar))   gather (separable CIC, MXU)
+    v'    = v + (q dt / m) E_p                  kick   (VPU)
+    x'    = x + dt v' / dx                      drift  (VPU)
+    W_rho = arn @ (azn * w)^T                   deposit at x' (MXU, K=P)
 
 The field solve (FFT Poisson) stays in XLA between kernels; the step carries
 rho across steps (solve this step's E from last step's deposit — the same
 deposit->solve->gather->push sequence, re-cut so one kernel spans the
 particle work).
 
+Kernel layout follows the tuned recipe in ops/pallas_gather.py: particles on
+lanes / window offsets on sublanes, G blocks per grid step, value-slice
+reads + concat-once writes (single-sublane ref accesses lower to scalar
+loops), resident VMEM window set with dynamic per-block indexing, 1D scalar
+prefetch, XLA-precomputed local coordinates.  The whole substep runs in the
+block's LOCAL window frame; positions map back to global in XLA afterwards.
+
 Out-of-window rows (drifted past the sort margin since the last resort, or
 pushed out this substep) contribute NO deposit and are flagged; the model
 patches them with the exact packed path under its spill_fallback cond —
 identical semantics to the XLA sorted model.
-
-Mosaic layout notes: particle rows are (P/128, 128) blocks of
-(nb*P/128, 128) arrays; block origins ride the scalar-prefetch channel
-(see ops/pallas_gather.py).
 """
 
 from __future__ import annotations
@@ -30,67 +33,81 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _es2d_kernel(origin_ref, posr_ref, posz_ref, velr_ref, velz_ref, w_ref,
+def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                  ewin_ref,
-                 nposr_ref, nposz_ref, nvelr_ref, nvelz_ref, rho_ref, inw_ref,
-                 *, nr, nz, wr, wz, qm_dt, c_r, c_z):
-    sub, lanes = posr_ref.shape
-    p = sub * lanes
-    b = pl.program_id(0)
-    orr = origin_ref[b, 0].astype(jnp.float32)
-    orz = origin_ref[b, 1].astype(jnp.float32)
+                 nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref, inw_ref,
+                 *, wr, wz, n_g, qm_dt, c_r, c_z, precision, dep_precision):
+    s = pl.program_id(0)
+    p = lr_ref.shape[-1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
+    lr_all, lz_all = lr_ref[0], lz_ref[0]          # (G, P)
+    vr_all, vz_all = velr_ref[0], velz_ref[0]
+    w_all = w_ref[0]
+    o_lr, o_lz, o_vr, o_vz, o_inw = [], [], [], [], []
+    for g in range(n_g):
+        t = tile_ref[s * n_g + g]
+        sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
+        lr, lz = sl(lr_all), sl(lz_all)
+        ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr, P)
+        az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z))  # (wz, P)
+        g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (1, P)
 
-    posr = posr_ref[...].reshape(p, 1)
-    posz = posz_ref[...].reshape(p, 1)
-    lr = jnp.mod(posr - orr, float(nr))
-    lz = jnp.mod(posz - orz, float(nz))
+        # gather E (2 channels), kick, drift — all in the local window frame
+        ur = jax.lax.dot_general(ewin_ref[t, 0], ar, (((1,), (0,)), ((), ())),
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+        ex = jnp.sum(az * ur, axis=0, keepdims=True)  # (1, P)
+        uz = jax.lax.dot_general(ewin_ref[t, 1], ar, (((1,), (0,)), ((), ())),
+                                 precision=precision,
+                                 preferred_element_type=jnp.float32)
+        ez = jnp.sum(az * uz, axis=0, keepdims=True)
 
-    iota_r = jax.lax.broadcasted_iota(jnp.float32, (p, wr), 1)
-    iota_z = jax.lax.broadcasted_iota(jnp.float32, (p, wz), 1)
-    ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))
-    az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z))
-    g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (p, 1)
+        w = sl(w_all)
+        valid = w != 0.0
+        nvr = jnp.where(valid, sl(vr_all) + qm_dt * ex, 0.0)
+        nvz = jnp.where(valid, sl(vz_all) + qm_dt * ez, 0.0)
+        nlr = lr + c_r * nvr
+        nlz = lz + c_z * nvz
 
-    # gather E (2 channels), kick, drift
-    tr_ = jnp.dot(az, ewin_ref[0, 0], preferred_element_type=jnp.float32)
-    ex = jnp.sum(ar * tr_, axis=1, keepdims=True)
-    tz_ = jnp.dot(az, ewin_ref[0, 1], preferred_element_type=jnp.float32)
-    ez = jnp.sum(ar * tz_, axis=1, keepdims=True)
+        # deposit at the new (local) position — next step's rho
+        arn = jnp.maximum(0.0, 1.0 - jnp.abs(nlr - iota_r))
+        azn = jnp.maximum(0.0, 1.0 - jnp.abs(nlz - iota_z))
+        d_inw = ((nlr >= 0.0) & (nlr < float(wr - 1))
+                 & (nlz >= 0.0) & (nlz < float(wz - 1)))
+        inw = g_inw & d_inw
+        wm = jnp.where(inw, w, 0.0)
+        # freeze out-of-window rows at their inputs: their gathered E is
+        # window-clamped garbage; the model re-pushes them exactly via its
+        # compacted spill patch (free here vs ~6 ms of (N,2) selects in XLA)
+        nlr = jnp.where(inw, nlr, lr)
+        nlz = jnp.where(inw, nlz, lz)
+        nvr = jnp.where(inw, nvr, sl(vr_all))
+        nvz = jnp.where(inw, nvz, sl(vz_all))
+        rho_ref[0, g] = jax.lax.dot_general(
+            arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=dep_precision, preferred_element_type=jnp.float32)
 
-    w = w_ref[...].reshape(p, 1)
-    valid = w != 0.0
-    velr = velr_ref[...].reshape(p, 1)
-    velz = velz_ref[...].reshape(p, 1)
-    nvelr = jnp.where(valid, velr + qm_dt * ex, 0.0)
-    nvelz = jnp.where(valid, velz + qm_dt * ez, 0.0)
-    nposr = jnp.mod(posr + c_r * nvelr, float(nr))
-    nposz = jnp.mod(posz + c_z * nvelz, float(nz))
-
-    # deposit at the new position (next step's rho)
-    nlr = jnp.mod(nposr - orr, float(nr))
-    nlz = jnp.mod(nposz - orz, float(nz))
-    arn = jnp.maximum(0.0, 1.0 - jnp.abs(nlr - iota_r))
-    azn = jnp.maximum(0.0, 1.0 - jnp.abs(nlz - iota_z))
-    d_inw = (nlr < float(wr - 1)) & (nlz < float(wz - 1))
-    inw = g_inw & d_inw
-    wm = jnp.where(inw, w, 0.0)
-    rho_ref[0] = jax.lax.dot_general(
-        arn, azn * wm, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (wr, wz)
-
-    nposr_ref[...] = nposr.reshape(sub, lanes)
-    nposz_ref[...] = nposz.reshape(sub, lanes)
-    nvelr_ref[...] = nvelr.reshape(sub, lanes)
-    nvelz_ref[...] = nvelz.reshape(sub, lanes)
-    inw_ref[...] = inw.astype(jnp.float32).reshape(sub, lanes)
+        o_lr.append(nlr)
+        o_lz.append(nlz)
+        o_vr.append(nvr)
+        o_vz.append(nvz)
+        o_inw.append(inw.astype(jnp.float32))
+    nlr_ref[0] = jnp.concatenate(o_lr, axis=0)
+    nlz_ref[0] = jnp.concatenate(o_lz, axis=0)
+    nvelr_ref[0] = jnp.concatenate(o_vr, axis=0)
+    nvelz_ref[0] = jnp.concatenate(o_vz, axis=0)
+    inw_ref[0] = jnp.concatenate(o_inw, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_dt",
-                                             "c_r", "c_z", "interpret"))
+                                             "c_r", "c_z", "precision",
+                                             "interpret"))
 def fused_es2d_substep(
     e_grid: jax.Array,
     position: jax.Array,
@@ -102,6 +119,7 @@ def fused_es2d_substep(
     qm_dt: float,
     c_r: float,
     c_z: float,
+    precision: str = "highest",
     interpret: bool = False,
 ):
     """One fused particle substep for tile-sorted 2D ES PIC.
@@ -111,8 +129,14 @@ def fused_es2d_substep(
     Returns ``(position', velocity', rho', in_win)`` where rho' is the
     charge deposited at the NEW positions (feeds the next step's solve) and
     in_win flags rows whose gather AND deposit stayed inside their block
-    window.
+    window.  ``~in_win`` rows come back FROZEN at their input position/
+    velocity with no deposit — the caller re-pushes them exactly (see
+    SortedElectrostaticPIC's compacted spill patch).  ``precision`` selects the E-gather matmul passes ('default' =
+    single-pass bf16, ~1e-3 relative field error); the deposit matmul
+    follows ``tiling.dtype`` (charge conservation is more
+    rounding-sensitive than the gathered field).
     """
+    from .pallas_gather import _local_coords
     from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
 
     nr, nz = shape
@@ -120,43 +144,57 @@ def fused_es2d_substep(
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
-    sub = p_blk // 128
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
     n = position.shape[0]
     nb = n // p_blk
+    n_g = 32                     # blocks per grid step (amortizes ~7us/step)
+    nb_pad = -(-nb // n_g) * n_g
+    nsteps = nb_pad // n_g
+    n_pad = nb_pad * p_blk
 
-    blk_tile = tile_id[::p_blk]
-    blk_tr = (blk_tile // ntz) * tiling.tile_r - m
-    blk_tz = (blk_tile % ntz) * tiling.tile_z - m
-    origins = jnp.stack([blk_tr, blk_tz], axis=-1).astype(jnp.int32)
+    blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
+        position, tile_id, shape, tiling, p_blk)
+    if nb_pad != nb:
+        # dead filler blocks: tile 0, zero weight, far-out local coords
+        blk_tile = jnp.concatenate(
+            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+        fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
+        lr = jnp.concatenate([lr, fill])
+        lz = jnp.concatenate([lz, fill])
 
     ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
-    ewin_b = ewin.reshape(ntr * ntz, wr, wz, 2)[blk_tile]  # (nb, wr, wz, 2)
-    ewin_b = ewin_b.transpose(0, 3, 2, 1)                  # (nb, 2, wz, wr)
+    ewin_t = ewin.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
 
-    rows = lambda v: v.reshape(nb * sub, 128)
-    posr, posz = rows(position[:, 0]), rows(position[:, 1])
+    def rows(v):
+        if v.shape[0] != n_pad:
+            v = jnp.concatenate([v, jnp.zeros((n_pad - n,), v.dtype)])
+        return v.reshape(nsteps, n_g, p_blk)
+
     velr, velz = rows(velocity[:, 0]), rows(velocity[:, 1])
     w = rows(weights)
 
-    kernel = functools.partial(_es2d_kernel, nr=nr, nz=nz, wr=wr, wz=wz,
-                               qm_dt=qm_dt, c_r=c_r, c_z=c_z)
-    row_spec = pl.BlockSpec((sub, 128), lambda b, *_: (b, 0),
+    dep_precision = ("default" if getattr(tiling, "dtype", "float32")
+                     == "bfloat16" else "highest")
+    kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, n_g=n_g,
+                               qm_dt=qm_dt, c_r=c_r, c_z=c_z,
+                               precision=precision,
+                               dep_precision=dep_precision)
+    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
-    row_shape = jax.ShapeDtypeStruct((nb * sub, 128), jnp.float32)
+    row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nsteps,),
         in_specs=[
             row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, 2, wz, wr), lambda b, *_: (b, 0, 0, 0),
+            pl.BlockSpec((ntr * ntz, 2, wz, wr), lambda s, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, wr, wz), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, n_g, wr, wz), lambda s, *_: (s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
         ),
@@ -166,14 +204,27 @@ def fused_es2d_substep(
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((nb, wr, wz), jnp.float32),
+            jax.ShapeDtypeStruct((nsteps, n_g, wr, wz), jnp.float32),
             row_shape,
         ),
+        # the resident window set lane-pads each (wz, wr) window to
+        # (wz, 128) -> ~12.6 MB at 512^2/tile 32; the default 16 MB scoped
+        # VMEM limit is too tight with the row operands on top (v5e has
+        # 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(origins, posr, posz, velr, velz, w, ewin_b)
-    nposr, nposz, nvelr, nvelz, rho_win, inw = outs
+    )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)), velr, velz, w,
+      ewin_t)
+    nlr, nlz, nvelr, nvelz, rho_win, inw = outs
 
-    position_out = jnp.stack([nposr.reshape(n), nposz.reshape(n)], axis=-1)
-    velocity_out = jnp.stack([nvelr.reshape(n), nvelz.reshape(n)], axis=-1)
-    rho = _assemble_tile_windows(rho_win, blk_tile, shape, tiling, wr, wz)
-    return position_out, velocity_out, rho, inw.reshape(n) > 0.5
+    # back to global coordinates (periodic); drop filler rows
+    orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
+    orz = jnp.repeat(blk_tz.astype(jnp.float32), p_blk)
+    position_out = jnp.stack(
+        [jnp.mod(nlr.reshape(n_pad)[:n] + orr, nr),
+         jnp.mod(nlz.reshape(n_pad)[:n] + orz, nz)], axis=-1)
+    velocity_out = jnp.stack([nvelr.reshape(n_pad)[:n],
+                              nvelz.reshape(n_pad)[:n]], axis=-1)
+    rho = _assemble_tile_windows(rho_win.reshape(nb_pad, wr, wz), blk_tile,
+                                 shape, tiling, wr, wz)
+    return position_out, velocity_out, rho, inw.reshape(n_pad)[:n] > 0.5

@@ -267,3 +267,61 @@ def test_viewer_http_api():
             assert e.code == 400
     finally:
         srv.shutdown()
+
+def test_viewer_model_registry_and_diagnostics_series():
+    """ES/EM scenario serving, the spindle endpoint, and the diagnostics
+    time-series endpoint (the full engine surface of empic.js:1157-1526)."""
+    from fusion_sim_tpu.viewer.server import serve
+
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(obj or {}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.read()
+
+    try:
+        # ES two-stream scenario served with phase-space frames
+        out = post("/api/config", {"model": "es", "scenario": "two_stream",
+                                   "n_particles": 2048, "n_cells": 32})
+        assert out["ok"] and out["model"] == "es"
+        assert post("/api/step", {"n": 4})["steps"] == 4
+        assert get("/frame.png")[:4] == b"\x89PNG"
+        diag = json.loads(get("/api/diagnostics"))
+        assert len(diag["series"]) >= 2  # configure sample + step sample
+        assert {"step", "field", "kinetic"} <= set(diag["series"][-1])
+        # since= filters by step
+        diag0 = json.loads(get("/api/diagnostics?since=3"))
+        assert all(s["step"] > 3 for s in diag0["series"])
+
+        # EM weibel scenario
+        out = post("/api/config", {"model": "em", "scenario": "weibel",
+                                   "n_particles": 4096, "n_cells": 16})
+        assert out["ok"] and out["model"] == "em"
+        assert post("/api/step", {"n": 2})["steps"] == 2
+        assert get("/frame.png")[:4] == b"\x89PNG"
+        assert json.loads(get("/api/state"))["model"] == "em"
+
+        # pusher + the spindle-cusp BEM endpoint (empic.js:1369-1378)
+        out = post("/api/config", {
+            "radius": 1.0, "height": 2.0, "nr": 16, "nz": 32, "dt": 2e-9,
+            "nparticles": 8, "particle_mass": 1.67e-27,
+            "particle_charge": 1.602e-19})
+        assert out["ok"] and out["model"] == "pusher"
+        out = post("/api/add_spindle_cusp_plasma_field",
+                   {"coil_current": 1e6, "n_power": 2})
+        assert out["ok"]
+        assert post("/api/precalc")["ok"]
+        assert post("/api/step", {"n": 1})["steps"] == 1
+    finally:
+        srv.shutdown()
