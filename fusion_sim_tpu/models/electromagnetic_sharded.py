@@ -51,6 +51,9 @@ class ShardedEMState(NamedTuple):
     e: jax.Array          # (*grid, 3)
     b: jax.Array          # (*grid, 3)
     overflow: jax.Array   # (n_shards,) cumulative migration overflow
+    # sorted-layout composition only:
+    tile_id: jax.Array | None = None  # (n_shards*cap,) pseudo-grid tile per slot
+    spill: jax.Array | None = None    # (n_shards,) cumulative out-of-window rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +62,13 @@ class ShardedEMConfig:
     n_shards: int
     capacity: int          # particle slots per shard
     migration_buffer: int  # max migrants per direction per step
+    # sorted-layout composition (tiling != None): per-shard tile-sorted
+    # padded particle layout with digit-matmul gather/deposit; migrants land
+    # in dead slots and self-flag as out-of-window spills (exact-patched up
+    # to spill_capacity rows/step) until the next per-shard resort.
+    tiling: object | None = None
+    resort_every: int = 6
+    spill_capacity: int = 16384
 
     @property
     def slab(self) -> int:
@@ -71,6 +81,44 @@ class ShardedEMConfig:
                 f"slab width {slab} < deposition apron {APRON_W}; use fewer "
                 "shards or a finer x-grid")
         return slab
+
+    @property
+    def tile_x(self) -> int:
+        t = self.tiling
+        return t.tile_r if self.base.n_dim == 2 else t.tile[0]
+
+    @property
+    def halo_w(self) -> int:
+        """Sorted-path halo/apron width: covers the gather window reach
+        (margin + CIC corner + field centering) and the Esirkepov apron,
+        rounded so the pseudo-grid stays tile-divisible."""
+        need = max(self.tiling.margin + 2, APRON_W)
+        h = -(-need // self.tile_x) * self.tile_x
+        # windows of halo tiles wrap the pseudo-grid edge; particles must
+        # never reach the wrapped rows (they stay >= halo_w - margin - 1)
+        if h < 2 * self.tiling.margin + 1:
+            h += self.tile_x
+        return h
+
+    @property
+    def pseudo_shape(self) -> tuple[int, ...]:
+        """Per-shard halo-padded local grid the sorted ops tile."""
+        if self.slab % self.tile_x:
+            raise ValueError(f"slab {self.slab} not divisible by x-tile "
+                             f"{self.tile_x}")
+        return (self.slab + 2 * self.halo_w, *self.base.grid_shape[1:])
+
+    @property
+    def cap_padded(self) -> int:
+        """Per-shard slot count for the sorted layout: capacity + worst-case
+        per-tile block padding (resort output truncates back to this)."""
+        import numpy as _np
+
+        if self.capacity % self.tiling.block:
+            raise ValueError(f"capacity {self.capacity} not a multiple of "
+                             f"block {self.tiling.block}")
+        n_tiles = int(_np.prod(self.tiling.n_tiles(self.pseudo_shape)))
+        return self.capacity + n_tiles * self.tiling.block
 
 
 def distribute(config: ShardedEMConfig, position: np.ndarray,
@@ -214,6 +262,225 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
     return step
 
 
+def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
+                                axis: str = "space"):
+    """Sorted-layout composition: per-shard tile-sorted padded particles with
+    digit-matmul gather/deposit (ops/sorted_deposit) inside the shard_map
+    step.  The sorted ops run on a halo-padded local "pseudo-grid"
+    (slab + 2*halo_w in x, tile-divisible); edge-tile windows read real
+    neighbor data from the halo, and the deposition apron folds back with
+    the same width.  Migrants written into dead slots by migrate_ring keep
+    the slot's block tile_id, self-flag as out-of-window rows, and take the
+    compacted exact patch until the next per-shard resort
+    (make_sharded_resort_fn)."""
+    from ..ops.interp import cic_gather_packed, spill_rows_cond
+    from ..ops.sorted_deposit import (esirkepov_sorted_2d, esirkepov_sorted_3d,
+                                      gather_sorted_2d, gather_sorted_3d)
+
+    base = config.base
+    tiling = config.tiling
+    ndim = base.n_dim
+    nx = base.grid_shape[0]
+    rest = base.grid_shape[1:]
+    slab = config.slab
+    H = config.halo_w
+    pseudo_shape = config.pseudo_shape
+    capacity = config.spill_capacity
+    dxv = jnp.asarray(base.cell_size, jnp.float32)
+    dt = base.dt
+    qm_half_dt = base.charge / base.mass * dt * 0.5
+    e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
+    b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
+    rest_f = jnp.asarray(rest, jnp.float32)
+    n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+
+    def _dist_left(gx, x_lo):
+        d = jnp.mod(x_lo - gx, nx)
+        return jnp.logical_and(d > 0, d <= slab / 2)
+
+    def _dist_right(gx, x_hi):
+        d = jnp.mod(gx - x_hi, nx)
+        return d < slab / 2
+
+    def to_local(position, x_lo):
+        """Global -> pseudo-grid coordinates, x centered on the slab (so
+        arrivals from the periodic-edge neighbor land near the halo, not at
+        lx ~ nx)."""
+        lx = jnp.mod(position[:, 0] - x_lo + nx / 2, nx) - nx / 2 + H
+        return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
+
+    def local_step(position, velocity, alive, tile_id, e_local, b_local,
+                   overflow, spill):
+        shard = jax.lax.axis_index(axis)
+        x_lo = (shard * slab).astype(jnp.float32)
+        n_tot = position.shape[0]
+
+        # ---- fields + sorted gather --------------------------------------
+        e_pad = halo.with_halo(e_local, axis, H)
+        b_pad = halo.with_halo(b_local, axis, H)
+        table = fdtd.center_fields(e_pad, b_pad, e_off, b_off)
+        lp0 = to_local(position, x_lo)
+        gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
+        eb, g_inw = gather_fn(table, lp0, tile_id, pseudo_shape, tiling)
+        # rows in surplus dead blocks (tile_id = n_tiles, e.g. migrants
+        # dropped there) index a clamped window and can spuriously pass the
+        # in-window test — force them onto the exact patch
+        bad_block = tile_id >= n_tiles_ps
+        g_mask = jnp.logical_and(
+            jnp.logical_or(jnp.logical_not(g_inw), bad_block), alive)
+        g_idx, _ = spill_rows_cond(g_mask, jnp.sum(g_mask), capacity, n_tot)
+        eb_k = cic_gather_packed(table, lp0[g_idx], pseudo_shape)
+        eb = eb.at[g_idx].set(eb_k, mode="drop")
+
+        # ---- push --------------------------------------------------------
+        velocity = boris_kick(velocity, eb[:, :3], eb[:, 3:], qm_half_dt,
+                              base.relativistic, base.c)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        if base.relativistic:
+            gamma = jnp.sqrt(1.0 + jnp.sum((velocity / base.c) ** 2,
+                                           axis=-1, keepdims=True))
+            coord_v = velocity / gamma
+        else:
+            coord_v = velocity
+        lp1 = lp0 + dt * coord_v[:, :ndim] / dxv  # unwrapped pseudo coords
+
+        # ---- sorted Esirkepov deposit + compacted exact patch ------------
+        charge = jnp.where(alive, jnp.float32(base.charge), 0.0)
+        # bad-block rows must not deposit through a clamped window either —
+        # zero them in the sorted pass, exact-patch them below
+        charge_sorted = jnp.where(bad_block, 0.0, charge)
+        if ndim == 2:
+            j_pad, d_spill, d_mask = esirkepov_sorted_2d(
+                lp0, lp1, coord_v[:, 2], charge_sorted, tile_id, dt,
+                pseudo_shape, base.cell_size, tiling)
+        else:
+            j_pad, d_spill, d_mask = esirkepov_sorted_3d(
+                lp0, lp1, charge_sorted, tile_id, dt, pseudo_shape,
+                base.cell_size, tiling)
+        d_mask = jnp.logical_and(jnp.logical_or(d_mask, bad_block), alive)
+        n_spill = jnp.sum(d_mask)
+        d_idx, d_ok = spill_rows_cond(d_mask, n_spill, capacity, n_tot)
+        q_k = jnp.where(d_ok, charge[d_idx], 0.0)
+        if ndim == 2:
+            j_pad = j_pad + esirkepov_deposit_2d(
+                lp0[d_idx], lp1[d_idx], coord_v[d_idx, 2], q_k, dt,
+                pseudo_shape, base.cell_size)
+        else:
+            j_pad = j_pad + esirkepov_deposit_3d(
+                lp0[d_idx], lp1[d_idx], q_k, dt, pseudo_shape, base.cell_size)
+        j_local = halo.accumulate_apron(j_pad, axis, H)
+
+        # ---- Yee update with curl halos ----------------------------------
+        def curl_e_local(e):
+            return fdtd.curl_e(halo.with_halo(e, axis, 1), base.cell_size)[1:-1]
+
+        def curl_b_local(b):
+            return fdtd.curl_b(halo.with_halo(b, axis, 1), base.cell_size)[1:-1]
+
+        b_half = b_local - (0.5 * dt) * curl_e_local(e_local)
+        e_new = e_local + dt * ((base.c ** 2) * curl_b_local(b_half)
+                                - j_local / base.eps0)
+        b_new = b_half - (0.5 * dt) * curl_e_local(e_new)
+
+        # ---- back to global + migration ----------------------------------
+        gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
+        x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], rest_f)],
+                             axis=1)
+        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
+        go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
+        res = migration.migrate_ring(
+            (x1, velocity), alive, go_left, go_right, axis,
+            config.migration_buffer)
+        x1, velocity = res.arrays
+        alive = res.alive
+        overflow = overflow + res.overflow
+        spill = spill + n_spill.astype(jnp.int32)
+
+        x1 = jnp.where(alive[:, None], x1, 0.0)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        return (x1, velocity, alive, tile_id, e_new, b_new, overflow, spill)
+
+    fspec = P(axis, *([None] * ndim))
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                  fspec, fspec, P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                   fspec, fspec, P(axis), P(axis)),
+    )
+
+    @jax.jit
+    def step(state: ShardedEMState) -> ShardedEMState:
+        pos, vel, alive, tid, e, b, ov, sp = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.e, state.b, state.overflow, state.spill)
+        return ShardedEMState(position=pos, velocity=vel, alive=alive,
+                              e=e, b=b, overflow=ov, tile_id=tid, spill=sp)
+
+    return step
+
+
+def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
+                           axis: str = "space"):
+    """Per-shard local resort: rebuild the padded tile-sorted layout from the
+    fixed-capacity slots (no communication — each shard sorts its own slots;
+    dead/invalid rows sink to the trailing dead region and the output
+    truncates back to cap_padded)."""
+    from ..ops.sorted_deposit import build_padded_layout
+
+    base = config.base
+    tiling = config.tiling
+    ndim = base.n_dim
+    nx = base.grid_shape[0]
+    slab = config.slab
+    H = config.halo_w
+    pseudo_shape = config.pseudo_shape
+    cap_state = config.cap_padded
+
+    def to_local(position, x_lo):
+        lx = jnp.mod(position[:, 0] - x_lo + nx / 2, nx) - nx / 2 + H
+        return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
+
+    def local_resort(position, velocity, alive, tile_id, overflow):
+        shard = jax.lax.axis_index(axis)
+        x_lo = (shard * slab).astype(jnp.float32)
+        lp = to_local(position, x_lo)
+        alive_f = alive.astype(jnp.float32)
+        payloads = [position[:, a] for a in range(ndim)]
+        payloads += [velocity[:, c] for c in range(3)]
+        payloads.append(alive_f)
+        out = build_padded_layout(lp, pseudo_shape, tiling, *payloads,
+                                  valid=alive)
+        tid_s = out[0]
+        cols = out[2:2 + ndim]          # global position columns
+        vels = out[2 + ndim:5 + ndim]
+        alive_s = out[5 + ndim]
+        # truncate back to the static slot count; count any real rows lost
+        # (only possible when a shard holds > capacity live particles)
+        lost = jnp.sum(alive_s[cap_state:] > 0.5)
+        pos_out = jnp.stack([c[:cap_state] for c in cols], axis=-1)
+        vel_out = jnp.stack([v[:cap_state] for v in vels], axis=-1)
+        alive_out = alive_s[:cap_state] > 0.5
+        pos_out = jnp.where(alive_out[:, None], pos_out, 0.0)
+        vel_out = jnp.where(alive_out[:, None], vel_out, 0.0)
+        return (pos_out, vel_out, alive_out, tid_s[:cap_state],
+                overflow + lost.astype(jnp.int32))
+
+    fspec_in = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis))
+    mapped = shard_map(local_resort, mesh=mesh, in_specs=fspec_in,
+                       out_specs=fspec_in)
+
+    @jax.jit
+    def resort(state: ShardedEMState) -> ShardedEMState:
+        pos, vel, alive, tid, ov = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              tile_id=tid, overflow=ov)
+
+    return resort
+
+
 class ShardedElectromagneticPIC:
     """Stateful shell; mirrors ElectromagneticPIC for the sharded layout."""
 
@@ -221,14 +488,19 @@ class ShardedElectromagneticPIC:
                  velocity, e=None, b=None, axis: str = "space"):
         self.config = config
         self.mesh = mesh
+        self.sorted = config.tiling is not None
         shape = config.base.grid_shape
         ndim = config.base.n_dim
-        pos, vel, alive = distribute(config, np.asarray(position, np.float32),
+        dist_cfg = (dataclasses.replace(config, capacity=config.cap_padded)
+                    if self.sorted else config)
+        pos, vel, alive = distribute(dist_cfg,
+                                     np.asarray(position, np.float32),
                                      np.asarray(velocity, np.float32))
         zero_f = np.zeros((*shape, 3), np.float32)
         spec2 = NamedSharding(mesh, P(axis, None))
         spec1 = NamedSharding(mesh, P(axis))
         spec_f = NamedSharding(mesh, P(axis, *([None] * ndim)))
+        n_slots = pos.shape[0]
         self.state = ShardedEMState(
             position=jax.device_put(jnp.asarray(pos), spec2),
             velocity=jax.device_put(jnp.asarray(vel), spec2),
@@ -237,12 +509,27 @@ class ShardedElectromagneticPIC:
             b=jax.device_put(jnp.asarray(b if b is not None else zero_f), spec_f),
             overflow=jax.device_put(
                 jnp.zeros((config.n_shards,), jnp.int32), spec1),
+            tile_id=(jax.device_put(jnp.zeros((n_slots,), jnp.int32), spec1)
+                     if self.sorted else None),
+            spill=(jax.device_put(jnp.zeros((config.n_shards,), jnp.int32),
+                                  spec1) if self.sorted else None),
         )
-        self._step = make_sharded_step_fn(config, mesh, axis)
+        if self.sorted:
+            self._resort = make_sharded_resort_fn(config, mesh, axis)
+            self.state = self._resort(self.state)  # establish the layout
+            self._step = make_sharded_sorted_step_fn(config, mesh, axis)
+            self._since_sort = 0
+        else:
+            self._step = make_sharded_step_fn(config, mesh, axis)
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
+            if self.sorted and self._since_sort >= self.config.resort_every:
+                self.state = self._resort(self.state)
+                self._since_sort = 0
             self.state = self._step(self.state)
+            if self.sorted:
+                self._since_sort += 1
 
     def gather_particles(self) -> tuple[np.ndarray, np.ndarray]:
         """All live particles (global order unspecified)."""

@@ -192,7 +192,10 @@ def spill_rows_cond(spill_mask: jax.Array, spill: jax.Array, capacity: int,
         spill > 0,
         lambda: jnp.nonzero(spill_mask, size=capacity,
                             fill_value=n_total)[0].astype(jnp.int32),
-        lambda: jnp.full((capacity,), n_total, jnp.int32))
+        # + 0*spill keeps the branch output 'varying' under shard_map (a
+        # bare constant would be replicated and the branch types clash)
+        lambda: jnp.full((capacity,), n_total, jnp.int32)
+        + 0 * spill.astype(jnp.int32))
     ok = jnp.arange(capacity) < spill
     return idx, ok
 

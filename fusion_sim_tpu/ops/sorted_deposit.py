@@ -102,7 +102,8 @@ def sort_by_tile(position: jax.Array, shape: tuple[int, int],
 
 
 def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
-                        tiling, *payloads: jax.Array):
+                        tiling, *payloads: jax.Array,
+                        valid: jax.Array | None = None):
     """Sort particles by tile AND pad every tile's segment to a multiple of
     ``tiling.block`` with dead filler rows (weight handling is the caller's:
     fillers carry position 0 and payload 0 — give weights as a payload and
@@ -113,10 +114,16 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     further than ``margin`` cells (resort cadence).  Works for 2D
     (``Tiling2D``) and 3D (``Tiling3D``) grids.
 
+    ``valid`` (optional, (N,) bool): rows marked invalid are treated as dead
+    — they keep their payload values but sort into the trailing dead region
+    with ``tile_id = n_tiles`` (the sharded models resort fixed-capacity
+    slots without compacting on the host).
+
     Returns ``(tile_id, position, *payloads, n_valid)`` arrays of fixed
     length ``N + n_tiles*block`` (fillers sorted to the end of their tile's
-    segment; surplus fillers at the global end carry tile_id = n_tiles,
-    consumed as trailing all-dead blocks).
+    segment; surplus fillers and invalid rows at the global end carry
+    tile_id = n_tiles, consumed as trailing all-dead blocks).  ``n_valid``
+    counts the real + per-tile-filler prefix.
     """
     n_dim = len(shape)
     n_tiles = int(np.prod(tiling.n_tiles(shape)))
@@ -129,6 +136,8 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
 
     tid = (tile_ids(position, shape, tiling) if n_dim == 2
            else tile_ids_3d(position, shape, tiling))
+    if valid is not None:
+        tid = jnp.where(valid, tid, n_tiles)
     tid_sorted = jnp.sort(tid)
     # per-tile counts via boundaries in the sorted ids
     bounds = jnp.searchsorted(tid_sorted, jnp.arange(n_tiles + 1))
@@ -169,7 +178,8 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
         else:
             rest.append(jnp.stack(out[i:i + w], axis=-1))
         i += w
-    return (tid_out, pos_out, *rest, n + cum_pads[-1])
+    n_eff = n if valid is None else jnp.sum(valid)
+    return (tid_out, pos_out, *rest, n_eff + cum_pads[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling"))
@@ -476,7 +486,10 @@ def esirkepov_sorted_3d(
             win.reshape(group, -1), bt, num_segments=n_tiles)
         return tw_acc, None
 
-    tw0 = jnp.zeros((n_tiles, int(np.prod(wins)) * 3), jnp.float32)
+    # + 0*qm keeps the carry 'varying' under shard_map (a bare zeros carry
+    # is replicated and scan rejects the carry-type mismatch)
+    tw0 = (jnp.zeros((n_tiles, int(np.prod(wins)) * 3), jnp.float32)
+           + 0.0 * qm_g.ravel()[0])
     tw, _ = jax.lax.scan(group_body, tw0,
                          (*s0_g, *ds_g, *db_g, qm_g, blk_tile_g))
     tw = tw.reshape(*nts, *wins, 3)

@@ -115,3 +115,70 @@ def test_sharded_gauss_and_energy_sanity():
     assert np.isfinite(np.asarray(sim.state.e)).all()
     assert np.isfinite(np.asarray(sim.state.b)).all()
     assert int(np.asarray(sim.state.alive).sum()) == pos.shape[0]
+
+
+def test_sharded_sorted_matches_packed_2d():
+    """ShardedElectromagneticPIC with the sorted-layout composition
+    (per-shard tile-sorted padded particles, VERDICT round-1 item 4)
+    reproduces the packed sharded model and the single-device reference."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    base, pos, vel = _setup()
+    mesh = make_mesh(8, ("space",))
+
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(10)
+
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=64, tiling=tiling, resort_every=4)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(10)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(sim.state.e), np.asarray(ref.state.e),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sim.state.b), np.asarray(ref.state.b),
+                               rtol=2e-4, atol=2e-5)
+    p_sharded, _ = sim.gather_particles()
+    assert p_sharded.shape[0] == pos.shape[0]
+    ref_pos = np.asarray(ref.state.position)
+    # nearest-neighbor pairing (lexsort pairing is fragile when two distinct
+    # particles sit within f32 noise of each other along the sort axis)
+    d2 = ((p_sharded[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)  # a permutation
+    np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_sorted_matches_packed_3d():
+    """3D sorted x sharded composition (the config[4] stretch structure)."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    d = 0.5
+    n_cells = 32
+    base = em.EMConfig(grid_shape=(n_cells, n_cells, n_cells),
+                       cell_size=(d, d, d), dt=0.15 * d,
+                       charge=-0.01, mass=0.01, field_gather="centered")
+    rng = np.random.default_rng(5)
+    n = 2000
+    pos = rng.random((n, 3)) * n_cells
+    vel = 0.2 * rng.standard_normal((n, 3))
+
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(6)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling3D(tile=(4, 4, 4), block=128, margin=1)
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128, tiling=tiling, resort_every=2)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(6)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(sim.state.e), np.asarray(ref.state.e),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sim.state.b), np.asarray(ref.state.b),
+                               rtol=2e-4, atol=2e-5)
+    p_sh, _ = sim.gather_particles()
+    assert p_sh.shape[0] == n
