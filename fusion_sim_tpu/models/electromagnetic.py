@@ -401,30 +401,29 @@ class SortedElectromagneticPIC:
         return step
 
     def _make_resort(self):
-        from ..ops.sorted_deposit import (build_padded_layout, tile_ids,
-                                          tile_ids_3d)
+        from ..ops.sorted_deposit import build_padded_layout
 
         config = self.config
         tiling = self.tiling
-        n_real = self.n_real
-        ndim = config.n_dim
+        n_state = self.state.position.shape[0]
 
         @jax.jit
         def resort(state: SortedEMState) -> SortedEMState:
-            tid_new = (tile_ids if ndim == 2 else tile_ids_3d)(
-                state.position, config.grid_shape, tiling)
-            key = jnp.where(state.valid, tid_new, jnp.int32(10 ** 9))
-            operands = (key,) + tuple(state.position[:, a] for a in range(ndim)) \
-                + tuple(state.velocity[:, a] for a in range(3))
-            out = jax.lax.sort(operands, num_keys=1)
-            pos = jnp.stack([out[1 + a][:n_real] for a in range(ndim)], axis=-1)
-            v_cols = [out[1 + ndim + a][:n_real] for a in range(3)]
-            tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
-                pos, config.grid_shape, tiling, *v_cols,
-                jnp.ones((n_real,), jnp.float32))
+            # ONE sort: `valid` sinks filler rows to the trailing dead
+            # region (the old compact-then-rebuild form paid two full
+            # sorts); the truncation back to the state length drops only
+            # dead rows (real count conserved — periodic, no sinks)
+            out = build_padded_layout(
+                state.position, config.grid_shape, tiling,
+                *[state.velocity[:, a] for a in range(3)],
+                state.valid.astype(jnp.float32), valid=state.valid)
+            tid, pos_p = out[0], out[1]
+            v_cols = out[2:5]
+            validp = out[5]
             return state._replace(
-                position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
-                tile_id=tid, valid=validp > 0.5)
+                position=pos_p[:n_state],
+                velocity=jnp.stack([v[:n_state] for v in v_cols], axis=-1),
+                tile_id=tid[:n_state], valid=validp[:n_state] > 0.5)
 
         return resort
 

@@ -389,31 +389,29 @@ class SortedElectrostaticPIC:
         return step
 
     def _make_resort(self):
-        from ..ops.sorted_deposit import build_padded_layout, tile_ids
+        from ..ops.sorted_deposit import build_padded_layout
 
         config = self.config
         tiling = self.tiling
-        n_real = self.n_real
+        n_state = self.state.position.shape[0]
 
         @jax.jit
         def resort(state: SortedESState) -> SortedESState:
-            # compact real rows to the front (valid count is static: no
-            # particles are created or destroyed in the periodic ES model),
-            # then rebuild the padded layout
-            tid_new = tile_ids(state.position, config.grid_shape, tiling)
-            big = jnp.int32(10 ** 9)
-            key = jnp.where(state.valid, tid_new, big)
-            out = jax.lax.sort(
-                (key, state.position[:, 0], state.position[:, 1],
-                 state.velocity[:, 0], state.velocity[:, 1]), num_keys=1)
-            pos = jnp.stack([out[1][:n_real], out[2][:n_real]], axis=-1)
-            v0, v1 = out[3][:n_real], out[4][:n_real]
-            valid = jnp.ones((n_real,), jnp.float32)
+            # ONE sort: build_padded_layout's `valid` mask sinks filler rows
+            # to the trailing dead region directly (the old two-sort form —
+            # compact then rebuild — doubled the dominant cost at 10M)
             tid, pos_p, v0p, v1p, validp, _ = build_padded_layout(
-                pos, config.grid_shape, tiling, v0, v1, valid)
+                state.position, config.grid_shape, tiling,
+                state.velocity[:, 0], state.velocity[:, 1],
+                state.valid.astype(jnp.float32), valid=state.valid)
+            # layout length is static: input N + n_tiles*block; the input
+            # already carries n_tiles*block filler rows, all of which land
+            # in the trailing dead region -> the truncation drops only dead
+            # rows (real count is conserved in the periodic ES model)
             return SortedESState(
-                position=pos_p, velocity=jnp.stack([v0p, v1p], axis=-1),
-                tile_id=tid, valid=validp > 0.5,
+                position=pos_p[:n_state],
+                velocity=jnp.stack([v0p[:n_state], v1p[:n_state]], axis=-1),
+                tile_id=tid[:n_state], valid=validp[:n_state] > 0.5,
                 step=state.step, spill=state.spill, rho=state.rho)
 
         return resort
