@@ -394,6 +394,56 @@ class CylindricalParticlePusher:
     def disable_fast_path(self) -> None:
         self._fast_scenario = None
 
+    # -------------------------------------------------------- sorted fast path
+    def enable_sorted_path(self, tiling=None, resort_every: int = 8,
+                           spill_capacity: int = 16384,
+                           backend: str = "xla") -> None:
+        """Switch grid-parity stepping to the tile-sorted windowed-gather
+        layout (models/pusher_sorted.py): the reference's per-particle
+        texture fetches (empic.js:749-773, :712-720) become MXU window
+        matmuls.  Identical per-particle math; particle ORDER is not
+        preserved.  ``backend='pallas'`` uses the fused Pallas gather
+        kernel on TPU."""
+        from .pusher_sorted import (Tiling2D, make_sorted_density_fn,
+                                    make_sorted_resort_fn,
+                                    make_sorted_step_fn, to_sorted_state)
+
+        spec = self.spec
+        if tiling is None:
+            # nr/nz must divide by the tiles; 400x800 default -> 25x32 tiles
+            tile_r = max(t for t in (8, 16, 20, 25, 32, 40, 50)
+                         if spec.nr % t == 0)
+            tile_z = max(t for t in (8, 16, 20, 25, 32, 40, 50)
+                         if spec.nz % t == 0)
+            tiling = Tiling2D(tile_r=tile_r, tile_z=tile_z, block=1024,
+                              margin=4)
+        self._sorted_tiling = tiling
+        self._sorted_resort_every = resort_every
+        self._sorted_state = to_sorted_state(self.state, spec, tiling)
+        self._sorted_step = make_sorted_step_fn(spec, tiling, spill_capacity,
+                                                backend)
+        self._sorted_density = make_sorted_density_fn(spec)
+        self._sorted_resort = make_sorted_resort_fn(spec, tiling)
+        self._sorted_since = 0
+
+    def disable_sorted_path(self) -> None:
+        """Return to the plain layout (live rows in layout order)."""
+        from .pusher_sorted import from_sorted_state
+
+        if getattr(self, "_sorted_state", None) is not None:
+            self.state = from_sorted_state(self._sorted_state, self.spec,
+                                           PusherState)
+            self._sorted_state = None
+
+    def _step_sorted(self, n: int) -> None:
+        for _ in range(n):
+            if self._sorted_since >= self._sorted_resort_every:
+                self._sorted_state = self._sorted_resort(self._sorted_state)
+                self._sorted_since = 0
+            self._sorted_state = self._sorted_step(self.fields,
+                                                   self._sorted_state)
+            self._sorted_since += 1
+
     def _step_fast(self, n: int) -> None:
         from ..ops.analytic import FastState, make_fast_multi_step_fn
 
@@ -420,6 +470,8 @@ class CylindricalParticlePusher:
         """Advance n full steps (each = two half-steps, empic.js:1436-1469)."""
         if self._fast_scenario is not None:
             self._step_fast(n)
+        elif getattr(self, "_sorted_state", None) is not None:
+            self._step_sorted(n)
         elif n == 1:
             self.state = self._step(self.fields, self.state)
         else:
@@ -430,6 +482,10 @@ class CylindricalParticlePusher:
     def density(self) -> jax.Array:
         """Deposit moments, update the EMA, render the frame
         (empic.js:1471-1526).  Returns (nr, nz, 3) float RGB."""
+        if getattr(self, "_sorted_state", None) is not None:
+            self._sorted_state, frame = self._sorted_density(
+                self.fields, self._sorted_state)
+            return frame
         self.state, frame = self._density(self.fields, self.state)
         return frame
 

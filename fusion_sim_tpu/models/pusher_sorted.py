@@ -1,0 +1,235 @@
+"""Tile-sorted fast path for the grid-parity cylindrical pusher.
+
+The reference's hot loop samples four coefficient textures per particle at
+its (r, z) cell (``step_velocity_frag``, empic.js:749-773) and the sink mask
+at the drifted position (``step_position_frag``, empic.js:712-720).  On TPU
+the XLA row gather is latency-bound (~25-40 ns/row), capping the grid-parity
+path near 3.5e7 pushes/s.  This module keeps the particles permanently in
+the padded tile-sorted layout of ops/sorted_deposit and turns both samplings
+into windowed MXU matmuls (``gather_sorted_2d`` with the reference's
+NEAREST semantics), with the compacted exact patch (ops.interp.spill_rows)
+for rows that out-drift their sort window or respawn across the domain.
+
+Physics is bit-for-bit the non-sorted grid path per particle (the kernels
+are shared: ``velocity_from_rows``, ``sink_respawn``); only the gather
+route and particle ordering differ.  Particle *order* is NOT preserved —
+``get_state`` of the shell returns the live rows in layout order.
+
+Filler rows introduced by the padding sit frozen at a safe interior
+position (r = z = 0.5, away from the r = 0 direction singularity) with
+weight 0 in every deposit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boris import gather_nearest, velocity_from_rows
+from ..ops.interp import spill_rows_cond
+from ..ops.push import sink_respawn
+from ..ops.rng import substep_uniforms
+from ..ops.sorted_deposit import (Tiling2D, build_padded_layout,
+                                  gather_sorted_2d)
+
+FILLER = jnp.asarray([0.5, 0.0, 0.5], jnp.float32)
+
+
+class SortedPusherState(NamedTuple):
+    position: jax.Array     # (Np, 3) normalized Cartesian (fillers: FILLER)
+    velocity: jax.Array     # (Np, 3)
+    alive: jax.Array        # (Np,) the w flag (fillers: 1 = inert)
+    valid: jax.Array        # (Np,) bool — False on filler rows
+    tile_id: jax.Array      # (Np,) (r,z)-cell tile at last resort
+    key: jax.Array
+    moments_avg: jax.Array  # (nr, nz, 4)
+    spill: jax.Array        # cumulative exact-patched rows (diagnostic)
+
+
+def _cell_coords(position: jax.Array, nr: int, nz: int) -> jax.Array:
+    """(r*nr, z*nz) clamped — the NEAREST/CLAMP sample cell in grid units.
+
+    Clamping reproduces the reference's CLAMP_TO_EDGE filtering AND keeps
+    every coordinate inside the periodic window machinery's interior (edge
+    windows wrap, but clamped coords only ever index interior window rows).
+    """
+    x, y, z = position[..., 0], position[..., 1], position[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    cu = jnp.clip(r * nr, 0.0, nr - 1e-3)
+    cv = jnp.clip(z * nz, 0.0, nz - 1e-3)
+    return jnp.stack([cu, cv], axis=-1)
+
+
+def padded_size(spec, tiling: Tiling2D) -> int:
+    """Static layout length: real count rounded to the block, plus the
+    worst-case per-tile padding budget."""
+    n_tiles = int(np.prod(tiling.n_tiles((spec.nr, spec.nz))))
+    n0 = -(-spec.n_total // tiling.block) * tiling.block
+    return n0 + n_tiles * tiling.block
+
+
+def make_sorted_resort_fn(spec, tiling: Tiling2D):
+    nr, nz = spec.nr, spec.nz
+    shape = (nr, nz)
+
+    @jax.jit
+    def resort(state: SortedPusherState) -> SortedPusherState:
+        n_state = state.position.shape[0]
+        cell = _cell_coords(state.position, nr, nz)
+        out = build_padded_layout(
+            cell, shape, tiling,
+            *[state.position[:, a] for a in range(3)],
+            *[state.velocity[:, a] for a in range(3)],
+            state.alive, state.valid.astype(jnp.float32),
+            valid=state.valid)
+        tid = out[0]
+        pos_cols = out[2:5]
+        vel_cols = out[5:8]
+        alive_s, valid_s = out[8], out[9]
+        valid_out = valid_s[:n_state] > 0.5
+        pos = jnp.stack([c[:n_state] for c in pos_cols], axis=-1)
+        pos = jnp.where(valid_out[:, None], pos, FILLER)
+        vel = jnp.stack([c[:n_state] for c in vel_cols], axis=-1)
+        vel = jnp.where(valid_out[:, None], vel, 0.0)
+        return state._replace(
+            position=pos, velocity=vel,
+            alive=jnp.where(valid_out, alive_s[:n_state], 1.0),
+            valid=valid_out, tile_id=tid[:n_state])
+
+    return resort
+
+
+def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
+                        backend: str = "xla"):
+    """Jitted full step (two half-steps) on the padded sorted layout."""
+    nr, nz = spec.nr, spec.nz
+    shape = (nr, nz)
+    step_factor = spec.step_factor
+    use_pallas = backend == "pallas"
+    if use_pallas:
+        from ..ops.pallas_gather import gather_sorted_2d_pallas
+    interpret = jax.default_backend() != "tpu"
+
+    def window_gather(grid, cell, tile_id):
+        if use_pallas:
+            return gather_sorted_2d_pallas(grid, cell, tile_id, shape, tiling,
+                                           mode="nearest",
+                                           interpret=interpret)
+        return gather_sorted_2d(grid, cell, tile_id, shape, tiling,
+                                mode="nearest")
+
+    def substep(fields, state: SortedPusherState, packed):
+        n_tot = state.position.shape[0]
+        rand, key = substep_uniforms(state.key, n_tot)
+
+        # --- velocity: windowed 12-channel NEAREST gather + exact patch ---
+        cell = _cell_coords(state.position, nr, nz)
+        rows, g_inw = window_gather(packed, cell, state.tile_id)
+        g_mask = jnp.logical_and(jnp.logical_not(g_inw), state.valid)
+        n_g = jnp.sum(g_mask)
+        idx, _ = spill_rows_cond(g_mask, n_g, spill_capacity, n_tot)
+        pk = state.position[idx]
+        rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
+        rows_k = gather_nearest(packed, rk, pk[:, 2])
+        rows = rows.at[idx].set(rows_k, mode="drop")
+        velocity = velocity_from_rows(state.position, state.velocity,
+                                      state.alive, rand, rows)
+
+        # --- position: drift, windowed sink sample + exact patch ----------
+        next_pos = state.position + jnp.float32(step_factor) * velocity
+        cell1 = _cell_coords(next_pos, nr, nz)
+        sink, s_inw = window_gather(fields.sink_mask[..., None], cell1,
+                                    state.tile_id)
+        sink = sink[..., 0] if sink.ndim == 2 else sink
+        s_mask = jnp.logical_and(jnp.logical_not(s_inw), state.valid)
+        n_s = jnp.sum(s_mask)
+        idx2, _ = spill_rows_cond(s_mask, n_s, spill_capacity, n_tot)
+        pk2 = next_pos[idx2]
+        rk2 = jnp.sqrt(pk2[:, 0] ** 2 + pk2[:, 1] ** 2)
+        sink_k = gather_nearest(fields.sink_mask[..., None], rk2,
+                                pk2[:, 2])[..., 0]
+        sink = sink.at[idx2].set(sink_k, mode="drop")
+        position, alive = sink_respawn(next_pos, sink, rand, fields.inv_cdf)
+
+        # --- freeze fillers (inert, no NaNs, zero deposit weight) ---------
+        v = state.valid
+        position = jnp.where(v[:, None], position, FILLER)
+        velocity = jnp.where(v[:, None], velocity, 0.0)
+        alive = jnp.where(v, alive, 1.0)
+        return state._replace(
+            position=position, velocity=velocity, alive=alive, key=key,
+            spill=state.spill + (n_g + n_s).astype(jnp.int32))
+
+    @jax.jit
+    def step(fields, state: SortedPusherState) -> SortedPusherState:
+        packed = jnp.concatenate(
+            [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
+             fields.coeffs.a], axis=-1)
+        state = substep(fields, state, packed)
+        state = substep(fields, state, packed)
+        return state
+
+    return step
+
+
+def make_sorted_density_fn(spec):
+    """Density/render pass over the padded layout (filler weight 0)."""
+    from ..ops.deposit import deposit_moments, ema_moments, normalize_moments
+    from ..utils.render import render_bmag, render_density_overlay
+
+    @jax.jit
+    def density(fields, state: SortedPusherState):
+        moments = deposit_moments(state.position, state.velocity,
+                                  spec.nr, spec.nz,
+                                  weights=state.valid.astype(jnp.float32))
+        norm = normalize_moments(moments)
+        avg = ema_moments(norm, state.moments_avg)
+        background = render_bmag(fields.b)
+        frame = render_density_overlay(background, avg)
+        return state._replace(moments_avg=avg), frame
+
+    return density
+
+
+def to_sorted_state(state, spec, tiling: Tiling2D) -> SortedPusherState:
+    """PusherState -> padded sorted layout (order not preserved)."""
+    n = spec.n_total
+    n_p = padded_size(spec, tiling)
+    n0 = -(-n // tiling.block) * tiling.block
+
+    def pad(a, fill=0.0):
+        widths = [(0, n0 - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    pos = pad(state.position)
+    base = SortedPusherState(
+        position=jnp.concatenate(
+            [pos, jnp.broadcast_to(FILLER, (n_p - n0, 3))]),
+        velocity=jnp.concatenate(
+            [pad(state.velocity), jnp.zeros((n_p - n0, 3), jnp.float32)]),
+        alive=jnp.concatenate(
+            [pad(state.alive, 1.0), jnp.ones((n_p - n0,), jnp.float32)]),
+        valid=jnp.arange(n_p) < n,
+        tile_id=jnp.zeros((n_p,), jnp.int32),
+        key=state.key,
+        moments_avg=state.moments_avg,
+        spill=jnp.int32(0),
+    )
+    return make_sorted_resort_fn(spec, tiling)(base)
+
+
+def from_sorted_state(sorted_state: SortedPusherState, spec, state_cls):
+    """Padded sorted layout -> PusherState (live rows, layout order)."""
+    n = spec.n_total
+    order = jnp.argsort(~sorted_state.valid, stable=True)[:n]
+    return state_cls(
+        position=sorted_state.position[order],
+        velocity=sorted_state.velocity[order],
+        alive=sorted_state.alive[order],
+        key=sorted_state.key,
+        moments_avg=sorted_state.moments_avg,
+    )

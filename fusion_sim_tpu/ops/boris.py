@@ -168,7 +168,31 @@ def push_velocity(
     coefficient sampling: 'nearest' (reference parity) or 'bilinear'
     (opt-in exacter variant — see PusherSpec.interp).
     """
+    # One fused 12-channel gather instead of four 3-channel ones: XLA TPU
+    # gathers are latency-bound per row, so row width is nearly free.
     x, y, z = position[..., 0], position[..., 1], position[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    packed = jnp.concatenate([coeffs.r1, coeffs.r2, coeffs.r3, coeffs.a], axis=-1)
+    if interp == "bilinear":
+        rows = gather_bilinear(packed, r, z)
+    elif interp == "nearest":
+        rows = gather_nearest(packed, r, z)
+    else:
+        raise ValueError(f"unknown interp {interp!r} (nearest|bilinear)")
+    return velocity_from_rows(position, velocity, alive, rand, rows)
+
+
+def velocity_from_rows(
+    position: jax.Array,
+    velocity: jax.Array,
+    alive: jax.Array,
+    rand: jax.Array,
+    rows: jax.Array,
+) -> jax.Array:
+    """The gather-free half of ``push_velocity``: apply pre-gathered
+    R1/R2/R3/A coefficient rows (N, 12).  Split out so the tile-sorted fast
+    path (models/pusher_sorted.py) can swap in the windowed MXU gather."""
+    x, y = position[..., 0], position[..., 1]
     r = jnp.sqrt(x * x + y * y)
     dir_x = x / r
     dir_y = y / r
@@ -177,15 +201,6 @@ def push_velocity(
     vr = vx * dir_x + vy * dir_y
     va = vy * dir_x - vx * dir_y
 
-    # One fused 12-channel gather instead of four 3-channel ones: XLA TPU
-    # gathers are latency-bound per row, so row width is nearly free.
-    packed = jnp.concatenate([coeffs.r1, coeffs.r2, coeffs.r3, coeffs.a], axis=-1)
-    if interp == "bilinear":
-        rows = gather_bilinear(packed, r, z)
-    elif interp == "nearest":
-        rows = gather_nearest(packed, r, z)
-    else:
-        raise ValueError(f"unknown interp {interp!r} (nearest|bilinear)")
     r1, r2, r3, a = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12]
 
     cyl = jnp.stack([vr, va, vz], axis=-1)

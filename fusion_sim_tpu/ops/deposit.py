@@ -66,12 +66,14 @@ def deposit_moments(
     velocity: jax.Array,
     nr: int,
     nz: int,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Deposit (sum v_r*w, sum v_a*w, sum v_z*w, sum w) onto the grid.
 
     The per-particle color is ``0.001 * (vr, va, vz, 1)`` (empic.js:1008)
     with (vr, va) the cylindrical-frame velocity (empic.js:1004-1007).
-    Returns ``(nr, nz, 4)``.
+    ``weights`` (optional, (N,)): per-particle multiplier — the padded
+    sorted layout passes 0 on filler rows.  Returns ``(nr, nz, 4)``.
     """
     ir, iz, r = particle_cell_indices(position, nr, nz)
     x, y = position[..., 0], position[..., 1]
@@ -82,6 +84,8 @@ def deposit_moments(
     va = vy * dir_x - vx * dir_y
 
     color = 0.001 * jnp.stack([vr, va, vz, jnp.ones_like(vr)], axis=-1)  # (N, 4)
+    if weights is not None:
+        color = color * weights[:, None]
 
     flat_idx = ir * nz + iz
     point_grid = jnp.zeros((nr * nz, 4), dtype=jnp.float32).at[flat_idx].add(color)

@@ -40,8 +40,20 @@ def push_position(
     next_pos = position + jnp.float32(step_factor) * velocity
     x, y, z = next_pos[..., 0], next_pos[..., 1], next_pos[..., 2]
     r = jnp.sqrt(x * x + y * y)
-
     sink = gather_nearest(sink_mask[..., None], r, z)[..., 0]
+    return sink_respawn(next_pos, sink, rand, inv_cdf_table)
+
+
+def sink_respawn(
+    next_pos: jax.Array,
+    sink: jax.Array,
+    rand: jax.Array,
+    inv_cdf_table: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """The gather-free half of ``push_position``: apply a pre-sampled sink
+    value per particle (split out for the tile-sorted fast path,
+    models/pusher_sorted.py)."""
+    x, y, z = next_pos[..., 0], next_pos[..., 1], next_pos[..., 2]
     keep = sink > 0.5
 
     new_r, new_z = sample_inverse_cdf(inv_cdf_table, rand[..., 0], rand[..., 1])

@@ -1,0 +1,76 @@
+"""Tile-sorted pusher fast path: per-particle math identical to the plain
+grid path (multiset comparison — order and RNG stream differ by design)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fusion_sim_tpu.models.pusher import CylindricalParticlePusher
+from fusion_sim_tpu.models.pusher_sorted import Tiling2D
+from fusion_sim_tpu.scenarios import apply_default_scenario
+
+
+def _make(nr=80, nz=160, nparticles=32, seed=0):
+    return CylindricalParticlePusher(
+        {"radius": 1.0, "height": 2.0, "nr": nr, "nz": nz, "dt": 2e-9,
+         "nparticles": nparticles, "particle_mass": 1.67e-27,
+         "particle_charge": 1.602e-19}, seed=seed)
+
+
+def _interior_setup(sim, seed=1):
+    """Particles well inside the domain, no sinks -> no respawns, so the
+    (differently-shaped) RNG stream never enters the dynamics."""
+    rng = np.random.default_rng(seed)
+    n = sim.spec.n_total
+    r = 0.3 + 0.3 * rng.random(n)
+    th = 2 * np.pi * rng.random(n)
+    pos = np.stack([r * np.cos(th), r * np.sin(th),
+                    0.6 + 0.8 * rng.random(n)], axis=-1)
+    vel = 0.002 * rng.standard_normal((n, 3))
+    sim.set({"position": pos, "velocity": vel})
+    sim.add_current_loop(0.8, 0.0, 1.0e7)
+    sim.add_current_loop(0.8, 2.0, -1.0e7)
+    sim.precalc()
+
+
+def test_sorted_path_matches_plain_grid_path():
+    a = _make()
+    b = _make()
+    _interior_setup(a)
+    _interior_setup(b)
+    b.enable_sorted_path(tiling=Tiling2D(tile_r=16, tile_z=16, block=128,
+                                         margin=3), resort_every=3)
+    a.step(8)
+    b.step(8)
+    b.disable_sorted_path()
+
+    pa = np.asarray(a.state.position)
+    pb = np.asarray(b.state.position)
+    assert pb.shape == pa.shape
+    # multiset equality via nearest-neighbor pairing
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-5, atol=1e-6)
+    va = np.asarray(a.state.velocity)
+    vb = np.asarray(b.state.velocity)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-5, atol=1e-7)
+
+
+def test_sorted_path_default_scenario_respawns():
+    """Full default scenario (sinks + respawn + thermal reinit): constant
+    particle count, finite state, frames render, spill counter moves."""
+    sim = _make(nr=64, nz=128, nparticles=32)
+    apply_default_scenario(sim)
+    sim.enable_sorted_path(tiling=Tiling2D(tile_r=16, tile_z=16, block=128,
+                                           margin=3), resort_every=4)
+    sim.step(10)
+    frame = sim.density()
+    assert np.isfinite(np.asarray(frame)).all()
+    st = sim._sorted_state
+    assert int(jnp.sum(st.valid)) == sim.spec.n_total
+    assert bool(jnp.all(jnp.isfinite(st.position)))
+    assert bool(jnp.all(jnp.isfinite(st.velocity)))
+    sim.disable_sorted_path()
+    assert sim.state.position.shape[0] == sim.spec.n_total
+    assert bool(jnp.all(jnp.isfinite(sim.state.position)))
