@@ -231,14 +231,17 @@ def make_sharded_step_fn(config: ShardedEMConfig, mesh: Mesh,
         for a, n_a in enumerate(rest, start=1):
             wrapped.append(jnp.mod(x1[:, a:a + 1], n_a))  # other axes periodic
         x1 = jnp.concatenate(wrapped, axis=1)
-        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
-        go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
-        res = migration.migrate_ring(
-            (x1, velocity), alive, go_left, go_right, axis,
-            config.migration_buffer)
-        x1, velocity = res.arrays
-        alive = res.alive
-        overflow = overflow + res.overflow
+        if config.n_shards > 1:
+            go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
+            go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
+            res = migration.migrate_ring(
+                (x1, velocity), alive, go_left, go_right, axis,
+                config.migration_buffer)
+            x1, velocity = res.arrays
+            alive = res.alive
+            overflow = overflow + res.overflow
+        # n_shards == 1: the slab IS the periodic domain — the ring-distance
+        # predicates would flag every upper-half particle as a crosser
 
         x1 = jnp.where(alive[:, None], x1, 0.0)
         velocity = jnp.where(alive[:, None], velocity, 0.0)
@@ -303,10 +306,14 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
         return d < slab / 2
 
     def to_local(position, x_lo):
-        """Global -> pseudo-grid coordinates, x centered on the slab (so
-        arrivals from the periodic-edge neighbor land near the halo, not at
-        lx ~ nx)."""
-        lx = jnp.mod(position[:, 0] - x_lo + nx / 2, nx) - nx / 2 + H
+        """Global -> pseudo-grid coordinates.  The wrap window is centered
+        on the SLAB: owned x and near-edge arrivals map into [H-eps,
+        H+slab+eps) for any shard count (centering on x_lo instead sends
+        gx > x_lo + nx/2 negative — fatal when slab > nx/2, e.g. the
+        1-shard case, where every upper-half particle would leave the
+        pseudo-grid)."""
+        off = (nx - slab) / 2
+        lx = jnp.mod(position[:, 0] - x_lo + off, nx) - off + H
         return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
 
     def local_step(position, velocity, alive, tile_id, e_local, b_local,
@@ -386,14 +393,16 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
         gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
         x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], rest_f)],
                              axis=1)
-        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
-        go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
-        res = migration.migrate_ring(
-            (x1, velocity), alive, go_left, go_right, axis,
-            config.migration_buffer)
-        x1, velocity = res.arrays
-        alive = res.alive
-        overflow = overflow + res.overflow
+        if config.n_shards > 1:
+            go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
+            go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
+            res = migration.migrate_ring(
+                (x1, velocity), alive, go_left, go_right, axis,
+                config.migration_buffer)
+            x1, velocity = res.arrays
+            alive = res.alive
+            overflow = overflow + res.overflow
+        # n_shards == 1: no boundaries — skip migration entirely
         spill = spill + n_spill.astype(jnp.int32)
 
         x1 = jnp.where(alive[:, None], x1, 0.0)
@@ -438,7 +447,9 @@ def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
     cap_state = config.cap_padded
 
     def to_local(position, x_lo):
-        lx = jnp.mod(position[:, 0] - x_lo + nx / 2, nx) - nx / 2 + H
+        # slab-centered wrap — see make_sharded_sorted_step_fn.to_local
+        off = (nx - slab) / 2
+        lx = jnp.mod(position[:, 0] - x_lo + off, nx) - off + H
         return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
 
     def local_resort(position, velocity, alive, tile_id, overflow):
