@@ -82,3 +82,41 @@ def test_deposit_gather_adjoint():
     lhs = float(jnp.sum(cic_deposit(pos, w, (16, 16)) * g))
     rhs = float(jnp.sum(w * cic_gather(g, pos, (16, 16))))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_spill_rows_cond_hierarchical_compaction():
+    """spill_rows_cond's two-level compaction returns exactly the spilled
+    row indices (clustered case) and a correct subset + sentinel validity
+    when the chunk budget overflows."""
+    import jax.numpy as jnp
+
+    from fusion_sim_tpu.ops.interp import _MAX_CHUNKS, spill_rows_cond
+
+    n = 300_000
+    rng = np.random.default_rng(3)
+    # clustered spills: 40 chunks, a few rows each
+    mask = np.zeros(n, bool)
+    chunks = rng.choice(n // 1024, size=40, replace=False)
+    for c in chunks:
+        mask[c * 1024 + rng.choice(1024, size=5, replace=False)] = True
+    want = np.where(mask)[0]
+    idx, ok = spill_rows_cond(jnp.asarray(mask), jnp.sum(jnp.asarray(mask)),
+                              4096, n)
+    got = np.sort(np.asarray(idx)[np.asarray(ok)])
+    np.testing.assert_array_equal(got, want)
+
+    # no spills: cold branch, all sentinels
+    idx0, ok0 = spill_rows_cond(jnp.zeros(n, bool), jnp.int32(0), 4096, n)
+    assert not bool(np.asarray(ok0).any())
+    assert (np.asarray(idx0) == n).all()
+
+    # chunk-budget overflow: every chunk spilled -> captured subset is
+    # valid spilled rows, uncaptured slots stay sentinel
+    mask_all = np.zeros(n, bool)
+    mask_all[::1024] = True  # one spill in every chunk (293 > _MAX_CHUNKS)
+    assert n // 1024 > _MAX_CHUNKS
+    idx2, ok2 = spill_rows_cond(jnp.asarray(mask_all),
+                                jnp.sum(jnp.asarray(mask_all)), 4096, n)
+    got2 = np.asarray(idx2)[np.asarray(ok2)]
+    assert len(got2) == _MAX_CHUNKS
+    assert mask_all[got2].all()
