@@ -153,15 +153,20 @@ def make_sharded_es_step_fn(config: ShardedESConfig, mesh: Mesh,
             wrapped.append(jnp.mod(x1[:, a:a + 1], n_a))
         x1 = jnp.concatenate(wrapped, axis=1)
 
-        d_left = jnp.mod(x_lo - gx, nx)
-        go_left = jnp.logical_and(alive,
-                                  jnp.logical_and(d_left > 0, d_left <= slab / 2))
-        go_right = jnp.logical_and(alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
-        res = migration.migrate_ring((x1, velocity), alive, go_left, go_right,
-                                     axis, config.migration_buffer)
-        x1, velocity = res.arrays
-        alive = res.alive
-        overflow = overflow + res.overflow
+        if config.n_shards > 1:
+            d_left = jnp.mod(x_lo - gx, nx)
+            go_left = jnp.logical_and(
+                alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
+            go_right = jnp.logical_and(
+                alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+            res = migration.migrate_ring((x1, velocity), alive, go_left,
+                                         go_right, axis,
+                                         config.migration_buffer)
+            x1, velocity = res.arrays
+            alive = res.alive
+            overflow = overflow + res.overflow
+        # n_shards == 1: the slab IS the periodic domain — the ring-distance
+        # predicates would flag every upper-half particle as a crosser
 
         x1 = jnp.where(alive[:, None], x1, 0.0)
         velocity = jnp.where(alive[:, None], velocity, 0.0)
