@@ -124,6 +124,7 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
 
     def substep(fields, state: SortedPusherState, packed):
         n_tot = state.position.shape[0]
+        v_mask = state.valid
         rand, key = substep_uniforms(state.key, n_tot)
 
         # --- velocity: windowed 12-channel NEAREST gather + exact patch ---
@@ -153,7 +154,9 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         sink_k = gather_nearest(fields.sink_mask[..., None], rk2,
                                 pk2[:, 2])[..., 0]
         sink = sink.at[idx2].set(sink_k, mode="drop")
-        position, alive = sink_respawn(next_pos, sink, rand, fields.inv_cdf)
+        sink = jnp.where(v_mask, sink, 1.0)  # fillers never absorb/respawn
+        position, alive = sink_respawn(next_pos, sink, rand, fields.inv_cdf,
+                                       respawn_capacity=spill_capacity)
 
         # --- freeze fillers (inert, no NaNs, zero deposit weight) ---------
         v = state.valid

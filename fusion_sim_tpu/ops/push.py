@@ -49,17 +49,38 @@ def sink_respawn(
     sink: jax.Array,
     rand: jax.Array,
     inv_cdf_table: jax.Array,
+    respawn_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The gather-free half of ``push_position``: apply a pre-sampled sink
     value per particle (split out for the tile-sorted fast path,
-    models/pusher_sorted.py)."""
+    models/pusher_sorted.py).
+
+    ``respawn_capacity``: if set, the inverse-CDF table lookup (a
+    latency-bound row gather) runs only on up to that many compacted
+    respawning rows instead of all N — bit-identical results for every
+    respawned row (the table transforms this substep's uniforms; no RNG
+    state is consumed).  Rows past the capacity keep their drifted position
+    with alive = 0 and are re-absorbed next substep."""
     x, y, z = next_pos[..., 0], next_pos[..., 1], next_pos[..., 2]
     keep = sink > 0.5
-
-    new_r, new_z = sample_inverse_cdf(inv_cdf_table, rand[..., 0], rand[..., 1])
-
-    out_x = jnp.where(keep, x, new_r)
-    out_y = jnp.where(keep, y, 0.0)
-    out_z = jnp.where(keep, z, new_z)
     alive = keep.astype(jnp.float32)
+
+    if respawn_capacity is None:
+        new_r, new_z = sample_inverse_cdf(inv_cdf_table, rand[..., 0],
+                                          rand[..., 1])
+        out_x = jnp.where(keep, x, new_r)
+        out_y = jnp.where(keep, y, 0.0)
+        out_z = jnp.where(keep, z, new_z)
+        return jnp.stack([out_x, out_y, out_z], axis=-1), alive
+
+    from .interp import spill_rows_cond
+
+    n = x.shape[0]
+    mask = jnp.logical_not(keep)
+    idx, _ = spill_rows_cond(mask, jnp.sum(mask), respawn_capacity, n)
+    new_r, new_z = sample_inverse_cdf(inv_cdf_table, rand[idx, 0],
+                                      rand[idx, 1])
+    out_x = x.at[idx].set(new_r, mode="drop")
+    out_y = y.at[idx].set(0.0, mode="drop")
+    out_z = z.at[idx].set(new_z, mode="drop")
     return jnp.stack([out_x, out_y, out_z], axis=-1), alive
