@@ -35,13 +35,17 @@ def build_sim(nparticles: int):
 def measure(sim, steps_per_batch: int, batches: int) -> float:
     """Timed pushes/s; sync fences are device->host copies (the tunneled
     axon backend's block_until_ready can return early on chained dispatch)."""
+    def fence():
+        st = getattr(sim, "_sorted_state", None)
+        np.asarray((st if st is not None else sim.state).position[:1])
+
     n = sim.spec.n_total
     sim.step(steps_per_batch)
-    np.asarray(sim.state.position[:1])
+    fence()
     t0 = time.perf_counter()
     for _ in range(batches):
         sim.step(steps_per_batch)
-    np.asarray(sim.state.position[:1])
+    fence()
     dt = time.perf_counter() - t0
     return n * 2 * steps_per_batch * batches / dt
 
@@ -71,9 +75,9 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
     tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
     sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
-                                    resort_every=8, backend=backend,
+                                    resort_every=16, backend=backend,
                                     check_spill=False)
-    sim.step(9)  # compile everything incl. one resort
+    sim.step(17)  # compile everything incl. one resort
     np.asarray(sim.state.position[:1])
     rates = []
     for _ in range(3):  # median of 3 windows (tunnel variance)
@@ -88,6 +92,19 @@ def main() -> None:
     sim = build_sim(nparticles=1024)  # ~1.05M particles
 
     grid_pushes = measure(sim, steps_per_batch=20, batches=2)
+
+    # tile-sorted grid mode (same NEAREST parity semantics, windowed MXU
+    # gathers + compacted respawn patch — models/pusher_sorted.py)
+    try:
+        from fusion_sim_tpu.models.pusher_sorted import Tiling2D
+
+        sim.enable_sorted_path(
+            tiling=Tiling2D(tile_r=25, tile_z=32, block=1024, margin=6),
+            resort_every=12)
+        grid_sorted = measure(sim, steps_per_batch=20, batches=2)
+        sim.disable_sorted_path()
+    except Exception as e:  # noqa: BLE001
+        grid_sorted = f"failed: {type(e).__name__}"
 
     sim.enable_fast_path()
     fast_pushes = measure(sim, steps_per_batch=50, batches=4)
@@ -112,6 +129,7 @@ def main() -> None:
         "unit": "pushes/s",
         "vs_baseline": fast_pushes / BASELINE,
         "grid_mode_value": grid_pushes,
+        "grid_mode_sorted_value": grid_sorted,
         # the north star as written: push+deposit+solve in one jit, fused
         # Pallas substep kernel (median of 3 windows, spill patched exactly)
         "fused_pic_updates_per_sec_at_10m": fused_updates,

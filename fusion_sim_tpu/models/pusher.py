@@ -397,7 +397,8 @@ class CylindricalParticlePusher:
     # -------------------------------------------------------- sorted fast path
     def enable_sorted_path(self, tiling=None, resort_every: int = 8,
                            spill_capacity: int = 16384,
-                           backend: str = "xla") -> None:
+                           backend: str = "xla",
+                           rng_impl: str | None = None) -> None:
         """Switch grid-parity stepping to the tile-sorted windowed-gather
         layout (models/pusher_sorted.py): the reference's per-particle
         texture fetches (empic.js:749-773, :712-720) become MXU window
@@ -419,6 +420,12 @@ class CylindricalParticlePusher:
                               margin=4)
         self._sorted_tiling = tiling
         self._sorted_resort_every = resort_every
+        if rng_impl is not None:
+            # e.g. 'rbg' — ~5x cheaper uniforms than threefry on TPU; a
+            # fresh stream (distributional RNG parity, like the fast path's
+            # rng_impl option)
+            self.state = self.state._replace(
+                key=jax.random.key(0, impl=rng_impl))
         self._sorted_state = to_sorted_state(self.state, spec, tiling)
         self._sorted_step = make_sorted_step_fn(spec, tiling, spill_capacity,
                                                 backend)
