@@ -254,7 +254,7 @@ class SortedElectromagneticPIC:
     def __init__(self, config: EMConfig, position, velocity,
                  e=None, b=None, tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
-                 spill_capacity: int = 16384):
+                 spill_capacity: int = 16384, gather_backend: str = "xla"):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
@@ -264,6 +264,16 @@ class SortedElectromagneticPIC:
         # False drops their deposits entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
+        # 'pallas' routes the 2D field gather through the fused Mosaic
+        # window kernel (ops/pallas_gather.py; ~1.6x the XLA window gather);
+        # 3D always uses the XLA form.
+        if gather_backend not in ("xla", "pallas"):
+            raise ValueError(f"gather_backend {gather_backend!r} (xla|pallas)")
+        if gather_backend == "pallas" and not spill_fallback:
+            # the Pallas kernel returns garbage (not clamped values) for
+            # out-of-window rows; the exact patch is what bounds them
+            raise ValueError("gather_backend='pallas' requires spill_fallback")
+        self.gather_backend = gather_backend
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
@@ -328,6 +338,7 @@ class SortedElectromagneticPIC:
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         use_fallback = self.spill_fallback
         capacity = self.spill_capacity
+        use_pallas_gather = self.gather_backend == "pallas" and ndim == 2
 
         @jax.jit
         def step(state: SortedEMState) -> SortedEMState:
@@ -335,9 +346,16 @@ class SortedElectromagneticPIC:
             # tile-window gather (MXU matmuls, no per-row latency); rows past
             # the sort margin get the exact packed gather via a compacted
             # fixed-capacity patch
-            gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
-            eb, g_inw = gather_fn(table, state.position, state.tile_id,
-                                  shape, tiling)
+            if use_pallas_gather:
+                from ..ops.pallas_gather import gather_sorted_2d_pallas
+
+                eb, g_inw = gather_sorted_2d_pallas(
+                    table, state.position, state.tile_id, shape, tiling,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
+                eb, g_inw = gather_fn(table, state.position, state.tile_id,
+                                      shape, tiling)
             if use_fallback:
                 g_mask = (~g_inw) & state.valid
                 g_idx, g_ok = spill_rows_cond(g_mask, jnp.sum(g_mask),
