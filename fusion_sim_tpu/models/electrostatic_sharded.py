@@ -46,6 +46,9 @@ class ShardedESState(NamedTuple):
     alive: jax.Array      # (n_shards*cap,) bool
     overflow: jax.Array   # (n_shards,) cumulative migration overflow
     max_disp: jax.Array   # (n_shards,) max per-step displacement seen (cells)
+    # sorted-layout composition only:
+    tile_id: jax.Array | None = None
+    spill: jax.Array | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +57,12 @@ class ShardedESConfig:
     n_shards: int
     capacity: int          # particle slots per shard
     migration_buffer: int  # max migrants per direction per step
+    # sorted-layout composition (tiling != None, 2D): per-shard tile-sorted
+    # padded particles, digit-matmul deposit/gather on a halo-padded
+    # pseudo-grid — same architecture as ShardedElectromagneticPIC's
+    tiling: object | None = None
+    resort_every: int = 6
+    spill_capacity: int = 16384
 
     @property
     def slab(self) -> int:
@@ -64,6 +73,33 @@ class ShardedESConfig:
         if slab < 2 * APRON_W:
             raise ValueError(f"slab width {slab} < 2*apron {2 * APRON_W}")
         return slab
+
+    @property
+    def halo_w(self) -> int:
+        """Sorted-path halo/apron width (see ShardedEMConfig.halo_w)."""
+        t = self.tiling.tile_r
+        need = max(self.tiling.margin + 2, APRON_W)
+        h = -(-need // t) * t
+        if h < 2 * self.tiling.margin + 1:
+            h += t
+        return h
+
+    @property
+    def pseudo_shape(self) -> tuple[int, ...]:
+        if self.base.n_dim != 2:
+            raise ValueError("sorted sharded ES composition is 2D")
+        if self.slab % self.tiling.tile_r:
+            raise ValueError(f"slab {self.slab} not divisible by x-tile "
+                             f"{self.tiling.tile_r}")
+        return (self.slab + 2 * self.halo_w, self.base.grid_shape[1])
+
+    @property
+    def cap_padded(self) -> int:
+        if self.capacity % self.tiling.block:
+            raise ValueError(f"capacity {self.capacity} not a multiple of "
+                             f"block {self.tiling.block}")
+        n_tiles = int(np.prod(self.tiling.n_tiles(self.pseudo_shape)))
+        return self.capacity + n_tiles * self.tiling.block
 
 
 def distribute(config: ShardedESConfig, position: np.ndarray,
@@ -189,6 +225,175 @@ def make_sharded_es_step_fn(config: ShardedESConfig, mesh: Mesh,
     return step
 
 
+def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
+                                   axis: str = "space"):
+    """Sorted-layout composition of the domain-decomposed ES step: per-shard
+    tile-sorted padded particles, digit-matmul deposit/gather on the
+    halo-padded pseudo-grid, distributed FFT Poisson solve, compacted exact
+    spill patch (same architecture as make_sharded_sorted_step_fn in
+    electromagnetic_sharded.py)."""
+    from ..ops.interp import spill_rows_cond
+    from ..ops.sorted_deposit import deposit_sorted_2d, gather_sorted_2d
+
+    base = config.base
+    tiling = config.tiling
+    nx = base.grid_shape[0]
+    ny = base.grid_shape[1]
+    slab = config.slab
+    H = config.halo_w
+    pseudo_shape = config.pseudo_shape
+    capacity = config.spill_capacity
+    dxv = jnp.asarray(base.cell_size, jnp.float32)
+    dt = base.dt
+    qm_dt = base.charge / base.mass * dt
+    w0 = base.charge / base.cell_volume
+    n_cells = float(np.prod(base.grid_shape))
+    n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+
+    def _grad(phi_local):
+        phi_pad = halo.with_halo(phi_local, axis, 1)
+        gx = (phi_pad[2:] - phi_pad[:-2]) / (2.0 * base.cell_size[0])
+        up = jnp.roll(phi_local, -1, axis=1)
+        dn = jnp.roll(phi_local, 1, axis=1)
+        gy = (up - dn) / (2.0 * base.cell_size[1])
+        return jnp.stack([-gx, -gy], axis=-1)
+
+    def to_local(position, x_lo):
+        # slab-centered wrap (see electromagnetic_sharded)
+        off = (nx - slab) / 2
+        lx = jnp.mod(position[:, 0] - x_lo + off, nx) - off + H
+        return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
+
+    def local_step(position, velocity, alive, tile_id, overflow, max_disp,
+                   spill):
+        shard = jax.lax.axis_index(axis)
+        x_lo = (shard * slab).astype(jnp.float32)
+        n_tot = position.shape[0]
+        lp0 = to_local(position, x_lo)
+        bad_block = tile_id >= n_tiles_ps
+
+        # ---- sorted deposit + compacted exact patch + apron fold ---------
+        w = jnp.where(alive, jnp.float32(w0), 0.0)
+        w_sorted = jnp.where(bad_block, 0.0, w)
+        rho_pad, d_spill, d_mask = deposit_sorted_2d(
+            lp0, w_sorted, tile_id, pseudo_shape, tiling)
+        d_mask = jnp.logical_and(jnp.logical_or(d_mask, bad_block), alive)
+        n_spill = jnp.sum(d_mask)
+        idx, ok = spill_rows_cond(d_mask, n_spill, capacity, n_tot)
+        rho_pad = rho_pad + cic_deposit_packed(
+            jnp.mod(lp0[idx], jnp.asarray(pseudo_shape, jnp.float32)),
+            jnp.where(ok, w[idx], 0.0), pseudo_shape)
+        rho_local = halo.accumulate_apron(rho_pad, axis, H)
+        if base.neutralizing_background:
+            total = jax.lax.psum(jnp.sum(rho_local), axis)
+            rho_local = rho_local - total / n_cells
+
+        # ---- distributed spectral solve ----------------------------------
+        phi_local = poisson_fft_sharded(rho_local, base.grid_shape,
+                                        base.cell_size, axis, eps0=base.eps0)
+        e_local = _grad(phi_local)
+
+        # ---- sorted gather on the halo-padded field ----------------------
+        e_pad = halo.with_halo(e_local, axis, H)
+        eb, g_inw = gather_sorted_2d(e_pad, lp0, tile_id, pseudo_shape,
+                                     tiling)
+        g_mask = jnp.logical_and(
+            jnp.logical_or(jnp.logical_not(g_inw), bad_block), alive)
+        g_idx, _ = spill_rows_cond(g_mask, jnp.sum(g_mask), capacity, n_tot)
+        eb_k = cic_gather_packed(
+            e_pad, jnp.mod(lp0[g_idx], jnp.asarray(pseudo_shape, jnp.float32)),
+            pseudo_shape)
+        eb = eb.at[g_idx].set(eb_k, mode="drop")
+
+        # ---- push + wrap + migrate ---------------------------------------
+        velocity = jnp.where(alive[:, None], velocity + qm_dt * eb, 0.0)
+        lp1 = lp0 + dt * velocity / dxv
+        disp = jnp.max(jnp.where(alive, jnp.max(
+            jnp.abs(dt * velocity / dxv), axis=1), 0.0))
+        max_disp = jnp.maximum(max_disp, disp)
+        gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
+        x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], ny)], axis=1)
+        if config.n_shards > 1:
+            d_left = jnp.mod(x_lo - gx, nx)
+            go_left = jnp.logical_and(
+                alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
+            go_right = jnp.logical_and(
+                alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+            res = migration.migrate_ring((x1, velocity), alive, go_left,
+                                         go_right, axis,
+                                         config.migration_buffer)
+            x1, velocity = res.arrays
+            alive = res.alive
+            overflow = overflow + res.overflow
+        spill = spill + n_spill.astype(jnp.int32)
+        x1 = jnp.where(alive[:, None], x1, 0.0)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        return (x1, velocity, alive, tile_id, overflow, max_disp, spill)
+
+    spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
+            P(axis), P(axis))
+    mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec)
+
+    @jax.jit
+    def step(state: ShardedESState) -> ShardedESState:
+        pos, vel, alive, tid, ov, md, sp = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow, state.max_disp, state.spill)
+        return ShardedESState(position=pos, velocity=vel, alive=alive,
+                              overflow=ov, max_disp=md, tile_id=tid, spill=sp)
+
+    return step
+
+
+def make_sharded_sorted_es_resort_fn(config: ShardedESConfig, mesh: Mesh,
+                                     axis: str = "space"):
+    """Per-shard local resort (see electromagnetic_sharded's)."""
+    from ..ops.sorted_deposit import build_padded_layout
+
+    base = config.base
+    tiling = config.tiling
+    nx = base.grid_shape[0]
+    slab = config.slab
+    H = config.halo_w
+    pseudo_shape = config.pseudo_shape
+    cap_state = config.cap_padded
+
+    def local_resort(position, velocity, alive, tile_id, overflow):
+        shard = jax.lax.axis_index(axis)
+        x_lo = (shard * slab).astype(jnp.float32)
+        off = (nx - slab) / 2
+        lx = jnp.mod(position[:, 0] - x_lo + off, nx) - off + H
+        lp = jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
+        out = build_padded_layout(
+            lp, pseudo_shape, tiling,
+            position[:, 0], position[:, 1],
+            velocity[:, 0], velocity[:, 1],
+            alive.astype(jnp.float32), valid=alive)
+        tid_s = out[0]
+        gx_s, gy_s, v0_s, v1_s, alive_s = out[2:7]
+        lost = jnp.sum(alive_s[cap_state:] > 0.5)
+        alive_out = alive_s[:cap_state] > 0.5
+        pos_out = jnp.stack([gx_s[:cap_state], gy_s[:cap_state]], axis=-1)
+        vel_out = jnp.stack([v0_s[:cap_state], v1_s[:cap_state]], axis=-1)
+        pos_out = jnp.where(alive_out[:, None], pos_out, 0.0)
+        vel_out = jnp.where(alive_out[:, None], vel_out, 0.0)
+        return (pos_out, vel_out, alive_out, tid_s[:cap_state],
+                overflow + lost.astype(jnp.int32))
+
+    spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis))
+    mapped = shard_map(local_resort, mesh=mesh, in_specs=spec, out_specs=spec)
+
+    @jax.jit
+    def resort(state: ShardedESState) -> ShardedESState:
+        pos, vel, alive, tid, ov = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              tile_id=tid, overflow=ov)
+
+    return resort
+
+
 class ShardedElectrostaticPIC:
     """Stateful shell; mirrors ElectrostaticPIC for the sharded layout."""
 
@@ -196,10 +401,15 @@ class ShardedElectrostaticPIC:
                  velocity, axis: str = "space"):
         self.config = config
         self.mesh = mesh
-        pos, vel, alive = distribute(config, np.asarray(position, np.float32),
+        self.sorted = config.tiling is not None
+        dist_cfg = (dataclasses.replace(config, capacity=config.cap_padded)
+                    if self.sorted else config)
+        pos, vel, alive = distribute(dist_cfg,
+                                     np.asarray(position, np.float32),
                                      np.asarray(velocity, np.float32))
         spec2 = NamedSharding(mesh, P(axis, None))
         spec1 = NamedSharding(mesh, P(axis))
+        n_slots = pos.shape[0]
         self.state = ShardedESState(
             position=jax.device_put(jnp.asarray(pos), spec2),
             velocity=jax.device_put(jnp.asarray(vel), spec2),
@@ -208,12 +418,27 @@ class ShardedElectrostaticPIC:
                                     spec1),
             max_disp=jax.device_put(jnp.zeros((config.n_shards,), jnp.float32),
                                     spec1),
+            tile_id=(jax.device_put(jnp.zeros((n_slots,), jnp.int32), spec1)
+                     if self.sorted else None),
+            spill=(jax.device_put(jnp.zeros((config.n_shards,), jnp.int32),
+                                  spec1) if self.sorted else None),
         )
-        self._step = make_sharded_es_step_fn(config, mesh, axis)
+        if self.sorted:
+            self._resort = make_sharded_sorted_es_resort_fn(config, mesh, axis)
+            self.state = self._resort(self.state)
+            self._step = make_sharded_sorted_es_step_fn(config, mesh, axis)
+            self._since_sort = 0
+        else:
+            self._step = make_sharded_es_step_fn(config, mesh, axis)
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
+            if self.sorted and self._since_sort >= self.config.resort_every:
+                self.state = self._resort(self.state)
+                self._since_sort = 0
             self.state = self._step(self.state)
+            if self.sorted:
+                self._since_sort += 1
 
     def gather_particles(self) -> tuple[np.ndarray, np.ndarray]:
         alive = np.asarray(self.state.alive)

@@ -95,3 +95,80 @@ def test_sharded_es_migration_roundtrip():
         np.testing.assert_allclose(
             np.sort(pos_s[:, ax]),
             np.sort(np.asarray(ref.state.position)[:, ax]), atol=5e-3)
+
+
+def test_sharded_sorted_es_matches_single_device():
+    """Sorted-layout composition of the domain-decomposed ES step (2D)
+    reproduces the single-device ES model on the 8-device mesh."""
+    from fusion_sim_tpu.models import electrostatic as es
+    from fusion_sim_tpu.models.electrostatic_sharded import (
+        ShardedESConfig, ShardedElectrostaticPIC)
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 64
+    d = 2 * np.pi / n_cells
+    n = 4000
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(10)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=64, tiling=tiling, resort_every=4)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(10)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(v_sh, np.asarray(ref.state.velocity)[match],
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_sharded_sorted_es_single_shard():
+    """n_shards=1 sorted ES composition: slab-centered transform keeps
+    everything in the pseudo-grid interior."""
+    from fusion_sim_tpu.models import electrostatic as es
+    from fusion_sim_tpu.models.electrostatic_sharded import (
+        ShardedESConfig, ShardedElectrostaticPIC)
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 32
+    d = 2 * np.pi / n_cells
+    n = 2000
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(1)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(8)
+
+    mesh = make_mesh(1, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedESConfig(base=base, n_shards=1, capacity=2048,
+                          migration_buffer=64, tiling=tiling, resort_every=4)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(8)
+
+    assert int(np.asarray(sim.state.spill).sum()) < n * 0.02
+    p_sh, _ = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
