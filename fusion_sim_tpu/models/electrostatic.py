@@ -365,7 +365,10 @@ class SortedElectrostaticPIC:
             # exact patch below re-pushes up to `capacity` of them
             pos, vel, rho_new, in_win = fused_es2d_substep(
                 e_grid, state.position, state.velocity, w, state.tile_id,
-                shape, tiling, qm_dt, c_r, c_z, interpret=interpret)
+                shape, tiling, qm_dt, c_r, c_z,
+                precision=("default" if getattr(tiling, "dtype", "float32")
+                           == "bfloat16" else "highest"),
+                interpret=interpret)
             spill_mask = (~in_win) & state.valid
             spill = jnp.sum(spill_mask)
             if use_fallback:
