@@ -99,7 +99,7 @@ def main() -> None:
         from fusion_sim_tpu.models.pusher_sorted import Tiling2D
 
         sim.enable_sorted_path(
-            tiling=Tiling2D(tile_r=25, tile_z=32, block=1024, margin=6),
+            tiling=Tiling2D(tile_r=50, tile_z=50, block=1024, margin=6),
             resort_every=12)
         grid_sorted = measure(sim, steps_per_batch=20, batches=2)
         sim.disable_sorted_path()
