@@ -259,9 +259,9 @@ class SortedElectromagneticPIC:
                                           build_padded_layout)
 
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
-        # rows per step with the exact deposit on compacted buffers
-        # (ops.interp.spill_rows — fixed-size temporaries, no cond branch);
-        # False drops their deposits entirely (warned via the spill counter).
+        # rows per step with the exact deposit on compacted fixed-size
+        # buffers (ops.interp.spill_rows_cond); False drops their deposits
+        # entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
         # 'pallas' routes the 2D field gather through the fused Mosaic

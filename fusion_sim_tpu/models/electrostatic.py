@@ -214,9 +214,9 @@ class SortedElectrostaticPIC:
             raise ValueError(f"backend {backend!r} (xla|pallas)")
         self.backend = backend
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
-        # rows per step with the exact packed transfers (compacted via
-        # ops.interp.spill_rows — fixed-size temporaries, no cond branch);
-        # False drops their deposits entirely (warned via the spill counter).
+        # rows per step with the exact packed transfers on compacted
+        # fixed-size buffers (ops.interp.spill_rows_cond); False drops
+        # their deposits entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
         self.config = config

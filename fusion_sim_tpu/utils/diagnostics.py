@@ -21,25 +21,35 @@ from ..constants import SPEED_OF_LIGHT
 
 @jax.jit
 def pusher_diagnostics(position: jax.Array, velocity: jax.Array,
-                       alive: jax.Array) -> dict[str, jax.Array]:
+                       alive: jax.Array,
+                       valid: jax.Array | None = None) -> dict[str, jax.Array]:
     """Scalar diagnostics for the cylindrical pusher state.
 
     Velocities are the stored normalized values (units of c with per-axis
     scale factors); kinetic energy here is the *normalized* sum |v|^2 used
     for drift tracking (the BASELINE energy-drift metric compares relative
     drift, which scale factors cancel out of when fields are static).
+
+    ``valid`` (optional, (N,) bool): mask for padded layouts — filler rows
+    are excluded from every reduction (the tile-sorted fast path passes
+    its validity mask).
     """
-    v2 = jnp.sum(velocity * velocity, axis=-1)
+    if valid is None:
+        vf = jnp.ones(position.shape[0], jnp.float32)
+    else:
+        vf = valid.astype(jnp.float32)
+    nv = jnp.maximum(jnp.sum(vf), 1.0)
+    v2 = jnp.sum(velocity * velocity, axis=-1) * vf
     r = jnp.sqrt(position[..., 0] ** 2 + position[..., 1] ** 2)
     return {
         "kinetic": 0.5 * jnp.sum(v2),
         "v_max": jnp.sqrt(jnp.max(v2)),
-        "momentum_x": jnp.sum(velocity[..., 0]),
-        "momentum_y": jnp.sum(velocity[..., 1]),
-        "momentum_z": jnp.sum(velocity[..., 2]),
-        "respawn_fraction": 1.0 - jnp.mean(alive),
-        "r_mean": jnp.mean(r),
-        "z_mean": jnp.mean(position[..., 2]),
+        "momentum_x": jnp.sum(velocity[..., 0] * vf),
+        "momentum_y": jnp.sum(velocity[..., 1] * vf),
+        "momentum_z": jnp.sum(velocity[..., 2] * vf),
+        "respawn_fraction": jnp.sum((1.0 - alive) * vf) / nv,
+        "r_mean": jnp.sum(r * vf) / nv,
+        "z_mean": jnp.sum(position[..., 2] * vf) / nv,
     }
 
 

@@ -101,8 +101,14 @@ class PusherAdapter:
         return np.asarray(frame_to_uint8(self.sim.density()))
 
     def diagnostics(self) -> dict:
-        d = pusher_diagnostics(self.sim.state.position,
-                               self.sim.state.velocity, self.sim.state.alive)
+        st = getattr(self.sim, "_sorted_state", None)
+        if st is not None:  # tile-sorted fast path: mask filler rows
+            d = pusher_diagnostics(st.position, st.velocity, st.alive,
+                                   valid=st.valid)
+        else:
+            d = pusher_diagnostics(self.sim.state.position,
+                                   self.sim.state.velocity,
+                                   self.sim.state.alive)
         return {k: float(v) for k, v in d.items()}
 
 
@@ -241,6 +247,13 @@ class SimulationService:
                     if k in ("sink_box", "source_box", "uniform_e")})
             elif name == "disable_fast_path":
                 sim.disable_fast_path()
+            elif name == "enable_sorted_path":
+                sim.enable_sorted_path(**{
+                    k: v for k, v in body.items()
+                    if k in ("resort_every", "spill_capacity", "backend",
+                             "rng_impl")})
+            elif name == "disable_sorted_path":
+                sim.disable_sorted_path()
             else:
                 raise KeyError(name)
             self._render_locked()

@@ -259,6 +259,15 @@ def test_viewer_http_api():
         assert out["steps"] == 5
         out = post("/api/disable_fast_path", {})
         assert out["ok"]
+        # sorted-path toggle endpoints (tile-sorted windowed gathers)
+        out = post("/api/enable_sorted_path", {"resort_every": 4})
+        assert out["ok"]
+        out = post("/api/step", {"n": 2})
+        assert out["steps"] == 7
+        state = json.loads(get("/api/state"))
+        assert "diagnostics" in state
+        out = post("/api/disable_sorted_path", {})
+        assert out["ok"]
         # error path: unknown field command
         try:
             post("/api/bogus", {})
