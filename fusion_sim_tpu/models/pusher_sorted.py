@@ -105,13 +105,19 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D):
 
 def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
                         backend: str = "xla"):
-    """Jitted full step (two half-steps) on the padded sorted layout."""
+    """Jitted full step (two half-steps) on the padded sorted layout.
+
+    ``backend``: 'xla' (windowed MXU gathers), 'pallas' (Mosaic gather
+    kernel), or 'fused' (ONE Mosaic kernel per half-step covering gather +
+    rotation + drift + sink sample — ops/pallas_pusher.py)."""
     nr, nz = spec.nr, spec.nz
     shape = (nr, nz)
     step_factor = spec.step_factor
     use_pallas = backend == "pallas"
     if use_pallas:
         from ..ops.pallas_gather import gather_sorted_2d_pallas
+    if backend == "fused":
+        return _make_fused_step_fn(spec, tiling, spill_capacity)
     interpret = jax.default_backend() != "tpu"
 
     def window_gather(grid, cell, tile_id):
@@ -174,6 +180,67 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
              fields.coeffs.a], axis=-1)
         state = substep(fields, state, packed)
         state = substep(fields, state, packed)
+        return state
+
+    return step
+
+
+def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
+    """Full step via the fused Mosaic substep kernel (ops/pallas_pusher.py);
+    RNG, respawn replacement, and the exact spill patch stay in XLA."""
+    from ..ops.pallas_pusher import fused_pusher_substep
+
+    nr, nz = spec.nr, spec.nz
+    step_factor = spec.step_factor
+    interpret = jax.default_backend() != "tpu"
+
+    def substep(fields, state: SortedPusherState, packed13):
+        n_tot = state.position.shape[0]
+        rand, key = substep_uniforms(state.key, n_tot)
+        cell = _cell_coords(state.position, nr, nz)
+        pos1, vel1, sink, inw = fused_pusher_substep(
+            packed13, state.position, state.velocity, state.alive, rand,
+            cell, state.tile_id, nr, nz, tiling, step_factor,
+            interpret=interpret)
+
+        # exact re-push of out-of-window rows (compacted)
+        mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
+        n_sp = jnp.sum(mask)
+        idx, _ = spill_rows_cond(mask, n_sp, spill_capacity, n_tot)
+        from ..ops.boris import velocity_from_rows
+
+        pk = state.position[idx]
+        rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
+        rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
+        vel_k = velocity_from_rows(pk, state.velocity[idx], state.alive[idx],
+                                   rand[idx], rows_k)
+        pos_k = pk + jnp.float32(step_factor) * vel_k
+        rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
+        sink_k = gather_nearest(packed13[..., 12:13], rk2, pos_k[:, 2])[..., 0]
+        pos1 = pos1.at[idx].set(pos_k, mode="drop")
+        vel1 = vel1.at[idx].set(vel_k, mode="drop")
+        sink = sink.at[idx].set(sink_k, mode="drop")
+
+        # sink/respawn (shared exact path; fillers never absorb)
+        sink = jnp.where(state.valid, sink, 1.0)
+        position, alive = sink_respawn(pos1, sink, rand, fields.inv_cdf,
+                                       respawn_capacity=spill_capacity)
+
+        v = state.valid
+        position = jnp.where(v[:, None], position, FILLER)
+        velocity = jnp.where(v[:, None], vel1, 0.0)
+        alive = jnp.where(v, alive, 1.0)
+        return state._replace(
+            position=position, velocity=velocity, alive=alive, key=key,
+            spill=state.spill + n_sp.astype(jnp.int32))
+
+    @jax.jit
+    def step(fields, state: SortedPusherState) -> SortedPusherState:
+        packed13 = jnp.concatenate(
+            [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
+             fields.coeffs.a, fields.sink_mask[..., None]], axis=-1)
+        state = substep(fields, state, packed13)
+        state = substep(fields, state, packed13)
         return state
 
     return step

@@ -74,3 +74,24 @@ def test_sorted_path_default_scenario_respawns():
     sim.disable_sorted_path()
     assert sim.state.position.shape[0] == sim.spec.n_total
     assert bool(jnp.all(jnp.isfinite(sim.state.position)))
+
+
+def test_fused_backend_matches_xla_backend():
+    """backend='fused' (one Mosaic kernel per half-step, interpret mode on
+    CPU) reproduces the XLA sorted backend row-for-row — identical layout,
+    identical RNG stream, identical math."""
+    a = _make(nr=80, nz=160, nparticles=16, seed=3)
+    b = _make(nr=80, nz=160, nparticles=16, seed=3)
+    apply_default_scenario(a, seed=3)
+    apply_default_scenario(b, seed=3)
+    t = Tiling2D(tile_r=16, tile_z=16, block=128, margin=3)
+    a.enable_sorted_path(tiling=t, resort_every=4)
+    b.enable_sorted_path(tiling=t, resort_every=4, backend="fused")
+    a.step(8)
+    b.step(8)
+    sa, sb = a._sorted_state, b._sorted_state
+    np.testing.assert_allclose(np.asarray(sb.position),
+                               np.asarray(sa.position), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb.velocity),
+                               np.asarray(sa.velocity), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(sb.alive), np.asarray(sa.alive))
