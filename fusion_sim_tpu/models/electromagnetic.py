@@ -264,15 +264,21 @@ class SortedElectromagneticPIC:
         # entirely (warned via the spill counter).
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
-        # 'pallas' routes the 2D field gather through the fused Mosaic
-        # window kernel (ops/pallas_gather.py; ~1.6x the XLA window gather);
-        # 3D always uses the XLA form.
-        if gather_backend not in ("xla", "pallas"):
-            raise ValueError(f"gather_backend {gather_backend!r} (xla|pallas)")
-        if gather_backend == "pallas" and not spill_fallback:
-            # the Pallas kernel returns garbage (not clamped values) for
+        # 'pallas' routes the 2D field gather through the Mosaic window
+        # kernel (ops/pallas_gather.py); 'fused' runs the ENTIRE particle
+        # substep — gather + Boris kick + drift + Esirkepov deposit — in one
+        # Mosaic kernel (ops/pallas_em.py, 2D only).  3D always uses the
+        # XLA forms.
+        if gather_backend not in ("xla", "pallas", "fused"):
+            raise ValueError(
+                f"gather_backend {gather_backend!r} (xla|pallas|fused)")
+        if gather_backend != "xla" and not spill_fallback:
+            # the Mosaic kernels return garbage (not clamped values) for
             # out-of-window rows; the exact patch is what bounds them
-            raise ValueError("gather_backend='pallas' requires spill_fallback")
+            raise ValueError(
+                f"gather_backend={gather_backend!r} requires spill_fallback")
+        if gather_backend == "fused" and config.n_dim != 2:
+            raise ValueError("gather_backend='fused' is 2D3V only")
         self.gather_backend = gather_backend
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
@@ -296,7 +302,8 @@ class SortedElectromagneticPIC:
             e=zero_f if e is None else jnp.asarray(e, jnp.float32),
             b=zero_f if b is None else jnp.asarray(b, jnp.float32),
             step=jnp.int32(0), spill=jnp.int32(0))
-        self._step = self._make_step()
+        self._step = (self._make_step_fused()
+                      if gather_backend == "fused" else self._make_step())
         self._resort = self._make_resort()
         self._since_sort = 0
         self.check_spill = check_spill
@@ -320,6 +327,71 @@ class SortedElectromagneticPIC:
                 msg + f"; reduce resort_every (now {self.resort_every}) or "
                 f"raise tiling.margin (now {self.tiling.margin})",
                 RuntimeWarning, stacklevel=3)
+
+    def _make_step_fused(self):
+        """Step via the fused Mosaic substep (ops/pallas_em.py): one kernel
+        covers gather + kick + drift + Esirkepov; the Yee update and the
+        compacted exact spill patch stay in XLA."""
+        from ..ops.esirkepov import esirkepov_deposit_2d
+        from ..ops.interp import cic_gather_packed, spill_rows_cond
+        from ..ops.pallas_em import fused_em2d_substep
+
+        config = self.config
+        tiling = self.tiling
+        shape = config.grid_shape
+        dxv = jnp.asarray(config.cell_size, jnp.float32)
+        grid_f = jnp.asarray(shape, jnp.float32)
+        qm_half_dt = config.charge / config.mass * config.dt * 0.5
+        capacity = self.spill_capacity
+        interpret = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def step(state: SortedEMState) -> SortedEMState:
+            table = fdtd.center_fields(state.e, state.b,
+                                       fdtd.E_OFFSETS_2D, fdtd.B_OFFSETS_2D)
+            x1, velocity, j, in_win = fused_em2d_substep(
+                table, state.position, state.velocity, state.valid,
+                state.tile_id, shape, tiling, qm_half_dt, config.dt,
+                config.cell_size, config.charge, c_light=config.c,
+                relativistic=config.relativistic, interpret=interpret)
+
+            # exact re-push + deposit of out-of-window rows (compacted)
+            spill_mask = jnp.logical_and(jnp.logical_not(in_win), state.valid)
+            spill = jnp.sum(spill_mask)
+            idx, ok = spill_rows_cond(spill_mask, spill, capacity,
+                                      x1.shape[0])
+            x0_k = jnp.mod(state.position[idx], grid_f)
+            eb_k = cic_gather_packed(table, x0_k, shape)
+            vel_k = boris_kick(state.velocity[idx], eb_k[:, :3], eb_k[:, 3:],
+                               qm_half_dt, config.relativistic, config.c)
+            if config.relativistic:
+                gamma_k = jnp.sqrt(1.0 + jnp.sum((vel_k / config.c) ** 2,
+                                                 axis=-1, keepdims=True))
+                cv_k = vel_k / gamma_k
+            else:
+                cv_k = vel_k
+            x1_k = x0_k + config.dt * cv_k[:, :2] / dxv
+            q_k = jnp.where(ok, jnp.float32(config.charge), 0.0)
+            j = j + esirkepov_deposit_2d(x0_k, x1_k, cv_k[:, 2], q_k,
+                                         config.dt, shape, config.cell_size)
+            x1 = x1.at[idx].set(jnp.mod(x1_k, grid_f), mode="drop")
+            velocity = velocity.at[idx].set(vel_k, mode="drop")
+
+            # Yee update
+            b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
+                                         config.cell_size)
+            e_new = fdtd.advance_e_full(state.e, b_half, j, config.dt,
+                                        config.cell_size, c=config.c,
+                                        eps0=config.eps0)
+            b_new = fdtd.advance_b_half(b_half, e_new, config.dt,
+                                        config.cell_size)
+            x1 = jnp.where(state.valid[:, None], x1, 0.0)
+            velocity = jnp.where(state.valid[:, None], velocity, 0.0)
+            return state._replace(position=x1, velocity=velocity,
+                                  e=e_new, b=b_new, step=state.step + 1,
+                                  spill=state.spill + spill.astype(jnp.int32))
+
+        return step
 
     def _make_step(self):
         from ..ops.interp import cic_gather_packed, spill_rows_cond

@@ -1,0 +1,267 @@
+"""Fused Pallas EM-PIC substep: gather + Boris kick + drift + Esirkepov
+deposit in one kernel (2D3V, tile-sorted layout).
+
+The XLA sorted Esirkepov (ops/sorted_deposit.esirkepov_sorted_2d) spends
+most of its time materializing eight (N, w)-expanded factor arrays in HBM
+(~60 ms at 10M); here every factor lives as a (w, P) VMEM register tile:
+
+    eb_c  = sublane-reduce(az * (W_c^T @ ar))        6-channel CIC gather
+    v'    = Boris(v, E, B)                           VPU (cross products)
+    l1    = l0 + dt v' / dx                          drift
+    cum   = L @ (S1 - S0)                            cumsum = triangular MXU
+    J_a   = A_a @ (B_a * q)^T                        one matmul per component
+
+The Yee update, spill patch, and migration-free shell stay in XLA
+(models/electromagnetic.SortedElectromagneticPIC backend='fused').
+Factor math matches esirkepov_sorted_2d term for term (the 3-node shapes
+anchored at base = floor(min(x0, x1)) expand to exactly the window tents
+tent(l - h), and cumsum(dS) telescopes to zero outside the motion's span).
+
+Kernel layout follows the tuned recipe of ops/pallas_gather.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
+                 ewin_ref,
+                 olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref, inw_ref,
+                 *, wr, wz, n_g, qm_half_dt, inv_dx, inv_dz, dt, coef_x,
+                 coef_z, inv_vol, c_light, relativistic, precision,
+                 dep_precision):
+    s = pl.program_id(0)
+    p = lr_ref.shape[-1]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
+    # lower-triangular cumsum operator over window rows
+    tri_r = (jax.lax.broadcasted_iota(jnp.int32, (wr, wr), 0)
+             >= jax.lax.broadcasted_iota(jnp.int32, (wr, wr), 1)
+             ).astype(jnp.float32)
+    tri_z = (jax.lax.broadcasted_iota(jnp.int32, (wz, wz), 0)
+             >= jax.lax.broadcasted_iota(jnp.int32, (wz, wz), 1)
+             ).astype(jnp.float32)
+    lr_all, lz_all = lr_ref[0], lz_ref[0]
+    vx_all, vy_all, vz_all = vx_ref[0], vy_ref[0], vz_ref[0]
+    q_all = q_ref[0]
+    outs = [[] for _ in range(6)]
+    for g in range(n_g):
+        t = tile_ref[s * n_g + g]
+        sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
+        l0r, l0z = sl(lr_all), sl(lz_all)
+        ar = jnp.maximum(0.0, 1.0 - jnp.abs(l0r - iota_r))   # (wr, P)
+        az = jnp.maximum(0.0, 1.0 - jnp.abs(l0z - iota_z))   # (wz, P)
+        g_inw = ((l0r >= 0.0) & (l0r < float(wr - 1))
+                 & (l0z >= 0.0) & (l0z < float(wz - 1)))
+
+        # 6-channel CIC gather (Ex, Ey, Ez, Bx, By, Bz at the node table)
+        eb = []
+        for c in range(6):
+            u = jax.lax.dot_general(
+                ewin_ref[t, c], ar, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            eb.append(jnp.sum(az * u, axis=0, keepdims=True))
+        ex, ey, ez, bx, by, bz = eb
+
+        # Boris kick (electromagnetic.boris_kick, on lanes)
+        vx, vy, vz = sl(vx_all), sl(vy_all), sl(vz_all)
+        vmx = vx + qm_half_dt * ex
+        vmy = vy + qm_half_dt * ey
+        vmz = vz + qm_half_dt * ez
+        if relativistic:
+            inv_c2 = 1.0 / (c_light * c_light)
+            gamma = jnp.sqrt(1.0 + (vmx * vmx + vmy * vmy + vmz * vmz)
+                             * inv_c2)
+            tx = qm_half_dt * bx / gamma
+            ty = qm_half_dt * by / gamma
+            tz = qm_half_dt * bz / gamma
+        else:
+            tx = qm_half_dt * bx
+            ty = qm_half_dt * by
+            tz = qm_half_dt * bz
+        t2 = tx * tx + ty * ty + tz * tz
+        sfac = 2.0 / (1.0 + t2)
+        sx, sy, sz = tx * sfac, ty * sfac, tz * sfac
+        # v' = v- + v- x t ; v+ = v- + v' x s
+        vpx = vmx + (vmy * tz - vmz * ty)
+        vpy = vmy + (vmz * tx - vmx * tz)
+        vpz = vmz + (vmx * ty - vmy * tx)
+        nvx = vmx + (vpy * sz - vpz * sy) + qm_half_dt * ex
+        nvy = vmy + (vpz * sx - vpx * sz) + qm_half_dt * ey
+        nvz = vmz + (vpx * sy - vpy * sx) + qm_half_dt * ez
+
+        # drift (coordinate velocity = u/gamma when relativistic)
+        if relativistic:
+            inv_c2 = 1.0 / (c_light * c_light)
+            gamma1 = jnp.sqrt(1.0 + (nvx * nvx + nvy * nvy + nvz * nvz)
+                              * inv_c2)
+            cvx, cvy, cvz = nvx / gamma1, nvy / gamma1, nvz / gamma1
+        else:
+            cvx, cvy, cvz = nvx, nvy, nvz
+        l1r = l0r + dt * cvx * inv_dx
+        l1z = l0z + dt * cvy * inv_dz
+
+        # Esirkepov windows (matches esirkepov_sorted_2d term for term)
+        s1r = jnp.maximum(0.0, 1.0 - jnp.abs(l1r - iota_r))
+        s1z = jnp.maximum(0.0, 1.0 - jnp.abs(l1z - iota_z))
+        dsr = s1r - ar
+        dsz = s1z - az
+        d_inw = ((l1r >= 0.0) & (l1r < float(wr - 1))
+                 & (l1z >= 0.0) & (l1z < float(wz - 1)))
+        inw = g_inw & d_inw
+        qm = jnp.where(inw, sl(q_all), 0.0)
+        cum_r = jax.lax.dot_general(
+            tri_r, dsr, (((1,), (0,)), ((), ())),
+            precision=dep_precision, preferred_element_type=jnp.float32)
+        cum_z = jax.lax.dot_general(
+            tri_z, dsz, (((1,), (0,)), ((), ())),
+            precision=dep_precision, preferred_element_type=jnp.float32)
+
+        def win_mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                precision=dep_precision, preferred_element_type=jnp.float32)
+
+        j_ref[0, g, 0] = win_mm((qm * coef_x) * cum_r, az + 0.5 * dsz)
+        j_ref[0, g, 1] = win_mm(ar + 0.5 * dsr, (qm * coef_z) * cum_z)
+        qvz = qm * cvz * inv_vol  # coordinate velocity (= u_z/gamma if rel.)
+        j_ref[0, g, 2] = (win_mm(qvz * (ar + 0.5 * dsr), az)
+                          + win_mm(qvz * (0.5 * ar + dsr / 3.0), dsz))
+
+        # freeze out-of-window rows (exact re-push happens in the model)
+        vals = (jnp.where(inw, l1r, l0r), jnp.where(inw, l1z, l0z),
+                jnp.where(inw, nvx, vx), jnp.where(inw, nvy, vy),
+                jnp.where(inw, nvz, vz), inw.astype(jnp.float32))
+        for i, v in enumerate(vals):
+            outs[i].append(v)
+    for ref, acc in zip((olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref,
+                         inw_ref), outs):
+        ref[0] = jnp.concatenate(acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_half_dt",
+                                             "dt", "cell_size", "c_light",
+                                             "relativistic", "charge",
+                                             "interpret"))
+def fused_em2d_substep(
+    table: jax.Array,
+    position: jax.Array,
+    velocity: jax.Array,
+    valid: jax.Array,
+    tile_id: jax.Array,
+    shape: tuple[int, int],
+    tiling,
+    qm_half_dt: float,
+    dt: float,
+    cell_size: tuple[float, float],
+    charge: float,
+    c_light: float = 1.0,
+    relativistic: bool = False,
+    interpret: bool = False,
+):
+    """One fused EM particle substep for the tile-sorted 2D3V layout.
+
+    ``table``: the (nr, nz, 6) node-centered E|B field table
+    (ops/fdtd.center_fields); particle arrays in the padded sorted layout.
+    Returns ``(position', velocity', j (nr, nz, 3), in_win)`` — positions in
+    global grid units, ``~in_win`` rows frozen at their inputs with no
+    deposit (the model re-pushes them exactly via its compacted patch).
+    """
+    from .pallas_gather import _local_coords
+    from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
+
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    p_blk = tiling.block
+    if p_blk % 128:
+        raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
+    m = tiling.margin
+    wr = tiling.tile_r + 2 * m + 1
+    wz = tiling.tile_z + 2 * m + 1
+    dx, dz_cell = cell_size
+    n = position.shape[0]
+    nb = n // p_blk
+    n_g = 32
+    nb_pad = -(-nb // n_g) * n_g
+    nsteps = nb_pad // n_g
+    n_pad = nb_pad * p_blk
+
+    blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
+        position, tile_id, shape, tiling, p_blk)
+    if nb_pad != nb:
+        blk_tile = jnp.concatenate(
+            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+        fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
+        lr = jnp.concatenate([lr, fill])
+        lz = jnp.concatenate([lz, fill])
+
+    ewin = extract_tile_windows(table, shape, tiling, wr, wz)
+    ewin_t = ewin.reshape(ntr * ntz, wr, wz, 6).transpose(0, 3, 2, 1)
+
+    def rows(v):
+        if v.shape[0] != n_pad:
+            v = jnp.concatenate([v, jnp.zeros((n_pad - n,), v.dtype)])
+        return v.reshape(nsteps, n_g, p_blk)
+
+    q_row = jnp.where(valid, jnp.float32(charge), 0.0)
+    vol = dx * dz_cell
+    dep_precision = ("default" if getattr(tiling, "dtype", "float32")
+                     == "bfloat16" else "highest")
+    kernel = functools.partial(
+        _em2d_kernel, wr=wr, wz=wz, n_g=n_g,
+        qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
+        inv_dz=float(1.0 / dz_cell), dt=float(dt),
+        coef_x=float(-dx / (vol * dt)), coef_z=float(-dz_cell / (vol * dt)),
+        inv_vol=float(1.0 / vol), c_light=float(c_light),
+        relativistic=relativistic, precision="highest",
+        dep_precision=dep_precision)
+    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[row_spec] * 6 + [
+            pl.BlockSpec((ntr * ntz, 6, wz, wr), lambda s, *_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            row_spec, row_spec, row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, n_g, 3, wr, wz), lambda s, *_: (s, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            row_shape, row_shape, row_shape, row_shape, row_shape,
+            jax.ShapeDtypeStruct((nsteps, n_g, 3, wr, wz), jnp.float32),
+            row_shape,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)),
+      rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
+      rows(q_row), ewin_t)
+    nlr, nlz, nvx, nvy, nvz, j_win, inw = outs
+
+    orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
+    orz = jnp.repeat(blk_tz.astype(jnp.float32), p_blk)
+    position_out = jnp.stack(
+        [jnp.mod(nlr.reshape(n_pad)[:n] + orr, nr),
+         jnp.mod(nlz.reshape(n_pad)[:n] + orz, nz)], axis=-1)
+    velocity_out = jnp.stack([nvx.reshape(n_pad)[:n],
+                              nvy.reshape(n_pad)[:n],
+                              nvz.reshape(n_pad)[:n]], axis=-1)
+    j = _assemble_tile_windows(
+        j_win.transpose(0, 1, 3, 4, 2).reshape(nb_pad, wr, wz, 3)[:nb],
+        blk_tile[:nb], shape, tiling, wr, wz)
+    return position_out, velocity_out, j, inw.reshape(n_pad)[:n] > 0.5

@@ -107,7 +107,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_dt",
                                              "c_r", "c_z", "precision",
-                                             "interpret"))
+                                             "n_g", "interpret"))
 def fused_es2d_substep(
     e_grid: jax.Array,
     position: jax.Array,
@@ -120,6 +120,7 @@ def fused_es2d_substep(
     c_r: float,
     c_z: float,
     precision: str = "highest",
+    n_g: int = 32,
     interpret: bool = False,
 ):
     """One fused particle substep for tile-sorted 2D ES PIC.
@@ -149,7 +150,7 @@ def fused_es2d_substep(
     wz = tiling.tile_z + 2 * m + 1
     n = position.shape[0]
     nb = n // p_blk
-    n_g = 32                     # blocks per grid step (amortizes ~7us/step)
+    # n_g = blocks per grid step (amortizes ~7us/step pipeline overhead)
     nb_pad = -(-nb // n_g) * n_g
     nsteps = nb_pad // n_g
     n_pad = nb_pad * p_blk

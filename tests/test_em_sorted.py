@@ -151,3 +151,41 @@ def test_sorted_em_pallas_gather_backend():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(b.state.b), np.asarray(a.state.b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sorted_em_fused_backend():
+    """gather_backend='fused' (full Mosaic substep, interpret mode on CPU)
+    matches the XLA sorted route, non-relativistic and relativistic."""
+    import numpy as np
+
+    from fusion_sim_tpu.models import electromagnetic as em
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    for rel in (False, True):
+        d = 0.5
+        n_cells = 64
+        base = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                           dt=0.2 * d, charge=-0.01, mass=0.01,
+                           field_gather="centered", relativistic=rel)
+        rng = np.random.default_rng(0)
+        n = 4096
+        pos = rng.random((n, 2)) * n_cells
+        vel = 0.2 * rng.standard_normal((n, 3))
+        tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+
+        a = em.SortedElectromagneticPIC(base, pos, vel, tiling=tiling,
+                                        resort_every=4)
+        b = em.SortedElectromagneticPIC(base, pos, vel, tiling=tiling,
+                                        resort_every=4,
+                                        gather_backend="fused")
+        a.step(6)
+        b.step(6)
+        np.testing.assert_allclose(np.asarray(b.state.e),
+                                   np.asarray(a.state.e),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"rel={rel}")
+        np.testing.assert_allclose(np.asarray(b.state.b),
+                                   np.asarray(a.state.b),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"rel={rel}")
+        np.testing.assert_allclose(np.asarray(b.state.position),
+                                   np.asarray(a.state.position),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"rel={rel}")
