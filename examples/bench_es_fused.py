@@ -39,8 +39,8 @@ def main():
     ap.add_argument("--cells", type=int, default=512)
     ap.add_argument("--tile", type=int, default=32)
     ap.add_argument("--block", type=int, default=1024)
-    ap.add_argument("--margin", type=int, default=4)
-    ap.add_argument("--resort", type=int, default=8)
+    ap.add_argument("--margin", type=int, default=6)
+    ap.add_argument("--resort", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
 
