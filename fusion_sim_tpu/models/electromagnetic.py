@@ -240,6 +240,8 @@ class SortedEMState(NamedTuple):
     b: jax.Array
     step: jax.Array
     spill: jax.Array
+    spill_dropped: jax.Array  # cumulative rows past spill_capacity (their
+                              # deposits are lost even with the fallback on)
 
 
 class SortedElectromagneticPIC:
@@ -260,8 +262,11 @@ class SortedElectromagneticPIC:
 
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
         # rows per step with the exact deposit on compacted fixed-size
-        # buffers (ops.interp.spill_rows_cond); False drops their deposits
-        # entirely (warned via the spill counter).
+        # buffers (ops.interp.spill_rows_cond); False makes spilled rows
+        # approximate — deposits dropped AND fields gathered from the
+        # clamped sort window (warned via the spill counter).  Rows beyond
+        # ``spill_capacity`` are unpatched either way and counted in
+        # ``state.spill_dropped``.
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
         # 'pallas' routes the 2D field gather through the Mosaic window
@@ -301,28 +306,38 @@ class SortedElectromagneticPIC:
             tile_id=tid, valid=valid_p > 0.5,
             e=zero_f if e is None else jnp.asarray(e, jnp.float32),
             b=zero_f if b is None else jnp.asarray(b, jnp.float32),
-            step=jnp.int32(0), spill=jnp.int32(0))
+            step=jnp.int32(0), spill=jnp.int32(0),
+            spill_dropped=jnp.int32(0))
         self._step = (self._make_step_fused()
                       if gather_backend == "fused" else self._make_step())
         self._resort = self._make_resort()
         self._since_sort = 0
         self.check_spill = check_spill
         self._spill_seen = 0
+        self._dropped_seen = 0
 
     def _check_spill(self):
         # report the delta since the previous check, not the cumulative
         # counter (one spill event must not re-warn forever)
         spilled = int(self.state.spill) - self._spill_seen
         self._spill_seen += spilled
-        if spilled:
+        dropped = int(self.state.spill_dropped) - self._dropped_seen
+        self._dropped_seen += dropped
+        if spilled or dropped:
             import warnings
 
-            if self.spill_fallback:
+            if not self.spill_fallback:
+                msg = (f"{spilled} spilled rows are APPROXIMATE "
+                       f"(spill_fallback=False: deposits dropped, fields "
+                       f"gathered from the clamped window; charge "
+                       f"conservation broken)")
+            elif dropped:
+                msg = (f"{dropped} spilled rows exceeded spill_capacity="
+                       f"{self.spill_capacity} and were NOT patched (their "
+                       f"deposits are lost; raise spill_capacity)")
+            else:
                 msg = (f"{spilled} particle-deposits took the slow exact "
                        f"fallback (out-drifted the sort margin)")
-            else:
-                msg = (f"{spilled} particle-deposits were DROPPED "
-                       f"(spill_fallback=False; charge conservation broken)")
             warnings.warn(
                 msg + f"; reduce resort_every (now {self.resort_every}) or "
                 f"raise tiling.margin (now {self.tiling.margin})",
@@ -387,9 +402,11 @@ class SortedElectromagneticPIC:
                                         config.cell_size)
             x1 = jnp.where(state.valid[:, None], x1, 0.0)
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
+            dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
             return state._replace(position=x1, velocity=velocity,
                                   e=e_new, b=b_new, step=state.step + 1,
-                                  spill=state.spill + spill.astype(jnp.int32))
+                                  spill=state.spill + spill.astype(jnp.int32),
+                                  spill_dropped=state.spill_dropped + dropped)
 
         return step
 
@@ -484,9 +501,14 @@ class SortedElectromagneticPIC:
                                         config.cell_size)
             x1 = jnp.mod(x1, grid_f)
             x1 = jnp.where(state.valid[:, None], x1, 0.0)
+            if use_fallback:
+                dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
+            else:
+                dropped = spill.astype(jnp.int32)
             return state._replace(position=x1, velocity=velocity,
                                   e=e_new, b=b_new, step=state.step + 1,
-                                  spill=state.spill + spill.astype(jnp.int32))
+                                  spill=state.spill + spill.astype(jnp.int32),
+                                  spill_dropped=state.spill_dropped + dropped)
 
         return step
 

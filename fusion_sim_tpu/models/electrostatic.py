@@ -186,8 +186,16 @@ class SortedESState(NamedTuple):
     tile_id: jax.Array    # (Npad,) tile at last resort
     valid: jax.Array      # (Npad,) bool
     step: jax.Array
-    spill: jax.Array      # cumulative dropped-mass particle count (must stay 0)
+    spill: jax.Array      # cumulative out-of-margin rows (patched if
+                          # spill_fallback, else dropped)
+    spill_dropped: jax.Array  # cumulative rows past spill_capacity — these
+                              # lose their deposit even with the fallback on
     rho: jax.Array | None = None  # pallas backend: charge at current positions
+    # incremental layout repair (repair=True) only:
+    free_idx: jax.Array | None = None  # (n_tiles, F) per-tile dead-slot stacks
+    free_cnt: jax.Array | None = None  # (n_tiles,)
+    unplaced: jax.Array | None = None  # cumulative spills left in place (no
+                                       # free slot) — shell resorts when it grows
 
 
 class SortedElectrostaticPIC:
@@ -205,7 +213,8 @@ class SortedElectrostaticPIC:
                  tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
                  spill_capacity: int = 16384,
-                 backend: str = "xla"):
+                 backend: str = "xla", repair: bool = False,
+                 repair_free_slots: int = 256):
         from ..ops.sorted_deposit import Tiling2D, build_padded_layout
 
         if config.n_dim != 2:
@@ -215,10 +224,23 @@ class SortedElectrostaticPIC:
         self.backend = backend
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
         # rows per step with the exact packed transfers on compacted
-        # fixed-size buffers (ops.interp.spill_rows_cond); False drops
-        # their deposits entirely (warned via the spill counter).
+        # fixed-size buffers (ops.interp.spill_rows_cond); False makes
+        # spilled rows fully approximate: their deposits are dropped AND
+        # their gathered E comes from the clamped sort window instead of
+        # their true cell (warned via the spill counter).  Rows beyond
+        # ``spill_capacity`` are unpatched either way and counted in
+        # ``state.spill_dropped``.
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
+        # repair=True: spilled rows are RELOCATED each step into dead slots
+        # of their new tile (ops/repair.py) instead of waiting for the full
+        # resort — the resort then runs only when a tile's free-slot stack
+        # drains (state.unplaced grows), killing the ~95 ms/10M amortized
+        # resort cost (VERDICT r2 next-step #1a).  Requires spill_fallback.
+        if repair and not spill_fallback:
+            raise ValueError("repair=True requires spill_fallback=True")
+        self.repair = repair
+        self.repair_free_slots = int(repair_free_slots)
         self.config = config
         self.tiling = tiling or Tiling2D()
         self.resort_every = resort_every
@@ -238,7 +260,12 @@ class SortedElectrostaticPIC:
             position=pos_p,
             velocity=jnp.stack([vel0, vel1], axis=-1),
             tile_id=tid, valid=valid_p > 0.5,
-            step=jnp.int32(0), spill=jnp.int32(0))
+            step=jnp.int32(0), spill=jnp.int32(0),
+            spill_dropped=jnp.int32(0))
+        self._n_tiles = int(np.prod(self.tiling.n_tiles(config.grid_shape)))
+        if repair:
+            self.state = self.state._replace(unplaced=jnp.int32(0))
+            self._rebuild_free_list()
         if backend == "pallas":
             self.state = self.state._replace(rho=self._initial_rho())
             self._step = self._make_step_pallas()
@@ -248,21 +275,39 @@ class SortedElectrostaticPIC:
         self._since_sort = 0
         self.check_spill = check_spill
         self._spill_seen = 0
+        self._dropped_seen = 0
+        self._unplaced_seen = 0
+        self._need_resort = False
+
+    def _rebuild_free_list(self):
+        from ..ops.repair import init_free_list
+
+        fidx, fcnt = init_free_list(self.state.tile_id, self.state.valid,
+                                    self._n_tiles, self.tiling.block,
+                                    self.repair_free_slots)
+        self.state = self.state._replace(free_idx=fidx, free_cnt=fcnt)
 
     def _check_spill(self):
         # report the delta since the previous check, not the cumulative
         # counter (one spill event must not re-warn forever)
         spilled = int(self.state.spill) - self._spill_seen
         self._spill_seen += spilled
-        if spilled:
+        dropped = int(self.state.spill_dropped) - self._dropped_seen
+        self._dropped_seen += dropped
+        if spilled or dropped:
             import warnings
 
-            if self.spill_fallback:
+            if not self.spill_fallback:
+                msg = (f"{spilled} spilled rows are APPROXIMATE "
+                       f"(spill_fallback=False: deposits dropped, E gathered "
+                       f"from the clamped window; charge not conserved)")
+            elif dropped:
+                msg = (f"{dropped} spilled rows exceeded spill_capacity="
+                       f"{self.spill_capacity} and were NOT patched (their "
+                       f"deposits are lost; raise spill_capacity)")
+            else:
                 msg = (f"{spilled} particle-deposits took the slow exact "
                        f"fallback (out-drifted the sort margin)")
-            else:
-                msg = (f"{spilled} particle-deposits were DROPPED "
-                       f"(spill_fallback=False; charge not conserved)")
             warnings.warn(
                 msg + f"; reduce resort_every (now {self.resort_every}) or "
                 f"raise tiling.margin (now {self.tiling.margin})",
@@ -280,6 +325,8 @@ class SortedElectrostaticPIC:
         qm_dt = config.charge / config.mass * config.dt
         w0 = config.charge / config.cell_volume
         use_fallback = self.spill_fallback
+        use_repair = self.repair
+        n_tiles = self._n_tiles
         capacity = self.spill_capacity
 
         @jax.jit
@@ -313,9 +360,31 @@ class SortedElectrostaticPIC:
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
             position = state.position + (config.dt * velocity) / dx
             position = jnp.mod(position, grid_f)
+            if use_fallback:
+                dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
+            else:
+                dropped = spill.astype(jnp.int32)
+            extra = {}
+            if use_repair:
+                from ..ops.repair import allocate_slots, relocate
+                from ..ops.sorted_deposit import tile_ids
+
+                n_tot = position.shape[0]
+                pos_k2 = position[idx]
+                new_t = tile_ids(pos_k2, shape, tiling)
+                dest, placed, fidx, fcnt, nun = allocate_slots(
+                    state.free_idx, state.free_cnt, idx, ok, new_t,
+                    state.tile_id[idx], n_tot, n_tiles)
+                (position, velocity), valid = relocate(
+                    (position, velocity), state.valid, idx, dest, placed,
+                    (pos_k2, velocity[idx]), n_tot)
+                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                             unplaced=state.unplaced + nun)
             return state._replace(position=position, velocity=velocity,
                                   step=state.step + 1,
-                                  spill=state.spill + spill.astype(jnp.int32))
+                                  spill=state.spill + spill.astype(jnp.int32),
+                                  spill_dropped=state.spill_dropped + dropped,
+                                  **extra)
 
         return step
 
@@ -348,6 +417,8 @@ class SortedElectrostaticPIC:
         c_z = float(config.dt / config.cell_size[1])
         w0 = config.charge / config.cell_volume
         use_fallback = self.spill_fallback
+        use_repair = self.repair
+        n_tiles = self._n_tiles
         capacity = self.spill_capacity
         # Mosaic kernels need real TPU hardware; CPU (tests) interprets
         interpret = jax.default_backend() != "tpu"
@@ -383,11 +454,35 @@ class SortedElectrostaticPIC:
                 pos_k = jnp.mod(pos_k + config.dt * vel_k / dx, grid_f)
                 rho_new = rho_new + cic_deposit_packed(
                     pos_k, jnp.where(ok, w[idx], 0.0), shape)
-                pos = pos.at[idx].set(pos_k, mode="drop")
-                vel = vel.at[idx].set(vel_k, mode="drop")
+                if use_repair:
+                    from ..ops.repair import allocate_slots, relocate
+                    from ..ops.sorted_deposit import tile_ids
+
+                    n_tot = pos.shape[0]
+                    new_t = tile_ids(pos_k, shape, tiling)
+                    dest, placed, fidx, fcnt, nun = allocate_slots(
+                        state.free_idx, state.free_cnt, idx, ok, new_t,
+                        state.tile_id[idx], n_tot, n_tiles)
+                    (pos, vel), valid = relocate(
+                        (pos, vel), state.valid, idx, dest, placed,
+                        (pos_k, vel_k), n_tot)
+                    extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                                 unplaced=state.unplaced + nun)
+                else:
+                    pos = pos.at[idx].set(pos_k, mode="drop")
+                    vel = vel.at[idx].set(vel_k, mode="drop")
+                    extra = {}
+            else:
+                extra = {}
+            if use_fallback:
+                dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
+            else:
+                dropped = spill.astype(jnp.int32)
             return state._replace(position=pos, velocity=vel, rho=rho_new,
                                   step=state.step + 1,
-                                  spill=state.spill + spill.astype(jnp.int32))
+                                  spill=state.spill + spill.astype(jnp.int32),
+                                  spill_dropped=state.spill_dropped + dropped,
+                                  **extra)
 
         return step
 
@@ -415,17 +510,34 @@ class SortedElectrostaticPIC:
                 position=pos_p[:n_state],
                 velocity=jnp.stack([v0p[:n_state], v1p[:n_state]], axis=-1),
                 tile_id=tid[:n_state], valid=validp[:n_state] > 0.5,
-                step=state.step, spill=state.spill, rho=state.rho)
+                step=state.step, spill=state.spill,
+                spill_dropped=state.spill_dropped, rho=state.rho,
+                free_idx=state.free_idx, free_cnt=state.free_cnt,
+                unplaced=state.unplaced)
 
         return resort
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
-            if self._since_sort >= self.resort_every:
+            if self._since_sort >= self.resort_every or self._need_resort:
                 self.state = self._resort(self.state)
+                if self.repair:
+                    self._rebuild_free_list()
                 self._since_sort = 0
+                self._need_resort = False
             self.state = self._step(self.state)
             self._since_sort += 1
+        if self.repair:
+            # a small unplaced trickle is normal (a row whose target tile is
+            # momentarily full stays exactly-patched and retries next step);
+            # a large delta means stacks drained (net migration imbalance) —
+            # schedule a full resort at the next step().  One host sync per
+            # step() CALL, not per step.
+            unplaced = int(self.state.unplaced)
+            delta = unplaced - self._unplaced_seen
+            self._unplaced_seen = unplaced
+            if delta > max(64, self.spill_capacity // 8) * max(1, n):
+                self._need_resort = True
         if self.check_spill:
             self._check_spill()
 

@@ -48,6 +48,8 @@ class SortedPusherState(NamedTuple):
     key: jax.Array
     moments_avg: jax.Array  # (nr, nz, 4)
     spill: jax.Array        # cumulative exact-patched rows (diagnostic)
+    dropped: jax.Array      # cumulative respawns past capacity (backlog;
+                            # rows retry next substep — should stay 0)
 
 
 def _cell_coords(position: jax.Array, nr: int, nz: int) -> jax.Array:
@@ -161,8 +163,9 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
                                 pk2[:, 2])[..., 0]
         sink = sink.at[idx2].set(sink_k, mode="drop")
         sink = jnp.where(v_mask, sink, 1.0)  # fillers never absorb/respawn
-        position, alive = sink_respawn(next_pos, sink, rand, fields.inv_cdf,
-                                       respawn_capacity=spill_capacity)
+        position, alive, n_drop = sink_respawn(
+            next_pos, sink, rand, fields.inv_cdf,
+            respawn_capacity=spill_capacity)
 
         # --- freeze fillers (inert, no NaNs, zero deposit weight) ---------
         v = state.valid
@@ -171,7 +174,8 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         alive = jnp.where(v, alive, 1.0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
-            spill=state.spill + (n_g + n_s).astype(jnp.int32))
+            spill=state.spill + (n_g + n_s).astype(jnp.int32),
+            dropped=state.dropped + n_drop)
 
     @jax.jit
     def step(fields, state: SortedPusherState) -> SortedPusherState:
@@ -223,8 +227,9 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
 
         # sink/respawn (shared exact path; fillers never absorb)
         sink = jnp.where(state.valid, sink, 1.0)
-        position, alive = sink_respawn(pos1, sink, rand, fields.inv_cdf,
-                                       respawn_capacity=spill_capacity)
+        position, alive, n_drop = sink_respawn(
+            pos1, sink, rand, fields.inv_cdf,
+            respawn_capacity=spill_capacity)
 
         v = state.valid
         position = jnp.where(v[:, None], position, FILLER)
@@ -232,7 +237,8 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
         alive = jnp.where(v, alive, 1.0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
-            spill=state.spill + n_sp.astype(jnp.int32))
+            spill=state.spill + n_sp.astype(jnp.int32),
+            dropped=state.dropped + n_drop)
 
     @jax.jit
     def step(fields, state: SortedPusherState) -> SortedPusherState:
@@ -288,6 +294,7 @@ def to_sorted_state(state, spec, tiling: Tiling2D) -> SortedPusherState:
         key=state.key,
         moments_avg=state.moments_avg,
         spill=jnp.int32(0),
+        dropped=jnp.int32(0),
     )
     return make_sorted_resort_fn(spec, tiling)(base)
 

@@ -223,6 +223,12 @@ def tile50_for(nr: int, nz: int, margin: int = 6):
     (e.g. 400x800 -> 8x16 tiles of (63, 63) windows ~ 55 MB)."""
     from .sorted_deposit import Tiling2D
 
-    tr = max(t for t in (64, 50, 40, 32, 25, 20, 16, 8) if nr % t == 0)
-    tz = max(t for t in (64, 50, 40, 32, 25, 20, 16, 8) if nz % t == 0)
-    return Tiling2D(tile_r=tr, tile_z=tz, block=1024, margin=margin)
+    candidates = (64, 50, 40, 32, 25, 20, 16, 8)
+    divs_r = [t for t in candidates if nr % t == 0]
+    divs_z = [t for t in candidates if nz % t == 0]
+    if not divs_r or not divs_z:
+        raise ValueError(
+            f"no tile size in {candidates} divides the {nr}x{nz} grid — "
+            "pass an explicit Tiling2D whose tiles divide it")
+    return Tiling2D(tile_r=max(divs_r), tile_z=max(divs_z), block=1024,
+                    margin=margin)

@@ -41,7 +41,8 @@ def push_position(
     x, y, z = next_pos[..., 0], next_pos[..., 1], next_pos[..., 2]
     r = jnp.sqrt(x * x + y * y)
     sink = gather_nearest(sink_mask[..., None], r, z)[..., 0]
-    return sink_respawn(next_pos, sink, rand, inv_cdf_table)
+    pos, alive, _ = sink_respawn(next_pos, sink, rand, inv_cdf_table)
+    return pos, alive
 
 
 def sink_respawn(
@@ -59,8 +60,14 @@ def sink_respawn(
     latency-bound row gather) runs only on up to that many compacted
     respawning rows instead of all N — bit-identical results for every
     respawned row (the table transforms this substep's uniforms; no RNG
-    state is consumed).  Rows past the capacity keep their drifted position
-    with alive = 0 and are re-absorbed next substep."""
+    state is consumed).  ``spill_rows_cond`` captures *every* respawning row
+    up to the capacity (respawns are scattered ~uniformly across the
+    population, so it takes its exact flat-compaction branch when they span
+    many chunks); only rows past ``respawn_capacity`` itself keep their
+    drifted position with alive = 0 and are re-absorbed next substep.
+    Callers should surface that backlog — the third return value
+    ``n_dropped = max(n_respawning - capacity, 0)`` counts it (0 when
+    ``respawn_capacity`` is None)."""
     x, y, z = next_pos[..., 0], next_pos[..., 1], next_pos[..., 2]
     keep = sink > 0.5
     alive = keep.astype(jnp.float32)
@@ -71,16 +78,20 @@ def sink_respawn(
         out_x = jnp.where(keep, x, new_r)
         out_y = jnp.where(keep, y, 0.0)
         out_z = jnp.where(keep, z, new_z)
-        return jnp.stack([out_x, out_y, out_z], axis=-1), alive
+        return (jnp.stack([out_x, out_y, out_z], axis=-1), alive,
+                jnp.int32(0))
 
     from .interp import spill_rows_cond
 
     n = x.shape[0]
     mask = jnp.logical_not(keep)
-    idx, _ = spill_rows_cond(mask, jnp.sum(mask), respawn_capacity, n)
+    n_respawn = jnp.sum(mask)
+    idx, _ = spill_rows_cond(mask, n_respawn, respawn_capacity, n)
     new_r, new_z = sample_inverse_cdf(inv_cdf_table, rand[idx, 0],
                                       rand[idx, 1])
     out_x = x.at[idx].set(new_r, mode="drop")
     out_y = y.at[idx].set(0.0, mode="drop")
     out_z = z.at[idx].set(new_z, mode="drop")
-    return jnp.stack([out_x, out_y, out_z], axis=-1), alive
+    n_dropped = jnp.maximum(
+        n_respawn.astype(jnp.int32) - respawn_capacity, 0)
+    return jnp.stack([out_x, out_y, out_z], axis=-1), alive, n_dropped

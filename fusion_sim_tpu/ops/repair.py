@@ -1,0 +1,153 @@
+"""Incremental per-tile layout repair for the sorted particle layouts.
+
+The tile-sorted layouts (ops/sorted_deposit.build_padded_layout) decay as
+particles drift: rows that leave their block's window (tile +/- margin) fall
+onto the exact-but-slow spill patch every step until a full resort rebuilds
+the layout.  The full resort is a multi-payload 10M-row sort (~95 ms on v5e)
+whose amortized cost caps the fused ES path (~6 ms/step at cadence 16 —
+PERFORMANCE.md round 2; VERDICT r2 next-step #1a).
+
+This module removes the cadence cost: every step, the (already compacted)
+spilled rows are *relocated* into dead filler slots of blocks belonging to
+their NEW tile.  In near-equilibrium flows, tile departures free the slots
+that tile arrivals need, so the layout is self-repairing and the full resort
+runs only when per-tile free-slot inventories drain (net migration
+imbalance), typically hundreds of steps apart.
+
+Data structure: a per-tile stack of dead-slot indices,
+
+    free_idx: (n_tiles, F) int32   slot row indices (sentinel-padded)
+    free_cnt: (n_tiles,)   int32   live stack depth (<= F)
+
+maintained entirely on device.  All per-step work is O(K log K) on the
+K-row compacted spill buffer (K = spill_capacity), plus K-row scatters.
+
+Layout invariants used (guaranteed by build_padded_layout):
+  * rows are tile-contiguous in block units (block b's rows all carry the
+    same tile_id, and block tile_ids are sorted ascending);
+  * a dead slot in tile t's segment stays in tile t forever (repair only
+    flips valid flags and writes payloads; tile_id never changes between
+    resorts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "block", "capacity"))
+def init_free_list(tile_id: jax.Array, valid: jax.Array, n_tiles: int,
+                   block: int, capacity: int) -> tuple[jax.Array, jax.Array]:
+    """Per-tile dead-slot stacks for a FRESH layout.
+
+    Fresh = straight out of ``build_padded_layout``: within each tile's
+    segment the dead (filler) rows form a contiguous suffix, so the stack is
+    a range.  Tiles with more than ``capacity`` fillers track only the first
+    ``capacity`` (the rest are recovered at the next full resort).
+
+    Returns ``(free_idx (n_tiles, capacity), free_cnt (n_tiles,))``.
+    """
+    n = tile_id.shape[0]
+    blk_tile = tile_id[::block]
+    # row-level segment bounds from the sorted block tile ids
+    bounds = jnp.searchsorted(blk_tile, jnp.arange(n_tiles + 1)) * block
+    dead = jnp.logical_and(~valid, tile_id < n_tiles)
+    dead_per_tile = jax.ops.segment_sum(dead.astype(jnp.int32), tile_id,
+                                        num_segments=n_tiles)
+    cnt = jnp.minimum(dead_per_tile, capacity)
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    start = bounds[1:].astype(jnp.int32) - dead_per_tile
+    free_idx = start[:, None] + k[None, :]
+    free_idx = jnp.where(k[None, :] < cnt[:, None], free_idx, n)
+    return free_idx, cnt
+
+
+def _segment_ranks(keys: jax.Array) -> jax.Array:
+    """Rank of each element within its run of equal (sorted) keys."""
+    k = keys.shape[0]
+    first = jnp.searchsorted(keys, keys, side="left")
+    return jnp.arange(k, dtype=jnp.int32) - first.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def allocate_slots(free_idx: jax.Array, free_cnt: jax.Array,
+                   src: jax.Array, ok: jax.Array, new_tile: jax.Array,
+                   old_tile: jax.Array, n_total: int, n_tiles: int):
+    """Assign each spilled row a dead slot in its new tile (pop), and free
+    the source slots of relocated rows for future arrivals (push).
+
+    ``src``: (K,) compacted spilled-row indices (sentinel ``n_total`` on
+    unused entries); ``ok``: (K,) validity; ``new_tile``/``old_tile``: (K,)
+    tile of the row's new position / of its current block.
+
+    Returns ``(dest (K,), placed (K,) bool, free_idx', free_cnt',
+    n_unplaced)`` — ``dest[i] == src[i]`` where no slot was available (the
+    row stays in place, remains spilled, and is retried next step).
+    """
+    k = src.shape[0]
+    cap = free_idx.shape[1]
+    sent_t = jnp.int32(n_tiles)
+
+    # ---- pop: group arrivals by destination tile --------------------------
+    key = jnp.where(ok, new_tile, sent_t).astype(jnp.int32)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    src_s = src[order]
+    ok_s = key_s < sent_t
+    r = _segment_ranks(key_s)
+    t_c = jnp.minimum(key_s, n_tiles - 1)
+    cnt_t = free_cnt[t_c]
+    place = jnp.logical_and(ok_s, r < cnt_t)
+    slot = free_idx[t_c, jnp.clip(cnt_t - 1 - r, 0, cap - 1)]
+    dest_s = jnp.where(place, slot, src_s)
+    used = jax.ops.segment_sum(place.astype(jnp.int32), key_s,
+                               num_segments=n_tiles)
+    free_cnt = free_cnt - used
+
+    # ---- push: freed source slots onto their old tile's stack -------------
+    old_s = old_tile[order]
+    key2 = jnp.where(place, old_s, sent_t).astype(jnp.int32)
+    order2 = jnp.argsort(key2)
+    key2_s = key2[order2]
+    src2_s = src_s[order2]
+    ok2 = key2_s < sent_t
+    r2 = _segment_ranks(key2_s)
+    t2 = jnp.minimum(key2_s, n_tiles - 1)
+    pos2 = free_cnt[t2] + r2
+    write_ok = jnp.logical_and(ok2, pos2 < cap)
+    free_idx = free_idx.at[
+        jnp.where(write_ok, t2, n_tiles),
+        jnp.clip(pos2, 0, cap - 1)].set(src2_s, mode="drop")
+    pushed = jax.ops.segment_sum(write_ok.astype(jnp.int32), key2_s,
+                                 num_segments=n_tiles)
+    free_cnt = free_cnt + pushed
+
+    # ---- back to caller order ---------------------------------------------
+    inv = jnp.argsort(order)
+    dest = dest_s[inv]
+    placed = place[inv]
+    n_unplaced = jnp.sum(jnp.logical_and(ok, ~placed).astype(jnp.int32))
+    return dest, placed, free_idx, free_cnt, n_unplaced
+
+
+def relocate(arrays, valid: jax.Array, src: jax.Array, dest: jax.Array,
+             placed: jax.Array, values, n_total: int):
+    """Move rows ``src -> dest`` (payload ``values`` written at ``dest``;
+    ``dest == src`` for unplaced rows, handled by the same scatter).
+
+    ``arrays``: tuple of (N, ...) payload arrays; ``values``: matching (K,
+    ...) new payload values (the exact-patch results).  Returns
+    ``(arrays', valid')``.
+    """
+    out = []
+    for a, v in zip(arrays, values):
+        out.append(a.at[dest].set(v, mode="drop"))
+    sent = jnp.int32(n_total)
+    src_clear = jnp.where(placed, src, sent)
+    valid = valid.at[src_clear].set(False, mode="drop")
+    dest_set = jnp.where(placed, dest, sent)
+    valid = valid.at[dest_set].set(True, mode="drop")
+    return tuple(out), valid

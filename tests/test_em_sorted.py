@@ -1,5 +1,6 @@
 """Sorted-layout EM PIC: equivalence with the centered reference model."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -122,6 +123,7 @@ def test_sorted_em_gauss_law():
     assert r1 - r0 < 5e-3 * max(r0, 1.0), (r0, r1)
 
 
+@pytest.mark.slow
 def test_sorted_em_pallas_gather_backend():
     """gather_backend='pallas' (interpret mode on CPU) matches the XLA
     window gather route."""
@@ -153,6 +155,7 @@ def test_sorted_em_pallas_gather_backend():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sorted_em_fused_backend():
     """gather_backend='fused' (full Mosaic substep, interpret mode on CPU)
     matches the XLA sorted route, non-relativistic and relativistic."""

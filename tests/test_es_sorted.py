@@ -1,5 +1,6 @@
 """Sorted-layout ES PIC: physics equivalence with the reference model."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -86,6 +87,7 @@ def test_sorted_es_energy_drift_matches_reference():
     assert drift < drift_ref * 1.1 + 1e-4, (drift, drift_ref)
 
 
+@pytest.mark.slow
 def test_pallas_backend_matches_xla_backend():
     """backend='pallas' (fused gather+kick+drift+deposit kernel, interpret
     mode on CPU) tracks the XLA sorted model at rounding level."""
@@ -109,6 +111,7 @@ def test_pallas_backend_matches_xla_backend():
                                    atol=0.05)
 
 
+@pytest.mark.slow
 def test_pallas_backend_spill_fallback():
     """Spilled rows in the fused kernel are patched exactly (vs plain model)."""
     import warnings

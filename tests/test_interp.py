@@ -86,8 +86,9 @@ def test_deposit_gather_adjoint():
 
 def test_spill_rows_cond_hierarchical_compaction():
     """spill_rows_cond's two-level compaction returns exactly the spilled
-    row indices (clustered case) and a correct subset + sentinel validity
-    when the chunk budget overflows."""
+    row indices (clustered case) and falls back to the exact flat
+    compaction when spills are scattered past the chunk budget (no silent
+    drops — the round-2 respawn-backlog bug)."""
     import jax.numpy as jnp
 
     from fusion_sim_tpu.ops.interp import _MAX_CHUNKS, spill_rows_cond
@@ -110,13 +111,20 @@ def test_spill_rows_cond_hierarchical_compaction():
     assert not bool(np.asarray(ok0).any())
     assert (np.asarray(idx0) == n).all()
 
-    # chunk-budget overflow: every chunk spilled -> captured subset is
-    # valid spilled rows, uncaptured slots stay sentinel
+    # chunk-budget overflow: every chunk spilled -> the flat-compaction
+    # branch captures EVERY spilled row (scattered respawns must not be
+    # silently dropped)
     mask_all = np.zeros(n, bool)
     mask_all[::1024] = True  # one spill in every chunk (293 > _MAX_CHUNKS)
     assert n // 1024 > _MAX_CHUNKS
     idx2, ok2 = spill_rows_cond(jnp.asarray(mask_all),
                                 jnp.sum(jnp.asarray(mask_all)), 4096, n)
-    got2 = np.asarray(idx2)[np.asarray(ok2)]
-    assert len(got2) == _MAX_CHUNKS
-    assert mask_all[got2].all()
+    got2 = np.sort(np.asarray(idx2)[np.asarray(ok2)])
+    np.testing.assert_array_equal(got2, np.where(mask_all)[0])
+
+    # scattered spills beyond capacity: the first `capacity` rows (in row
+    # order) are captured, the backlog is exactly spill - capacity
+    idx3, ok3 = spill_rows_cond(jnp.asarray(mask_all),
+                                jnp.sum(jnp.asarray(mask_all)), 64, n)
+    got3 = np.sort(np.asarray(idx3)[np.asarray(ok3)])
+    np.testing.assert_array_equal(got3, np.where(mask_all)[0][:64])

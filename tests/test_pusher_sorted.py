@@ -1,6 +1,7 @@
 """Tile-sorted pusher fast path: per-particle math identical to the plain
 grid path (multiset comparison — order and RNG stream differ by design)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -76,6 +77,7 @@ def test_sorted_path_default_scenario_respawns():
     assert bool(jnp.all(jnp.isfinite(sim.state.position)))
 
 
+@pytest.mark.slow
 def test_fused_backend_matches_xla_backend():
     """backend='fused' (one Mosaic kernel per half-step, interpret mode on
     CPU) reproduces the XLA sorted backend row-for-row — identical layout,
