@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--margin", type=int, default=6)
     ap.add_argument("--resort", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--repair", action="store_true",
+                    help="incremental layout repair instead of resorts")
+    ap.add_argument("--spill-capacity", type=int, default=16384)
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
     length = 2 * np.pi
@@ -59,17 +63,27 @@ def main():
           f"block={args.block} margin={args.margin} resort={args.resort} "
           f"dev={jax.devices()[0]}")
 
+    kw = dict(spill_capacity=args.spill_capacity)
+    resort = args.resort
+    if args.repair:
+        kw = dict(repair=True, spill_capacity=args.spill_capacity)
+        resort = 10 ** 9
     sim_p = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
-                                      resort_every=args.resort,
-                                      backend="pallas", check_spill=False)
+                                      resort_every=resort,
+                                      backend="pallas", check_spill=False,
+                                      **kw)
     t_p = bench(sim_p, "pallas fused", n_steps=args.steps)
+    if args.repair:
+        print(f"  unplaced={int(sim_p.state.unplaced)} "
+              f"dropped={int(sim_p.state.spill_dropped)}")
     del sim_p
 
-    sim_x = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
-                                      resort_every=args.resort,
-                                      check_spill=False)
-    t_x = bench(sim_x, "xla sorted  ", n_steps=args.steps)
-    print(f"speedup: {t_x / t_p:.2f}x")
+    if not args.skip_xla:
+        sim_x = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                          resort_every=resort,
+                                          check_spill=False, **kw)
+        t_x = bench(sim_x, "xla sorted  ", n_steps=args.steps)
+        print(f"speedup: {t_x / t_p:.2f}x")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,93 @@ def bench_model(sim, n_steps=10, reps=3):
     return sorted(times)[len(times) // 2]
 
 
+def bench_fn(fn, *xs, n=10, reps=3):
+    """Median per-call time of a jitted fn (device-sliced fence)."""
+    out = fn(*xs)
+    fence(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*xs)
+        fence(out)
+        times.append((time.perf_counter() - t0) / n)
+    return sorted(times)[len(times) // 2]
+
+
+def phase_times_es(cfg, mesh, sim, axis="space"):
+    """Per-phase timings of the packed sharded ES step: deposit, apron fold,
+    field halo, distributed FFT solve, gather, migration (VERDICT r2
+    next-step #9 — gives the collective-fraction table for pod runs).
+
+    Each phase is timed as its own shard_mapped jit on the live state's
+    shapes; fractions are vs the sum (the fused full step overlaps some)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fusion_sim_tpu.models.electrostatic_sharded import APRON_W, HALO_W
+    from fusion_sim_tpu.ops.interp import cic_deposit_packed, cic_gather_packed
+    from fusion_sim_tpu.ops.solvers import poisson_fft_sharded
+    from fusion_sim_tpu.parallel import halo, migration
+
+    base = cfg.base
+    slab = cfg.slab
+    rest = base.grid_shape[1:]
+    pad_shape = (slab + 2 * APRON_W, *rest)
+    halo_shape = (slab + 2 * HALO_W, *rest)
+    pos, vel = sim.state.position, sim.state.velocity
+    alive = sim.state.alive
+    w = jnp.where(alive, jnp.float32(1.0), 0.0)
+    rho = jnp.zeros(base.grid_shape, jnp.float32)
+    rho_pad_g = jnp.zeros((cfg.n_shards * pad_shape[0], *rest), jnp.float32)
+    e_grid = jnp.zeros((*base.grid_shape, len(base.grid_shape)), jnp.float32)
+
+    def sm(f, in_specs, out_specs):
+        return jax.jit(shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs))
+
+    p1, p2 = P(axis), P(axis, None)
+    pf = P(axis, *([None] * (len(base.grid_shape) - 1)))
+    pfc = P(axis, *([None] * len(base.grid_shape)))
+
+    phases = {}
+    phases["deposit"] = (sm(
+        lambda p, ww: cic_deposit_packed(
+            jnp.concatenate([jnp.mod(p[:, :1], slab) + APRON_W, p[:, 1:]], 1),
+            ww, pad_shape), (p2, p1), pf), (pos, w))
+    phases["apron"] = (sm(
+        lambda r: halo.accumulate_apron(r, axis, APRON_W), (pf,), pf),
+        (rho_pad_g,))
+    phases["halo"] = (sm(
+        lambda e: halo.with_halo(e, axis, HALO_W), (pfc,), pfc), (e_grid,))
+    phases["solve"] = (sm(
+        lambda r: poisson_fft_sharded(r, base.grid_shape, base.cell_size,
+                                      axis), (pf,), pf), (rho,))
+    phases["gather"] = (sm(
+        lambda e, p: cic_gather_packed(
+            halo.with_halo(e, axis, HALO_W),
+            jnp.concatenate([jnp.mod(p[:, :1], slab) + HALO_W, p[:, 1:]], 1),
+            halo_shape), (pfc, p2), p2), (e_grid, pos))
+
+    def mig(p, v, a):
+        gl = jnp.logical_and(a, p[:, 0] % slab < 0.05)
+        gr = jnp.logical_and(a, p[:, 0] % slab > slab - 0.05)
+        res = migration.migrate_ring((p, v), a, gl, gr, axis,
+                                     cfg.migration_buffer)
+        return res.arrays[0], res.arrays[1], res.alive
+
+    if cfg.n_shards > 1:
+        phases["migrate"] = (sm(mig, (p2, p2, p1), (p2, p2, p1)),
+                             (pos, vel, alive))
+
+    out = {}
+    for name, (fn, xs) in phases.items():
+        out[name] = bench_fn(fn, *xs)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -50,6 +137,9 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh (tests/CI)")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--phases", action="store_true",
+                    help="per-phase timings (deposit/halo/solve/gather/"
+                         "migration) for the ES model per device count")
     args = ap.parse_args()
 
     if args.cpu:
@@ -111,6 +201,17 @@ def main() -> int:
         rows.append(("es-fft", nd, 1e3 * t, n / t / nd))
         print(f"{'es-fft':10s} nd={nd}: {1e3 * t:8.1f} ms/step  "
               f"{n / t / nd:.3e} updates/s/device")
+        if args.phases:
+            ph = phase_times_es(es_cfg, mesh, sim)
+            tot = sum(ph.values())
+            comm = sum(v for k, v in ph.items()
+                       if k in ("halo", "apron", "migrate")) + 0.0
+            print(f"  es phases nd={nd}: " + "  ".join(
+                f"{k}={1e3 * v:.2f}ms({100 * v / tot:.0f}%)"
+                for k, v in ph.items()))
+            print(f"  es comm fraction nd={nd}: {100 * comm / tot:.1f}% "
+                  f"(halo+apron+migrate; solve's all_to_all counted as "
+                  f"solve)")
         del sim
 
     print("\nweak scaling summary (flat ms/step = perfect):")

@@ -72,9 +72,14 @@ class ESConfig:
 
 
 def charge_density(config: ESConfig, position: jax.Array) -> jax.Array:
-    """CIC charge density, optionally neutralized to zero mean."""
+    """CIC charge density, optionally neutralized to zero mean.
+
+    Follows ``position``'s dtype so float64 control runs (with
+    jax_enable_x64) stay float64 end to end — see examples/drift_control.py.
+    """
     n = position.shape[0]
-    weights = jnp.full((n,), config.charge / config.cell_volume, jnp.float32)
+    weights = jnp.full((n,), config.charge / config.cell_volume,
+                       position.dtype)
     rho = cic_deposit_packed(position, weights, config.grid_shape)
     if config.neutralizing_background:
         rho = rho - jnp.mean(rho)
@@ -199,14 +204,19 @@ class SortedESState(NamedTuple):
 
 
 class SortedElectrostaticPIC:
-    """2D ES PIC with the sorted digit-matmul deposition fast path.
+    """ES PIC (2D or 3D) with the sorted digit-matmul deposition fast path.
 
     Physics identical to ``ElectrostaticPIC`` (same CIC/FFT/leapfrog, to
     bf16 deposit-weight rounding); deposition runs ~10x faster at 10M
     particles.  Particles live permanently in the padded tile-sorted layout
     of ops/sorted_deposit.build_padded_layout; the shell resorts every
     ``resort_every`` steps (size the cadence so drift stays under
-    ``tiling.margin`` cells: margin / (v_max*dt/dx) steps).
+    ``tiling.margin`` cells: margin / (v_max*dt/dx) steps), or repairs the
+    layout incrementally every step with ``repair=True``.
+
+    3D uses ``Tiling3D`` with the XLA backend (deposit_sorted_3d /
+    gather_sorted_3d — the same window machinery the 3D sorted EM model
+    runs on); the fused Pallas backend is 2D.
     """
 
     def __init__(self, config: ESConfig, position, velocity,
@@ -215,12 +225,16 @@ class SortedElectrostaticPIC:
                  spill_capacity: int = 16384,
                  backend: str = "xla", repair: bool = False,
                  repair_free_slots: int = 256):
-        from ..ops.sorted_deposit import Tiling2D, build_padded_layout
+        from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
+                                          build_padded_layout)
 
-        if config.n_dim != 2:
-            raise ValueError("sorted layout variant is 2D")
+        if config.n_dim not in (2, 3):
+            raise ValueError("sorted layout variant is 2D or 3D")
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend {backend!r} (xla|pallas)")
+        if backend == "pallas" and config.n_dim != 2:
+            raise ValueError("the fused pallas ES backend is 2D; use "
+                             "backend='xla' in 3D")
         self.backend = backend
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
         # rows per step with the exact packed transfers on compacted
@@ -242,7 +256,8 @@ class SortedElectrostaticPIC:
         self.repair = repair
         self.repair_free_slots = int(repair_free_slots)
         self.config = config
-        self.tiling = tiling or Tiling2D()
+        self.tiling = tiling or (Tiling2D() if config.n_dim == 2
+                                 else Tiling3D())
         self.resort_every = resort_every
         n = np.asarray(position).shape[0]
         if n % self.tiling.block:
@@ -250,15 +265,19 @@ class SortedElectrostaticPIC:
                              f"{self.tiling.block}")
         self.n_real = n
 
-        pos = jnp.asarray(position, jnp.float32).reshape(n, 2)
-        vel = jnp.asarray(velocity, jnp.float32).reshape(n, 2)
+        ndim = config.n_dim
+        pos = jnp.asarray(position, jnp.float32).reshape(n, ndim)
+        vel = jnp.asarray(velocity, jnp.float32).reshape(n, ndim)
         valid = jnp.ones((n,), bool)
-        tid, pos_p, vel0, vel1, valid_p, _ = build_padded_layout(
+        out = build_padded_layout(
             pos, config.grid_shape, self.tiling,
-            vel[:, 0], vel[:, 1], valid.astype(jnp.float32))
+            *[vel[:, a] for a in range(ndim)], valid.astype(jnp.float32))
+        tid, pos_p = out[0], out[1]
+        vel_cols = out[2:2 + ndim]
+        valid_p = out[2 + ndim]
         self.state = SortedESState(
             position=pos_p,
-            velocity=jnp.stack([vel0, vel1], axis=-1),
+            velocity=jnp.stack(vel_cols, axis=-1),
             tile_id=tid, valid=valid_p > 0.5,
             step=jnp.int32(0), spill=jnp.int32(0),
             spill_dropped=jnp.int32(0))
@@ -315,11 +334,14 @@ class SortedElectrostaticPIC:
 
     def _make_step(self):
         from ..ops.interp import cic_deposit_packed, spill_rows_cond
-        from ..ops.sorted_deposit import deposit_sorted_2d, gather_sorted_2d
+        from ..ops.sorted_deposit import (deposit_sorted_2d, deposit_sorted_3d,
+                                          gather_sorted_2d, gather_sorted_3d)
 
         config = self.config
         tiling = self.tiling
         shape = config.grid_shape
+        deposit_fn = deposit_sorted_2d if config.n_dim == 2 else deposit_sorted_3d
+        gather_fn = gather_sorted_2d if config.n_dim == 2 else gather_sorted_3d
         dx = jnp.asarray(config.cell_size, jnp.float32)
         grid_f = jnp.asarray(shape, jnp.float32)
         qm_dt = config.charge / config.mass * config.dt
@@ -332,7 +354,7 @@ class SortedElectrostaticPIC:
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
-            rho, spill, spill_mask = deposit_sorted_2d(
+            rho, spill, spill_mask = deposit_fn(
                 state.position, w, state.tile_id, shape, tiling)
             if use_fallback:
                 # exact patch: up to `capacity` past-the-margin rows deposit
@@ -345,13 +367,13 @@ class SortedElectrostaticPIC:
                     jnp.where(ok, w[idx], 0.0), shape)
             if config.neutralizing_background:
                 # zero-mean over real charge (fillers carry none)
-                rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
+                rho = rho - jnp.sum(rho) / np.prod(shape)
             _, e_grid = solve_fields(config, rho)
             # tile-window gather (~5x the packed row gather's throughput);
             # gather and deposit share the window criterion at the same
             # positions, so the deposit's spill idx patches both
-            e_at_p, _ = gather_sorted_2d(e_grid, state.position,
-                                         state.tile_id, shape, tiling)
+            e_at_p, _ = gather_fn(e_grid, state.position,
+                                  state.tile_id, shape, tiling)
             if use_fallback:
                 e_k = cic_gather_packed(
                     e_grid, jnp.mod(state.position[idx], grid_f), shape)
@@ -367,11 +389,12 @@ class SortedElectrostaticPIC:
             extra = {}
             if use_repair:
                 from ..ops.repair import allocate_slots, relocate
-                from ..ops.sorted_deposit import tile_ids
+                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
 
                 n_tot = position.shape[0]
                 pos_k2 = position[idx]
-                new_t = tile_ids(pos_k2, shape, tiling)
+                tid_fn = tile_ids if config.n_dim == 2 else tile_ids_3d
+                new_t = tid_fn(pos_k2, shape, tiling)
                 dest, placed, fidx, fcnt, nun = allocate_slots(
                     state.free_idx, state.free_cnt, idx, ok, new_t,
                     state.tile_id[idx], n_tot, n_tiles)
@@ -493,22 +516,27 @@ class SortedElectrostaticPIC:
         tiling = self.tiling
         n_state = self.state.position.shape[0]
 
+        ndim = config.n_dim
+
         @jax.jit
         def resort(state: SortedESState) -> SortedESState:
             # ONE sort: build_padded_layout's `valid` mask sinks filler rows
             # to the trailing dead region directly (the old two-sort form —
             # compact then rebuild — doubled the dominant cost at 10M)
-            tid, pos_p, v0p, v1p, validp, _ = build_padded_layout(
+            out = build_padded_layout(
                 state.position, config.grid_shape, tiling,
-                state.velocity[:, 0], state.velocity[:, 1],
+                *[state.velocity[:, a] for a in range(ndim)],
                 state.valid.astype(jnp.float32), valid=state.valid)
+            tid, pos_p = out[0], out[1]
+            v_cols = out[2:2 + ndim]
+            validp = out[2 + ndim]
             # layout length is static: input N + n_tiles*block; the input
             # already carries n_tiles*block filler rows, all of which land
             # in the trailing dead region -> the truncation drops only dead
             # rows (real count is conserved in the periodic ES model)
             return SortedESState(
                 position=pos_p[:n_state],
-                velocity=jnp.stack([v0p[:n_state], v1p[:n_state]], axis=-1),
+                velocity=jnp.stack([v[:n_state] for v in v_cols], axis=-1),
                 tile_id=tid[:n_state], valid=validp[:n_state] > 0.5,
                 step=state.step, spill=state.spill,
                 spill_dropped=state.spill_dropped, rho=state.rho,
@@ -547,11 +575,13 @@ class SortedElectrostaticPIC:
         ke = 0.5 * cfg.mass * float(jnp.sum(jnp.where(
             self.state.valid[:, None], v, 0.0) ** 2))
         from ..ops.interp import cic_deposit_packed
-        from ..ops.sorted_deposit import deposit_sorted_2d
+        from ..ops.sorted_deposit import deposit_sorted_2d, deposit_sorted_3d
 
         w = jnp.where(self.state.valid,
                       jnp.float32(cfg.charge / cfg.cell_volume), 0.0)
-        rho, spill, spill_mask = deposit_sorted_2d(
+        deposit_fn = (deposit_sorted_2d if cfg.n_dim == 2
+                      else deposit_sorted_3d)
+        rho, spill, spill_mask = deposit_fn(
             self.state.position, w, self.state.tile_id,
             cfg.grid_shape, self.tiling)
         if self.spill_fallback and int(spill):

@@ -180,106 +180,72 @@ def spill_rows(spill_mask: jax.Array, spill: jax.Array, capacity: int,
 
 
 def spill_rows_cond(spill_mask: jax.Array, spill: jax.Array, capacity: int,
-                    n_total: int, max_chunks: int | None = None,
-                    ) -> tuple[jax.Array, jax.Array]:
-    """``spill_rows`` under ``lax.switch``: spill-free steps skip the O(N)
-    compaction entirely (~3 ms vs ~95 ms at 10M on v5e — XLA lowers
-    ``nonzero`` to a full-length scatter).  The caller's K-row patch ops are
-    no-ops on the sentinel indices, so they can run unconditionally; only the
-    (capacity,) index vector crosses the branch boundary (returning full
-    particle arrays from a cond branch is what triggered the T(8,128)
-    layout blowup this module's docstrings warn about).
+                    n_total: int) -> tuple[jax.Array, jax.Array]:
+    """``spill_rows`` under ``lax.cond``: spill-free steps skip the O(N)
+    compaction entirely.  The caller's K-row patch ops are no-ops on the
+    sentinel indices, so they can run unconditionally; only the (capacity,)
+    index vector crosses the branch boundary (returning full particle
+    arrays from a cond branch is what triggered the T(8,128) layout blowup
+    this module's docstrings warn about).
 
-    Three branches by spill *distribution*:
-
-    0. no spill: sentinels, O(1);
-    1. spilled rows clustered in <= ``max_chunks`` 1024-row chunks (the
-       common case — edge-crossers/migrants live in edge-tile blocks):
-       hierarchical two-level compaction, O(spilled chunks);
-    2. spilled rows scattered across more chunks than the budget (e.g.
-       uniformly-distributed respawns at large N): exact flat compaction,
-       O(N) (~95 ms at 10M) — correctness over speed, never a silent drop.
-
-    Every spilled row up to ``capacity`` is therefore always captured; rows
-    beyond ``capacity`` are dropped and the caller should surface
-    ``max(spill - capacity, 0)`` as a diagnostic.
+    The hot branch is ``_gather_compact`` — exact, scatter-free, and
+    distribution-independent (~2-3 ms at 10M regardless of how spills are
+    scattered).  Every spilled row up to ``capacity`` is always captured
+    (in row order); rows beyond ``capacity`` are dropped and the caller
+    should surface ``max(spill - capacity, 0)`` as a diagnostic.
     Returns ``(idx (capacity,) int32, ok (capacity,) bool)``.
     """
-    if max_chunks is None:
-        max_chunks = _MAX_CHUNKS
-    nb = -(-n_total // _CHUNK)
-    m = spill_mask
-    if nb * _CHUNK != n_total:
-        m = jnp.concatenate(
-            [m, jnp.zeros((nb * _CHUNK - n_total,), bool)])
-    m2 = m.reshape(nb, _CHUNK)
-    chunk_any = m2.any(axis=1)
-    n_flagged = jnp.sum(chunk_any.astype(jnp.int32))
-    branch = jnp.where(
-        spill > 0,
-        jnp.where(n_flagged > max_chunks, 2, 1), 0).astype(jnp.int32)
     # + 0*spill keeps the branch outputs 'varying' under shard_map (a
     # bare constant would be replicated and the branch types clash)
     vary = 0 * spill.astype(jnp.int32)
-    idx = jax.lax.switch(branch, [
-        lambda: jnp.full((capacity,), n_total, jnp.int32) + vary,
-        lambda: _hier_compact_chunks(m2, chunk_any, capacity, n_total,
-                                     max_chunks) + vary,
-        lambda: _flat_compact(spill_mask, capacity, n_total) + vary,
-    ])
+    idx = jax.lax.cond(
+        spill > 0,
+        lambda: _gather_compact(spill_mask, capacity, n_total) + vary,
+        lambda: jnp.full((capacity,), n_total, jnp.int32) + vary)
     ok = idx < n_total
     return idx, ok
 
 
 _CHUNK = 1024
-_MAX_CHUNKS = 128
 
 
-def _flat_compact(spill_mask: jax.Array, capacity: int,
-                  n_total: int) -> jax.Array:
-    """Exact single-level compaction: full-length cumsum + capacity-bounded
-    scatter.  All temporaries are 1-D (no T(8,128) layout hazard)."""
+def _gather_compact(spill_mask: jax.Array, capacity: int,
+                    n_total: int) -> jax.Array:
+    """Exact scatter-free stream compaction.
+
+    A flat ``nonzero``/scatter compaction costs ~95 ms at 10M on v5e (XLA
+    scatters are latency-bound per row), and the round-2 chunk-budgeted
+    hierarchy silently dropped rows when spills scattered across many
+    chunks (they always do once particle order decorrelates from space
+    inside blocks).  This form inverts the problem — find the k-th spilled
+    row for each OUTPUT slot k — so all heavy ops are gathers:
+
+      1. inclusive cumsum of the mask (bandwidth-bound);
+      2. per-slot chunk via ``searchsorted`` on the 1024-stride cumsum
+         subsample (capacity queries over N/1024 entries);
+      3. gather each slot's chunk of cumsum values (capacity x 1024) and
+         count entries <= k to get the in-chunk position.
+
+    Cost is independent of the spill distribution.  All temporaries are 1-D
+    or (capacity, chunk) — no T(8,128) layout hazard.
+    """
     c = jnp.cumsum(spill_mask.astype(jnp.int32))
-    dst = jnp.where(spill_mask, c - 1, capacity)
-    rows = jnp.arange(n_total, dtype=jnp.int32)
-    return jnp.full((capacity,), n_total, jnp.int32).at[dst].set(
-        rows, mode="drop")
-
-
-def _hier_compact_chunks(m2: jax.Array, chunk_any: jax.Array, capacity: int,
-                         n_total: int, max_chunks: int) -> jax.Array:
-    """Two-level stream compaction over a pre-chunked mask ``m2``
-    ((nb, _CHUNK) bool): compact chunk ids first (a scatter over N/1024
-    rows), row-gather the flagged chunks whole (contiguous — one latency
-    unit per chunk), then compact within the gathered KB*chunk candidates
-    (~2 ms total at 10M).  Only called when <= ``max_chunks`` chunks are
-    flagged (``spill_rows_cond`` falls back to ``_flat_compact`` otherwise),
-    so no row is ever silently out of budget."""
-    nb = m2.shape[0]
-    bidx = jnp.nonzero(chunk_any, size=max_chunks, fill_value=nb)[0]
-    sub = jnp.concatenate([m2, jnp.zeros((1, _CHUNK), bool)])[bidx]  # (KB, C)
-    rows = (bidx[:, None].astype(jnp.int32) * _CHUNK
-            + jnp.arange(_CHUNK, dtype=jnp.int32)).reshape(-1)
-    flat = sub.reshape(-1)
-    c = jnp.cumsum(flat.astype(jnp.int32))
-    dst = jnp.where(flat, c - 1, capacity)
-    return jnp.full((capacity,), n_total, jnp.int32).at[dst].set(
-        rows, mode="drop")
-
-
-def _hier_compact(spill_mask: jax.Array, capacity: int,
-                  n_total: int) -> jax.Array:
-    """Back-compat wrapper: chunk ``spill_mask`` then run the two-level
-    compaction with the default budget (rows in chunks beyond the budget are
-    left out — use ``spill_rows_cond`` for the never-drop behavior)."""
+    total = c[-1]
     nb = -(-n_total // _CHUNK)
-    m = spill_mask
     if nb * _CHUNK != n_total:
-        m = jnp.concatenate(
-            [m, jnp.zeros((nb * _CHUNK - n_total,), bool)])
-    m2 = m.reshape(nb, _CHUNK)
-    return _hier_compact_chunks(m2, m2.any(axis=1), capacity, n_total,
-                                _MAX_CHUNKS)
+        c_pad = jnp.concatenate(
+            [c, jnp.broadcast_to(total, (nb * _CHUNK - n_total,))])
+    else:
+        c_pad = c
+    c2 = c_pad.reshape(nb, _CHUNK)
+    bc = c2[:, -1]  # (nb,) inclusive spill count at each chunk's end
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    ch = jnp.searchsorted(bc, k, side="right").astype(jnp.int32)
+    ch_c = jnp.minimum(ch, nb - 1)
+    rows_c = c2[ch_c]  # (capacity, _CHUNK)
+    j = jnp.sum((rows_c <= k[:, None]).astype(jnp.int32), axis=1)
+    idx = ch_c * _CHUNK + j
+    return jnp.where(k < total, idx, n_total).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))

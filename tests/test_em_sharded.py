@@ -166,6 +166,42 @@ def test_sharded_sorted_matches_packed_2d():
     np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_sharded_sorted_fused_matches_xla():
+    """gather_backend='fused' inside the sharded sorted composition (the
+    single-chip Mosaic substep per shard, VERDICT r2 next-step #3) matches
+    the XLA sorted sharded route on the 8-device mesh."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    base, pos, vel = _setup(n_particles=1000, n_cells=32)
+    mesh = make_mesh(4, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+
+    a = ShardedElectromagneticPIC(
+        ShardedEMConfig(base=base, n_shards=4, capacity=512,
+                        migration_buffer=64, tiling=tiling, resort_every=4),
+        mesh, pos, vel)
+    b = ShardedElectromagneticPIC(
+        ShardedEMConfig(base=base, n_shards=4, capacity=512,
+                        migration_buffer=64, tiling=tiling, resort_every=4,
+                        gather_backend="fused"),
+        mesh, pos, vel)
+    a.step(6)
+    b.step(6)
+    assert int(np.asarray(b.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(b.state.e), np.asarray(a.state.e),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state.b), np.asarray(a.state.b),
+                               rtol=1e-4, atol=1e-6)
+    pa, va = a.gather_particles()
+    pb, vb = b.gather_particles()
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_sorted_matches_packed_3d():
     """3D sorted x sharded composition (the config[4] stretch structure)."""
     from fusion_sim_tpu.ops.sorted_deposit import Tiling3D

@@ -157,6 +157,84 @@ def test_sharded_sorted_es_matches_single_device():
                                rtol=1e-4, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_sharded_sorted_es_pallas_matches_xla():
+    """backend='pallas' (the single-chip fused ES Mosaic substep per shard,
+    carried-rho structure, VERDICT r2 next-step #3) tracks the XLA sorted
+    sharded composition on the mesh."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    n_cells, n = 32, 2048
+    d = 2 * np.pi / n_cells
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(4)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+    mesh = make_mesh(4, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+
+    a = ShardedElectrostaticPIC(
+        ShardedESConfig(base=base, n_shards=4, capacity=1024,
+                        migration_buffer=64, tiling=tiling, resort_every=4),
+        mesh, pos, vel)
+    b = ShardedElectrostaticPIC(
+        ShardedESConfig(base=base, n_shards=4, capacity=1024,
+                        migration_buffer=64, tiling=tiling, resort_every=4,
+                        backend="pallas"),
+        mesh, pos, vel)
+    a.step(6)
+    b.step(6)
+    assert int(np.asarray(b.state.overflow).sum()) == 0
+    pa, va = a.gather_particles()
+    pb, vb = b.gather_particles()
+    assert pb.shape[0] == n
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=2e-3)
+    # the carried rho equals a fresh deposit at the current positions
+    seed = b._seed_rho(b.state)
+    np.testing.assert_allclose(np.asarray(b.state.rho), np.asarray(seed),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sorted_es_3d_matches_single_device():
+    """3D sorted-sharded ES composition (VERDICT r2 next-step #4) on the
+    8-device mesh reproduces the single-device ES model."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n_cells, n = 32, 4096
+    d = 2 * np.pi / n_cells
+    base = es.ESConfig(grid_shape=(n_cells,) * 3, cell_size=(d,) * 3,
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(2)
+    pos = (rng.random((n, 3)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(8)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling3D(tile=(4, 8, 8), block=128, margin=1)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=64, tiling=tiling, resort_every=3)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(8)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(v_sh, np.asarray(ref.state.velocity)[match],
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_sharded_sorted_es_single_shard():
     """n_shards=1 sorted ES composition: slab-centered transform keeps
     everything in the pseudo-grid interior."""

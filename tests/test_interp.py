@@ -84,14 +84,13 @@ def test_deposit_gather_adjoint():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
 
 
-def test_spill_rows_cond_hierarchical_compaction():
-    """spill_rows_cond's two-level compaction returns exactly the spilled
-    row indices (clustered case) and falls back to the exact flat
-    compaction when spills are scattered past the chunk budget (no silent
-    drops — the round-2 respawn-backlog bug)."""
+def test_spill_rows_cond_gather_compaction():
+    """spill_rows_cond's scatter-free compaction returns exactly the
+    spilled row indices for clustered, scattered, and adversarial masks
+    (no silent drops — the round-2 chunk-budget respawn-backlog bug)."""
     import jax.numpy as jnp
 
-    from fusion_sim_tpu.ops.interp import _MAX_CHUNKS, spill_rows_cond
+    from fusion_sim_tpu.ops.interp import spill_rows_cond
 
     n = 300_000
     rng = np.random.default_rng(3)
@@ -111,20 +110,25 @@ def test_spill_rows_cond_hierarchical_compaction():
     assert not bool(np.asarray(ok0).any())
     assert (np.asarray(idx0) == n).all()
 
-    # chunk-budget overflow: every chunk spilled -> the flat-compaction
-    # branch captures EVERY spilled row (scattered respawns must not be
-    # silently dropped)
+    # scattered: one spill in every chunk (the case the old chunk-budgeted
+    # hierarchy silently truncated) — every row captured
     mask_all = np.zeros(n, bool)
-    mask_all[::1024] = True  # one spill in every chunk (293 > _MAX_CHUNKS)
-    assert n // 1024 > _MAX_CHUNKS
+    mask_all[::1024] = True
     idx2, ok2 = spill_rows_cond(jnp.asarray(mask_all),
                                 jnp.sum(jnp.asarray(mask_all)), 4096, n)
     got2 = np.sort(np.asarray(idx2)[np.asarray(ok2)])
     np.testing.assert_array_equal(got2, np.where(mask_all)[0])
 
-    # scattered spills beyond capacity: the first `capacity` rows (in row
-    # order) are captured, the backlog is exactly spill - capacity
+    # beyond capacity: the first `capacity` rows in row order are captured
     idx3, ok3 = spill_rows_cond(jnp.asarray(mask_all),
                                 jnp.sum(jnp.asarray(mask_all)), 64, n)
     got3 = np.sort(np.asarray(idx3)[np.asarray(ok3)])
     np.testing.assert_array_equal(got3, np.where(mask_all)[0][:64])
+
+    # adversarial: random dense-ish mask incl. chunk boundaries + tail
+    mask_r = rng.random(n) < 0.01
+    mask_r[0] = mask_r[-1] = mask_r[1023] = mask_r[1024] = True
+    idx4, ok4 = spill_rows_cond(jnp.asarray(mask_r),
+                                jnp.sum(jnp.asarray(mask_r)), 8192, n)
+    got4 = np.sort(np.asarray(idx4)[np.asarray(ok4)])
+    np.testing.assert_array_equal(got4, np.where(mask_r)[0][:8192])
