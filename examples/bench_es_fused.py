@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repair", action="store_true",
                     help="incremental layout repair instead of resorts")
+    ap.add_argument("--precision", default=None,
+                    choices=["highest", "exact_bf16", "default"],
+                    help="fused-kernel matmul strategy (None = auto)")
     ap.add_argument("--spill-capacity", type=int, default=16384)
     ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
@@ -71,6 +74,7 @@ def main():
     sim_p = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                       resort_every=resort,
                                       backend="pallas", check_spill=False,
+                                      pallas_precision=args.precision,
                                       **kw)
     t_p = bench(sim_p, "pallas fused", n_steps=args.steps)
     if args.repair:

@@ -256,7 +256,8 @@ class SortedElectromagneticPIC:
     def __init__(self, config: EMConfig, position, velocity,
                  e=None, b=None, tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
-                 spill_capacity: int = 16384, gather_backend: str = "xla"):
+                 spill_capacity: int = 16384, gather_backend: str = "xla",
+                 pallas_precision: str | None = None):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
@@ -285,6 +286,13 @@ class SortedElectromagneticPIC:
         if gather_backend == "fused" and config.n_dim != 2:
             raise ValueError("gather_backend='fused' is 2D3V only")
         self.gather_backend = gather_backend
+        # pallas_precision overrides the fused kernel's gather matmul
+        # strategy: 'highest', 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py),
+        # or 'default' (single-pass bf16).  None = 'highest' ('default' for
+        # bfloat16 tilings).
+        if pallas_precision not in (None, "highest", "exact_bf16", "default"):
+            raise ValueError(f"pallas_precision {pallas_precision!r}")
+        self.pallas_precision = pallas_precision
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
@@ -368,7 +376,9 @@ class SortedElectromagneticPIC:
                 table, state.position, state.velocity, state.valid,
                 state.tile_id, shape, tiling, qm_half_dt, config.dt,
                 config.cell_size, config.charge, c_light=config.c,
-                relativistic=config.relativistic, interpret=interpret)
+                relativistic=config.relativistic,
+                precision=self.pallas_precision or "highest",
+                interpret=interpret)
 
             # exact re-push + deposit of out-of-window rows (compacted)
             spill_mask = jnp.logical_and(jnp.logical_not(in_win), state.valid)

@@ -214,9 +214,9 @@ class SortedElectrostaticPIC:
     ``tiling.margin`` cells: margin / (v_max*dt/dx) steps), or repairs the
     layout incrementally every step with ``repair=True``.
 
-    3D uses ``Tiling3D`` with the XLA backend (deposit_sorted_3d /
-    gather_sorted_3d — the same window machinery the 3D sorted EM model
-    runs on); the fused Pallas backend is 2D.
+    3D uses ``Tiling3D``; both backends work in 2D and 3D (XLA:
+    deposit_sorted_3d / gather_sorted_3d; fused Pallas:
+    ops/pallas_pic3d.py's flattened-lane window layout).
     """
 
     def __init__(self, config: ESConfig, position, velocity,
@@ -224,7 +224,8 @@ class SortedElectrostaticPIC:
                  check_spill: bool = True, spill_fallback: bool = True,
                  spill_capacity: int = 16384,
                  backend: str = "xla", repair: bool = False,
-                 repair_free_slots: int = 256):
+                 repair_free_slots: int = 256,
+                 pallas_precision: str | None = None):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
@@ -232,9 +233,6 @@ class SortedElectrostaticPIC:
             raise ValueError("sorted layout variant is 2D or 3D")
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend {backend!r} (xla|pallas)")
-        if backend == "pallas" and config.n_dim != 2:
-            raise ValueError("the fused pallas ES backend is 2D; use "
-                             "backend='xla' in 3D")
         self.backend = backend
         # spill_fallback=True patches up to ``spill_capacity`` out-of-margin
         # rows per step with the exact packed transfers on compacted
@@ -255,6 +253,13 @@ class SortedElectrostaticPIC:
             raise ValueError("repair=True requires spill_fallback=True")
         self.repair = repair
         self.repair_free_slots = int(repair_free_slots)
+        # pallas_precision overrides the fused kernel's matmul strategy:
+        # 'highest' (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16,
+        # ops/mxu.py), or 'default' (single-pass bf16).  None = follow
+        # tiling.dtype ('default' for bfloat16 tilings, else 'highest').
+        if pallas_precision not in (None, "highest", "exact_bf16", "default"):
+            raise ValueError(f"pallas_precision {pallas_precision!r}")
+        self.pallas_precision = pallas_precision
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2
                                  else Tiling3D())
@@ -414,21 +419,25 @@ class SortedElectrostaticPIC:
     def _initial_rho(self):
         """Deposit at the current (freshly sorted) positions — seeds the
         pallas backend's carried rho."""
-        from ..ops.sorted_deposit import deposit_sorted_2d
+        from ..ops.sorted_deposit import deposit_sorted_2d, deposit_sorted_3d
 
+        deposit_fn = (deposit_sorted_2d if self.config.n_dim == 2
+                      else deposit_sorted_3d)
         w = jnp.where(self.state.valid,
                       jnp.float32(self.config.charge / self.config.cell_volume),
                       0.0)
-        rho, _, _ = deposit_sorted_2d(self.state.position, w,
-                                      self.state.tile_id,
-                                      self.config.grid_shape, self.tiling)
+        rho, _, _ = deposit_fn(self.state.position, w,
+                               self.state.tile_id,
+                               self.config.grid_shape, self.tiling)
         return rho
 
     def _make_step_pallas(self):
         """Fused-kernel step: solve E from the carried rho, then ONE Pallas
-        kernel does gather + kick + drift + deposit (ops/pallas_pic.py) —
-        the BASELINE 'push+deposit+solve fused in one jit' shape."""
+        kernel does gather + kick + drift + deposit (ops/pallas_pic.py in
+        2D, ops/pallas_pic3d.py in 3D) — the BASELINE 'push+deposit+solve
+        fused in one jit' shape."""
         from ..ops.pallas_pic import fused_es2d_substep
+        from ..ops.pallas_pic3d import fused_es3d_substep
 
         config = self.config
         tiling = self.tiling
@@ -436,8 +445,7 @@ class SortedElectrostaticPIC:
         grid_f = jnp.asarray(shape, jnp.float32)
         dx = jnp.asarray(config.cell_size, jnp.float32)
         qm_dt = float(config.charge / config.mass * config.dt)
-        c_r = float(config.dt / config.cell_size[0])
-        c_z = float(config.dt / config.cell_size[1])
+        c_ax = tuple(float(config.dt / d) for d in config.cell_size)
         w0 = config.charge / config.cell_volume
         use_fallback = self.spill_fallback
         use_repair = self.repair
@@ -452,17 +460,24 @@ class SortedElectrostaticPIC:
 
             rho = state.rho
             if config.neutralizing_background:
-                rho = rho - jnp.sum(rho) / (shape[0] * shape[1])
+                rho = rho - jnp.sum(rho) / np.prod(shape)
             _, e_grid = solve_fields(config, rho)
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
+            precision = self.pallas_precision or (
+                "default" if getattr(tiling, "dtype", "float32")
+                == "bfloat16" else "highest")
             # out-of-window rows come back frozen (kernel-side select); the
             # exact patch below re-pushes up to `capacity` of them
-            pos, vel, rho_new, in_win = fused_es2d_substep(
-                e_grid, state.position, state.velocity, w, state.tile_id,
-                shape, tiling, qm_dt, c_r, c_z,
-                precision=("default" if getattr(tiling, "dtype", "float32")
-                           == "bfloat16" else "highest"),
-                interpret=interpret)
+            if config.n_dim == 2:
+                pos, vel, rho_new, in_win = fused_es2d_substep(
+                    e_grid, state.position, state.velocity, w, state.tile_id,
+                    shape, tiling, qm_dt, c_ax[0], c_ax[1],
+                    precision=precision, interpret=interpret)
+            else:
+                pos, vel, rho_new, in_win = fused_es3d_substep(
+                    e_grid, state.position, state.velocity, w, state.tile_id,
+                    shape, tiling, qm_dt, c_ax[0], c_ax[1], c_ax[2],
+                    precision=precision, interpret=interpret)
             spill_mask = (~in_win) & state.valid
             spill = jnp.sum(spill_mask)
             if use_fallback:
@@ -479,10 +494,11 @@ class SortedElectrostaticPIC:
                     pos_k, jnp.where(ok, w[idx], 0.0), shape)
                 if use_repair:
                     from ..ops.repair import allocate_slots, relocate
-                    from ..ops.sorted_deposit import tile_ids
+                    from ..ops.sorted_deposit import tile_ids, tile_ids_3d
 
                     n_tot = pos.shape[0]
-                    new_t = tile_ids(pos_k, shape, tiling)
+                    tid_fn = tile_ids if config.n_dim == 2 else tile_ids_3d
+                    new_t = tid_fn(pos_k, shape, tiling)
                     dest, placed, fidx, fcnt, nun = allocate_slots(
                         state.free_idx, state.free_cnt, idx, ok, new_t,
                         state.tile_id[idx], n_tot, n_tiles)

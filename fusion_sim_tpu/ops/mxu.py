@@ -1,0 +1,48 @@
+"""Exact-ish bf16 MXU matmul helpers (the "3-term trick").
+
+Mosaic exposes matmul precision as either single-pass bf16 (`default`,
+~2^-9 relative error) or `highest` (multi-pass f32 emulation, ~6 bf16
+passes).  There is no `HIGH` tier.  This module hand-rolls the missing
+middle: split each f32 operand into bf16 hi+lo halves
+
+    x = hi + lo,   hi = bf16(x),   lo = bf16(x - hi)      (|lo| <= 2^-9 |x|)
+
+and accumulate three bf16 MXU passes
+
+    a @ b ~= a_hi @ b_hi + a_hi @ b_lo + a_lo @ b_hi
+
+dropping only the a_lo @ b_lo term (<= 2^-18 relative) — ~2x fewer MXU
+passes than `highest` at ~16-bit-mantissa accuracy, far beyond single-pass
+bf16.  All dots accumulate in float32 on the MXU.
+
+Used by the fused PIC kernels (ops/pallas_pic.py, ops/pallas_em.py) for
+field gathers and charge/current deposition (VERDICT r2 next-step #1b/#6).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def split_bf16(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split float32 ``x`` into bf16 ``(hi, lo)`` with ``hi + lo ~= x`` to
+    ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot3(a_hi, a_lo, b_hi, b_lo, dimension_numbers):
+    """3-term bf16 dot_general of pre-split operands, f32 accumulation."""
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dimension_numbers,
+                                   preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
+def dot3_split(a, b, dimension_numbers):
+    """3-term bf16 dot_general, splitting both f32 operands inline."""
+    a_hi, a_lo = split_bf16(a)
+    b_hi, b_lo = split_bf16(b)
+    return dot3(a_hi, a_lo, b_hi, b_lo, dimension_numbers)

@@ -30,13 +30,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import dot3, split_bf16
+
 
 def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
-                 ewin_ref,
-                 olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref, inw_ref,
-                 *, wr, wz, n_g, qm_half_dt, inv_dx, inv_dz, dt, coef_x,
+                 *refs, wr, wz, n_g, qm_half_dt, inv_dx, inv_dz, dt, coef_x,
                  coef_z, inv_vol, c_light, relativistic, precision,
                  dep_precision):
+    three_term = precision == "exact_bf16"
+    if three_term:
+        ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
+        (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
+         inw_ref) = refs[2:]
+    else:
+        ewin_ref = refs[0]
+        (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
+         inw_ref) = refs[1:]
     s = pl.program_id(0)
     p = lr_ref.shape[-1]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
@@ -63,11 +72,21 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 
         # 6-channel CIC gather (Ex, Ey, Ez, Bx, By, Bz at the node table)
         eb = []
-        for c in range(6):
-            u = jax.lax.dot_general(
-                ewin_ref[t, c], ar, (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32)
-            eb.append(jnp.sum(az * u, axis=0, keepdims=True))
+        if three_term:
+            # 3 bf16 passes per channel instead of 'highest''s ~6
+            # (ops/mxu.py); windows were split once in XLA
+            ar_hi, ar_lo = split_bf16(ar)
+            dn = (((1,), (0,)), ((), ()))
+            for c in range(6):
+                u = dot3(ewin_hi_ref[t, c], ewin_lo_ref[t, c],
+                         ar_hi, ar_lo, dn)
+                eb.append(jnp.sum(az * u, axis=0, keepdims=True))
+        else:
+            for c in range(6):
+                u = jax.lax.dot_general(
+                    ewin_ref[t, c], ar, (((1,), (0,)), ((), ())),
+                    precision=precision, preferred_element_type=jnp.float32)
+                eb.append(jnp.sum(az * u, axis=0, keepdims=True))
         ex, ey, ez, bx, by, bz = eb
 
         # Boris kick (electromagnetic.boris_kick, on lanes)
@@ -117,23 +136,34 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                  & (l1z >= 0.0) & (l1z < float(wz - 1)))
         inw = g_inw & d_inw
         qm = jnp.where(inw, sl(q_all), 0.0)
-        cum_r = jax.lax.dot_general(
-            tri_r, dsr, (((1,), (0,)), ((), ())),
-            precision=dep_precision, preferred_element_type=jnp.float32)
-        cum_z = jax.lax.dot_general(
-            tri_z, dsz, (((1,), (0,)), ((), ())),
-            precision=dep_precision, preferred_element_type=jnp.float32)
 
         def win_mm(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (1,)), ((), ())),
                 precision=dep_precision, preferred_element_type=jnp.float32)
 
-        j_ref[0, g, 0] = win_mm((qm * coef_x) * cum_r, az + 0.5 * dsz)
-        j_ref[0, g, 1] = win_mm(ar + 0.5 * dsr, (qm * coef_z) * cum_z)
+        def small_mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                precision=dep_precision, preferred_element_type=jnp.float32)
+
+        # J_x = (q coef) * (tri @ dsr) contracted with b over particles; the
+        # per-lane charge scale commutes with the sublane cumsum, so
+        # reassociate: tri @ ((dsr * q coef) @ b^T) — one (w, P) contraction
+        # + one tiny (w, w) matmul instead of cumsum (w, w, P) + win (w, w, P)
+        j_ref[0, g, 0] = small_mm(
+            tri_r, win_mm((qm * coef_x) * dsr, az + 0.5 * dsz))
+        j_ref[0, g, 1] = jax.lax.dot_general(
+            win_mm(ar + 0.5 * dsr, (qm * coef_z) * dsz), tri_z,
+            (((1,), (1,)), ((), ())),
+            precision=dep_precision, preferred_element_type=jnp.float32)
         qvz = qm * cvz * inv_vol  # coordinate velocity (= u_z/gamma if rel.)
-        j_ref[0, g, 2] = (win_mm(qvz * (ar + 0.5 * dsr), az)
-                          + win_mm(qvz * (0.5 * ar + dsr / 3.0), dsz))
+        # two J_y contractions share the P axis: stack along lanes -> one
+        # matmul of the same total FLOPs, half the pass overhead
+        j_ref[0, g, 2] = win_mm(
+            jnp.concatenate([qvz * (ar + 0.5 * dsr),
+                             qvz * (0.5 * ar + dsr / 3.0)], axis=1),
+            jnp.concatenate([az, dsz], axis=1))
 
         # freeze out-of-window rows (exact re-push happens in the model)
         vals = (jnp.where(inw, l1r, l0r), jnp.where(inw, l1z, l0z),
@@ -149,7 +179,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_half_dt",
                                              "dt", "cell_size", "c_light",
                                              "relativistic", "charge",
-                                             "interpret"))
+                                             "precision", "interpret"))
 def fused_em2d_substep(
     table: jax.Array,
     position: jax.Array,
@@ -164,6 +194,7 @@ def fused_em2d_substep(
     charge: float,
     c_light: float = 1.0,
     relativistic: bool = False,
+    precision: str = "highest",
     interpret: bool = False,
 ):
     """One fused EM particle substep for the tile-sorted 2D3V layout.
@@ -173,6 +204,10 @@ def fused_em2d_substep(
     Returns ``(position', velocity', j (nr, nz, 3), in_win)`` — positions in
     global grid units, ``~in_win`` rows frozen at their inputs with no
     deposit (the model re-pushes them exactly via its compacted patch).
+    ``precision`` selects the 6-channel gather matmul strategy: 'highest'
+    (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py,
+    ~2x fewer MXU passes at ~2^-18 relative error), or 'default'
+    (single-pass bf16).
     """
     from .pallas_gather import _local_coords
     from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
@@ -204,6 +239,8 @@ def fused_em2d_substep(
 
     ewin = extract_tile_windows(table, shape, tiling, wr, wz)
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 6).transpose(0, 3, 2, 1)
+    three_term = precision == "exact_bf16"
+    ewin_args = split_bf16(ewin_t) if three_term else (ewin_t,)
 
     def rows(v):
         if v.shape[0] != n_pad:
@@ -220,17 +257,18 @@ def fused_em2d_substep(
         inv_dz=float(1.0 / dz_cell), dt=float(dt),
         coef_x=float(-dx / (vol * dt)), coef_z=float(-dz_cell / (vol * dt)),
         inv_vol=float(1.0 / vol), c_light=float(c_light),
-        relativistic=relativistic, precision="highest",
+        relativistic=relativistic, precision=precision,
         dep_precision=dep_precision)
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
+    win_spec = pl.BlockSpec((ntr * ntz, 6, wz, wr), lambda s, *_: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
-        in_specs=[row_spec] * 6 + [
-            pl.BlockSpec((ntr * ntz, 6, wz, wr), lambda s, *_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM)],
+        in_specs=[row_spec] * 6 + (
+            [win_spec, win_spec] if three_term else [win_spec]),
         out_specs=(
             row_spec, row_spec, row_spec, row_spec, row_spec,
             pl.BlockSpec((1, n_g, 3, wr, wz), lambda s, *_: (s, 0, 0, 0, 0),
@@ -250,7 +288,7 @@ def fused_em2d_substep(
         interpret=interpret,
     )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)),
       rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
-      rows(q_row), ewin_t)
+      rows(q_row), *ewin_args)
     nlr, nlz, nvx, nvy, nvz, j_win, inw = outs
 
     orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)

@@ -37,11 +37,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import dot3, dot3_split, split_bf16
+
 
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
-                 ewin_ref,
-                 nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref, inw_ref,
-                 *, wr, wz, n_g, qm_dt, c_r, c_z, precision, dep_precision):
+                 *refs, wr, wz, n_g, qm_dt, c_r, c_z, precision,
+                 dep_precision):
+    three_term = precision == "exact_bf16"
+    if three_term:
+        ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
+        (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
+         inw_ref) = refs[2:]
+    else:
+        ewin_ref = refs[0]
+        (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
+         inw_ref) = refs[1:]
     s = pl.program_id(0)
     p = lr_ref.shape[-1]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
@@ -59,13 +69,24 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (1, P)
 
         # gather E (2 channels), kick, drift — all in the local window frame
-        ur = jax.lax.dot_general(ewin_ref[t, 0], ar, (((1,), (0,)), ((), ())),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
+        if three_term:
+            # 3 bf16 MXU passes per channel (~2x fewer than 'highest',
+            # ~2^-18 relative error — ops/mxu.py); the window set was split
+            # once in XLA, only the tent splits per block
+            ar_hi, ar_lo = split_bf16(ar)
+            dn = (((1,), (0,)), ((), ()))
+            ur = dot3(ewin_hi_ref[t, 0], ewin_lo_ref[t, 0], ar_hi, ar_lo, dn)
+            uz = dot3(ewin_hi_ref[t, 1], ewin_lo_ref[t, 1], ar_hi, ar_lo, dn)
+        else:
+            ur = jax.lax.dot_general(ewin_ref[t, 0], ar,
+                                     (((1,), (0,)), ((), ())),
+                                     precision=precision,
+                                     preferred_element_type=jnp.float32)
+            uz = jax.lax.dot_general(ewin_ref[t, 1], ar,
+                                     (((1,), (0,)), ((), ())),
+                                     precision=precision,
+                                     preferred_element_type=jnp.float32)
         ex = jnp.sum(az * ur, axis=0, keepdims=True)  # (1, P)
-        uz = jax.lax.dot_general(ewin_ref[t, 1], ar, (((1,), (0,)), ((), ())),
-                                 precision=precision,
-                                 preferred_element_type=jnp.float32)
         ez = jnp.sum(az * uz, axis=0, keepdims=True)
 
         w = sl(w_all)
@@ -89,9 +110,13 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         nlz = jnp.where(inw, nlz, lz)
         nvr = jnp.where(inw, nvr, sl(vr_all))
         nvz = jnp.where(inw, nvz, sl(vz_all))
-        rho_ref[0, g] = jax.lax.dot_general(
-            arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=dep_precision, preferred_element_type=jnp.float32)
+        if dep_precision == "exact_bf16":
+            rho_ref[0, g] = dot3_split(arn, azn * wm,
+                                       (((1,), (1,)), ((), ())))
+        else:
+            rho_ref[0, g] = jax.lax.dot_general(
+                arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=dep_precision, preferred_element_type=jnp.float32)
 
         o_lr.append(nlr)
         o_lz.append(nlz)
@@ -132,10 +157,14 @@ def fused_es2d_substep(
     in_win flags rows whose gather AND deposit stayed inside their block
     window.  ``~in_win`` rows come back FROZEN at their input position/
     velocity with no deposit — the caller re-pushes them exactly (see
-    SortedElectrostaticPIC's compacted spill patch).  ``precision`` selects the E-gather matmul passes ('default' =
-    single-pass bf16, ~1e-3 relative field error); the deposit matmul
-    follows ``tiling.dtype`` (charge conservation is more
-    rounding-sensitive than the gathered field).
+    SortedElectrostaticPIC's compacted spill patch).  ``precision`` selects
+    the matmul strategy: 'default' = single-pass bf16 (~1e-3 relative field
+    error), 'highest' = Mosaic's multi-pass f32 emulation, 'exact_bf16' =
+    the 3-term hi/lo bf16 decomposition (ops/mxu.py, ~2^-18 relative — half
+    the MXU passes of 'highest') applied to BOTH the gather and the deposit.
+    With 'default'/'highest' the deposit matmul follows ``tiling.dtype``
+    (charge conservation is more rounding-sensitive than the gathered
+    field).
     """
     from .pallas_gather import _local_coords
     from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
@@ -167,6 +196,13 @@ def fused_es2d_substep(
 
     ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
+    three_term = precision == "exact_bf16"
+    if three_term:
+        # split the resident window set ONCE in XLA; the kernel only splits
+        # the per-block tents (same total window VMEM: 2 x bf16 = 1 x f32)
+        ewin_args = split_bf16(ewin_t)
+    else:
+        ewin_args = (ewin_t,)
 
     def rows(v):
         if v.shape[0] != n_pad:
@@ -176,8 +212,11 @@ def fused_es2d_substep(
     velr, velz = rows(velocity[:, 0]), rows(velocity[:, 1])
     w = rows(weights)
 
-    dep_precision = ("default" if getattr(tiling, "dtype", "float32")
-                     == "bfloat16" else "highest")
+    if three_term:
+        dep_precision = "exact_bf16"
+    else:
+        dep_precision = ("default" if getattr(tiling, "dtype", "float32")
+                         == "bfloat16" else "highest")
     kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, n_g=n_g,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
                                precision=precision,
@@ -185,13 +224,14 @@ def fused_es2d_substep(
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
+    win_spec = pl.BlockSpec((ntr * ntz, 2, wz, wr), lambda s, *_: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
             row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((ntr * ntz, 2, wz, wr), lambda s, *_: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *([win_spec, win_spec] if three_term else [win_spec]),
         ],
         out_specs=(
             row_spec, row_spec, row_spec, row_spec,
@@ -215,7 +255,7 @@ def fused_es2d_substep(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)), velr, velz, w,
-      ewin_t)
+      *ewin_args)
     nlr, nlz, nvelr, nvelz, rho_win, inw = outs
 
     # back to global coordinates (periodic); drop filler rows

@@ -350,21 +350,7 @@ def deposit_sorted_3d(
     win = win.reshape(nb, wx, wy, wz)
 
     # segment blocks into tile windows, then fold the 3x3x3 tile overlap
-    tw = jax.ops.segment_sum(win.reshape(nb, -1), blk_tile,
-                             num_segments=int(np.prod(nts)))
-    tw = tw.reshape(*nts, wx, wy, wz)
-    full = jnp.zeros((*nts, *[3 * t for t in tiling.tile]), jnp.float32)
-    sl = tuple(slice(t - m, t - m + w) for t, w in zip(tiling.tile, wins))
-    full = full.at[(slice(None),) * 3 + sl].set(tw)
-    g = jnp.zeros(shape, jnp.float32)
-    tx, ty, tz = tiling.tile
-    for si in range(3):
-        for sj in range(3):
-            for sk in range(3):
-                part = full[:, :, :, si * tx:(si + 1) * tx,
-                            sj * ty:(sj + 1) * ty, sk * tz:(sk + 1) * tz]
-                part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
-                g = g + part.transpose(0, 3, 1, 4, 2, 5).reshape(shape)
+    g = _assemble_tile_windows_3d(win, blk_tile, shape, tiling)
 
     spill_mask = (~in_win) & (weights.reshape(nb, p_blk) != 0)
     return g, jnp.sum(spill_mask), spill_mask.reshape(-1)
@@ -576,6 +562,70 @@ def extract_tile_windows(grid: jax.Array, shape: tuple[int, int],
     return win
 
 
+def extract_tile_windows_3d(grid: jax.Array, shape: tuple[int, int, int],
+                            tiling: Tiling3D) -> jax.Array:
+    """Per-tile periodic windows of a 3D ``grid`` — (n_tiles, wx, wy, wz[, C])
+    where window t is anchored at (t_a*tile_a - margin) per axis, wrapping
+    periodically (3D analogue of ``extract_tile_windows``; dense rolls +
+    concats, no gather)."""
+    nts = tiling.n_tiles(shape)
+    m = tiling.margin
+    wins = tuple(t + 2 * m + 1 for t in tiling.tile)
+    channels = grid.shape[3:]
+    c = int(np.prod(channels)) if channels else 1
+    g = grid.reshape(nts[0], tiling.tile[0], nts[1], tiling.tile[1],
+                     nts[2], tiling.tile[2], c)
+    g = g.transpose(0, 2, 4, 1, 3, 5, 6)  # (ntx, nty, ntz, tx, ty, tz, c)
+    for a in range(3):
+        t_a = tiling.tile[a]
+        w_a = wins[a]
+        lead = tuple([slice(None)] * (3 + a))
+        g = jnp.concatenate([
+            jnp.roll(g, 1, axis=a)[lead + (slice(t_a - m, None),)],
+            g,
+            jnp.roll(g, -1, axis=a)[lead + (slice(0, w_a - t_a - m),)],
+        ], axis=3 + a)
+    win = g.reshape(int(np.prod(nts)), *wins, c)
+    if not channels:
+        win = win.reshape(int(np.prod(nts)), *wins)
+    return win
+
+
+def _assemble_tile_windows_3d(win: jax.Array, blk_tile: jax.Array,
+                              shape: tuple[int, int, int],
+                              tiling: Tiling3D) -> jax.Array:
+    """Fold per-block 3D windows onto the periodic grid (no large scatter).
+
+    ``win``: (nb, wx, wy, wz[, C]) block windows anchored at
+    (tile_a*i - margin) per axis.  Segment-sums blocks into tile windows,
+    then accumulates the up-to-3x3x3 tile overlap with dense rolls (3D
+    analogue of ``_assemble_tile_windows``)."""
+    nts = tiling.n_tiles(shape)
+    m = tiling.margin
+    wins = win.shape[1:4]
+    channels = win.shape[4:]
+    nb = win.shape[0]
+    tw = jax.ops.segment_sum(win.reshape(nb, -1), blk_tile,
+                             num_segments=int(np.prod(nts)))
+    tw = tw.reshape(*nts, *wins, *channels)
+    full = jnp.zeros((*nts, *[3 * t for t in tiling.tile], *channels),
+                     jnp.float32)
+    sl = tuple(slice(t - m, t - m + w) for t, w in zip(tiling.tile, wins))
+    full = full.at[(slice(None),) * 3 + sl].set(tw)
+    g = jnp.zeros((*shape, *channels), jnp.float32)
+    tx, ty, tz = tiling.tile
+    nc = len(channels)
+    for si in range(3):
+        for sj in range(3):
+            for sk in range(3):
+                part = full[:, :, :, si * tx:(si + 1) * tx,
+                            sj * ty:(sj + 1) * ty, sk * tz:(sk + 1) * tz]
+                part = jnp.roll(part, (si - 1, sj - 1, sk - 1), axis=(0, 1, 2))
+                perm = (0, 3, 1, 4, 2, 5) + tuple(range(6, 6 + nc))
+                g = g + part.transpose(perm).reshape(*shape, *channels)
+    return g
+
+
 def _axis_gather_factors(d: jax.Array, frac: jax.Array, width: int,
                          mode: str) -> jax.Array:
     """(nb, P, width) interpolation row per particle for one axis.
@@ -708,19 +758,7 @@ def gather_sorted_3d(
     az = _axis_gather_factors(db[2], fr[2], wz, mode)
 
     # per-tile windows by pairwise axis concat of rolls (dense, no gather)
-    g = grid.reshape(nts[0], tiling.tile[0], nts[1], tiling.tile[1],
-                     nts[2], tiling.tile[2], c)
-    g = g.transpose(0, 2, 4, 1, 3, 5, 6)  # (ntx, nty, ntz, tx, ty, tz, c)
-    for a in range(3):
-        t_a = tiling.tile[a]
-        w_a = wins[a]
-        lead = tuple([slice(None)] * (3 + a))
-        g = jnp.concatenate([
-            jnp.roll(g, 1, axis=a)[lead + (slice(t_a - m, None),)],
-            g,
-            jnp.roll(g, -1, axis=a)[lead + (slice(0, w_a - t_a - m),)],
-        ], axis=3 + a)
-    win = g.reshape(n_tiles, wx, wy, wz, c)
+    win = extract_tile_windows_3d(grid.reshape(*shape, c), shape, tiling)
 
     # scan block groups to bound the (P, wy*wz) pairwise factor.  Precision
     # follows tiling.dtype like the deposit: float32 = exact (6-pass MXU,

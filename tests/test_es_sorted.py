@@ -126,6 +126,39 @@ def test_sorted_es_3d_matches_reference_model():
 
 
 @pytest.mark.slow
+def test_pallas_backend_3d_matches_xla_backend():
+    """backend='pallas' in 3D (ops/pallas_pic3d.py flattened-lane windows,
+    interpret mode on CPU) tracks the XLA sorted 3D model."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n_cells, n = 16, 4096
+    length = 2 * np.pi
+    d = length / n_cells
+    vol = length ** 3
+    config = es.ESConfig(grid_shape=(n_cells,) * 3, cell_size=(d,) * 3,
+                         dt=0.05, charge=-vol / n, mass=vol / n)
+    rng = np.random.default_rng(3)
+    pos = (rng.random((n, 3)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    tiling = Tiling3D(tile=(8, 8, 8), block=256, margin=2)
+    a = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                  resort_every=4)
+    b = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                  resort_every=4, backend="pallas")
+    for _ in range(2):
+        a.step(4)
+        b.step(4)
+    e_a, e_b = a.energies(), b.energies()
+    np.testing.assert_allclose(e_b["kinetic"], e_a["kinetic"], rtol=2e-3)
+    np.testing.assert_allclose(e_b["field"], e_a["field"], rtol=2e-2)
+    pos_a = np.asarray(a.state.position)[np.asarray(a.state.valid)]
+    pos_b = np.asarray(b.state.position)[np.asarray(b.state.valid)]
+    for ax in range(3):
+        np.testing.assert_allclose(np.sort(pos_b[:, ax]),
+                                   np.sort(pos_a[:, ax]), atol=0.05)
+
+
+@pytest.mark.slow
 def test_pallas_backend_matches_xla_backend():
     """backend='pallas' (fused gather+kick+drift+deposit kernel, interpret
     mode on CPU) tracks the XLA sorted model at rounding level."""

@@ -2,13 +2,15 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fusion_sim_tpu.ops.interp import cic_deposit_packed, cic_gather_packed
 from fusion_sim_tpu.ops.pallas_pic import fused_es2d_substep
 from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, build_padded_layout
 
 
-def test_fused_es2d_substep_matches_composed_step():
+@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+def test_fused_es2d_substep_matches_composed_step(precision):
     shape = (64, 128)
     tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
     rng = np.random.default_rng(0)
@@ -26,7 +28,7 @@ def test_fused_es2d_substep_matches_composed_step():
 
     npos, nvel, rho, inw = fused_es2d_substep(
         jnp.asarray(e_grid), pos_p, vel_p, w, tid, shape, tiling,
-        qm_dt, c_r, c_z, interpret=True)
+        qm_dt, c_r, c_z, precision=precision, interpret=True)
 
     # composed XLA reference
     grid_f = jnp.asarray(shape, jnp.float32)
@@ -45,6 +47,107 @@ def test_fused_es2d_substep_matches_composed_step():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+def test_fused_es3d_substep_matches_composed_step(precision):
+    from fusion_sim_tpu.ops.pallas_pic3d import fused_es3d_substep
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    shape = (16, 16, 32)
+    tiling = Tiling3D(tile=(8, 8, 8), block=128, margin=2)
+    rng = np.random.default_rng(7)
+    n = 2048
+    pos = (rng.random((n, 3)) * np.array(shape)).astype(np.float32)
+    vel = rng.standard_normal((n, 3)).astype(np.float32)
+    e_grid = rng.standard_normal((*shape, 3)).astype(np.float32)
+    qm_dt, c = 0.25, 0.5  # drift well under margin cells/step
+
+    tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), jnp.float32))
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    w = jnp.where(validp > 0.5, 1.5, 0.0)
+
+    npos, nvel, rho, inw = fused_es3d_substep(
+        jnp.asarray(e_grid), pos_p, vel_p, w, tid, shape, tiling,
+        qm_dt, c, c, c, precision=precision, n_g=4, interpret=True)
+
+    # composed XLA reference
+    grid_f = jnp.asarray(shape, jnp.float32)
+    e_at_p = cic_gather_packed(jnp.asarray(e_grid), jnp.mod(pos_p, grid_f),
+                               shape)
+    valid = (w > 0)[:, None]
+    vel_ref = jnp.where(valid, vel_p + qm_dt * e_at_p, 0.0)
+    pos_ref = jnp.mod(pos_p + c * vel_ref, grid_f)
+    rho_ref = cic_deposit_packed(pos_ref, w, shape)
+
+    keep = np.asarray(w > 0)
+    assert bool(np.all(np.asarray(inw)[keep]))  # small drift: no spill
+    np.testing.assert_allclose(np.asarray(nvel)[keep],
+                               np.asarray(vel_ref)[keep],
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(npos)[keep],
+                               np.asarray(pos_ref)[keep],
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rho), np.asarray(rho_ref),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_fused_es3d_substep_flags_out_of_window():
+    from fusion_sim_tpu.ops.pallas_pic3d import fused_es3d_substep
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    shape = (16, 16, 16)
+    tiling = Tiling3D(tile=(8, 8, 8), block=128, margin=1)
+    rng = np.random.default_rng(8)
+    n = 512
+    pos = (rng.random((n, 3)) * np.array(shape)).astype(np.float32)
+    tid, pos_p, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.ones((n,), jnp.float32))
+    w = jnp.where(validp > 0.5, 1.0, 0.0)
+    vel = jnp.full((pos_p.shape[0], 3), 8.0)  # huge drift: guaranteed spill
+    e = jnp.zeros((*shape, 3), jnp.float32)
+    _, _, rho, inw = fused_es3d_substep(
+        e, pos_p, vel, w, tid, shape, tiling, 0.0, 1.0, 1.0, 1.0,
+        n_g=4, interpret=True)
+    spilled = np.asarray(~inw) & np.asarray(w > 0)
+    assert spilled.any()
+    # spilled mass is dropped by the kernel (callers patch it exactly)
+    assert float(jnp.sum(rho)) < float(jnp.sum(w)) - 0.5
+
+
+def test_fused_em2d_substep_exact_bf16_tracks_highest():
+    """The 3-term bf16 gather (ops/mxu.py) stays within ~1e-4 of Mosaic's
+    multi-pass f32 path through a full fused EM substep."""
+    from fusion_sim_tpu.ops.pallas_em import fused_em2d_substep
+
+    shape = (32, 64)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    rng = np.random.default_rng(3)
+    n = 1024
+    pos = (rng.random((n, 2)) * np.array(shape)).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    table = rng.standard_normal((*shape, 6)).astype(np.float32)
+
+    tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), jnp.float32))
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    valid = validp > 0.5
+
+    outs = {}
+    for prec in ("highest", "exact_bf16"):
+        outs[prec] = fused_em2d_substep(
+            jnp.asarray(table), pos_p, vel_p, valid, tid, shape, tiling,
+            qm_half_dt=0.1, dt=0.1, cell_size=(0.5, 0.5), charge=-0.01,
+            precision=prec, interpret=True)
+    for a, b, name in zip(outs["highest"], outs["exact_bf16"],
+                          ("pos", "vel", "j", "inw")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
 
 
 def test_fused_es2d_substep_flags_out_of_window():
