@@ -273,8 +273,7 @@ class SortedElectromagneticPIC:
         # 'pallas' routes the 2D field gather through the Mosaic window
         # kernel (ops/pallas_gather.py); 'fused' runs the ENTIRE particle
         # substep — gather + Boris kick + drift + Esirkepov deposit — in one
-        # Mosaic kernel (ops/pallas_em.py, 2D only).  3D always uses the
-        # XLA forms.
+        # Mosaic kernel (ops/pallas_em.py in 2D, ops/pallas_em3d.py in 3D).
         if gather_backend not in ("xla", "pallas", "fused"):
             raise ValueError(
                 f"gather_backend {gather_backend!r} (xla|pallas|fused)")
@@ -283,8 +282,6 @@ class SortedElectromagneticPIC:
             # out-of-window rows; the exact patch is what bounds them
             raise ValueError(
                 f"gather_backend={gather_backend!r} requires spill_fallback")
-        if gather_backend == "fused" and config.n_dim != 2:
-            raise ValueError("gather_backend='fused' is 2D3V only")
         self.gather_backend = gather_backend
         # pallas_precision overrides the fused kernel's gather matmul
         # strategy: 'highest', 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py),
@@ -352,27 +349,31 @@ class SortedElectromagneticPIC:
                 RuntimeWarning, stacklevel=3)
 
     def _make_step_fused(self):
-        """Step via the fused Mosaic substep (ops/pallas_em.py): one kernel
-        covers gather + kick + drift + Esirkepov; the Yee update and the
-        compacted exact spill patch stay in XLA."""
-        from ..ops.esirkepov import esirkepov_deposit_2d
+        """Step via the fused Mosaic substep (ops/pallas_em.py in 2D,
+        ops/pallas_em3d.py in 3D): one kernel covers gather + kick + drift
+        + Esirkepov; the Yee update and the compacted exact spill patch
+        stay in XLA."""
         from ..ops.interp import cic_gather_packed, spill_rows_cond
         from ..ops.pallas_em import fused_em2d_substep
+        from ..ops.pallas_em3d import fused_em3d_substep
 
         config = self.config
         tiling = self.tiling
         shape = config.grid_shape
+        ndim = config.n_dim
         dxv = jnp.asarray(config.cell_size, jnp.float32)
         grid_f = jnp.asarray(shape, jnp.float32)
         qm_half_dt = config.charge / config.mass * config.dt * 0.5
+        e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
+        b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         capacity = self.spill_capacity
         interpret = jax.default_backend() != "tpu"
 
         @jax.jit
         def step(state: SortedEMState) -> SortedEMState:
-            table = fdtd.center_fields(state.e, state.b,
-                                       fdtd.E_OFFSETS_2D, fdtd.B_OFFSETS_2D)
-            x1, velocity, j, in_win = fused_em2d_substep(
+            table = fdtd.center_fields(state.e, state.b, e_off, b_off)
+            substep = fused_em2d_substep if ndim == 2 else fused_em3d_substep
+            x1, velocity, j, in_win = substep(
                 table, state.position, state.velocity, state.valid,
                 state.tile_id, shape, tiling, qm_half_dt, config.dt,
                 config.cell_size, config.charge, c_light=config.c,
@@ -395,10 +396,15 @@ class SortedElectromagneticPIC:
                 cv_k = vel_k / gamma_k
             else:
                 cv_k = vel_k
-            x1_k = x0_k + config.dt * cv_k[:, :2] / dxv
+            x1_k = x0_k + config.dt * cv_k[:, :ndim] / dxv
             q_k = jnp.where(ok, jnp.float32(config.charge), 0.0)
-            j = j + esirkepov_deposit_2d(x0_k, x1_k, cv_k[:, 2], q_k,
-                                         config.dt, shape, config.cell_size)
+            if ndim == 2:
+                j = j + esirkepov_deposit_2d(x0_k, x1_k, cv_k[:, 2], q_k,
+                                             config.dt, shape,
+                                             config.cell_size)
+            else:
+                j = j + esirkepov_deposit_3d(x0_k, x1_k, q_k, config.dt,
+                                             shape, config.cell_size)
             x1 = x1.at[idx].set(jnp.mod(x1_k, grid_f), mode="drop")
             velocity = velocity.at[idx].set(vel_k, mode="drop")
 

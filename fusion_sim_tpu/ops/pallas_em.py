@@ -50,13 +50,6 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
     p = lr_ref.shape[-1]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
-    # lower-triangular cumsum operator over window rows
-    tri_r = (jax.lax.broadcasted_iota(jnp.int32, (wr, wr), 0)
-             >= jax.lax.broadcasted_iota(jnp.int32, (wr, wr), 1)
-             ).astype(jnp.float32)
-    tri_z = (jax.lax.broadcasted_iota(jnp.int32, (wz, wz), 0)
-             >= jax.lax.broadcasted_iota(jnp.int32, (wz, wz), 1)
-             ).astype(jnp.float32)
     lr_all, lz_all = lr_ref[0], lz_ref[0]
     vx_all, vy_all, vz_all = vx_ref[0], vy_ref[0], vz_ref[0]
     q_all = q_ref[0]
@@ -142,21 +135,17 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                 a, b, (((1,), (1,)), ((), ())),
                 precision=dep_precision, preferred_element_type=jnp.float32)
 
-        def small_mm(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                precision=dep_precision, preferred_element_type=jnp.float32)
-
-        # J_x = (q coef) * (tri @ dsr) contracted with b over particles; the
-        # per-lane charge scale commutes with the sublane cumsum, so
-        # reassociate: tri @ ((dsr * q coef) @ b^T) — one (w, P) contraction
-        # + one tiny (w, w) matmul instead of cumsum (w, w, P) + win (w, w, P)
-        j_ref[0, g, 0] = small_mm(
-            tri_r, win_mm((qm * coef_x) * dsr, az + 0.5 * dsz))
-        j_ref[0, g, 1] = jax.lax.dot_general(
-            win_mm(ar + 0.5 * dsr, (qm * coef_z) * dsz), tri_z,
-            (((1,), (1,)), ((), ())),
-            precision=dep_precision, preferred_element_type=jnp.float32)
+        # Esirkepov cumsum along the window axis in CLOSED FORM: the
+        # cumulative CIC tent is the hockey-stick clip
+        #     sum_{i' <= i} tent(l - i') = clip(i - l + 1, 0, 1)
+        # so K = cumsum(dS) = clip(.., l1) - clip(.., l0) — no triangular
+        # matmuls (ops/pallas_em3d.py derivation)
+        kr = (jnp.clip(iota_r - l1r + 1.0, 0.0, 1.0)
+              - jnp.clip(iota_r - l0r + 1.0, 0.0, 1.0))
+        kz = (jnp.clip(iota_z - l1z + 1.0, 0.0, 1.0)
+              - jnp.clip(iota_z - l0z + 1.0, 0.0, 1.0))
+        j_ref[0, g, 0] = win_mm((qm * coef_x) * kr, az + 0.5 * dsz)
+        j_ref[0, g, 1] = win_mm(ar + 0.5 * dsr, (qm * coef_z) * kz)
         qvz = qm * cvz * inv_vol  # coordinate velocity (= u_z/gamma if rel.)
         # two J_y contractions share the P axis: stack along lanes -> one
         # matmul of the same total FLOPs, half the pass overhead

@@ -156,6 +156,48 @@ def test_sorted_em_pallas_gather_backend():
 
 
 @pytest.mark.slow
+def test_sorted_em_3d_fused_backend():
+    """gather_backend='fused' in 3D (ops/pallas_em3d.py, interpret mode on
+    CPU) matches the XLA sorted 3D route with live E/B fields."""
+    import numpy as np
+
+    from fusion_sim_tpu.models import electromagnetic as em
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    d = 0.5
+    nc = 16
+    base = em.EMConfig(grid_shape=(nc,) * 3, cell_size=(d,) * 3,
+                       dt=0.2 * d, charge=-0.01, mass=0.01,
+                       field_gather="centered")
+    rng = np.random.default_rng(0)
+    n = 2048
+    pos = rng.random((n, 3)) * nc
+    vel = 0.2 * rng.standard_normal((n, 3))
+    # seed a transverse EM wave so the gather + Boris path is exercised
+    x = np.arange(nc) * d
+    e0 = np.zeros((nc, nc, nc, 3), np.float32)
+    b0 = np.zeros((nc, nc, nc, 3), np.float32)
+    e0[..., 1] = 0.05 * np.sin(2 * np.pi * x / (nc * d))[:, None, None]
+    b0[..., 2] = 0.05 * np.sin(2 * np.pi * x / (nc * d))[:, None, None]
+    tiling = Tiling3D(tile=(8, 8, 8), block=128, margin=2)
+
+    a = em.SortedElectromagneticPIC(base, pos, vel, e=e0, b=b0,
+                                    tiling=tiling, resort_every=4)
+    b = em.SortedElectromagneticPIC(base, pos, vel, e=e0, b=b0,
+                                    tiling=tiling, resort_every=4,
+                                    gather_backend="fused")
+    a.step(6)
+    b.step(6)
+    np.testing.assert_allclose(np.asarray(b.state.e), np.asarray(a.state.e),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state.b), np.asarray(a.state.b),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state.position),
+                               np.asarray(a.state.position),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_sorted_em_fused_backend():
     """gather_backend='fused' (full Mosaic substep, interpret mode on CPU)
     matches the XLA sorted route, non-relativistic and relativistic."""

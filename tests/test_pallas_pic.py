@@ -118,6 +118,54 @@ def test_fused_es3d_substep_flags_out_of_window():
     assert float(jnp.sum(rho)) < float(jnp.sum(w)) - 0.5
 
 
+@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+def test_fused_em3d_substep_zero_field_matches_packed_esirkepov(precision):
+    """With E = B = 0 the fused 3D EM kernel reduces to drift + Esirkepov;
+    its J must match the packed reference deposit row for row."""
+    from fusion_sim_tpu.ops.esirkepov import esirkepov_deposit_3d
+    from fusion_sim_tpu.ops.pallas_em3d import fused_em3d_substep
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    shape = (16, 16, 32)
+    tiling = Tiling3D(tile=(8, 8, 8), block=128, margin=2)
+    dt, cell = 0.2, (0.5, 0.5, 0.5)
+    rng = np.random.default_rng(11)
+    n = 1024
+    # interior positions: avoid the periodic seam so the packed reference
+    # (unwrapped x1) and the kernel (window-wrapped) see identical motion
+    pos = (2.0 + rng.random((n, 3)) * (np.array(shape) - 4)).astype(np.float32)
+    # CFL: |v| dt / cell < 1 cell/step (the Esirkepov 3-point stencil
+    # contract, as everywhere in the framework)
+    vel = np.clip(rng.standard_normal((n, 3)), -2.0, 2.0).astype(np.float32)
+    table = np.zeros((*shape, 6), np.float32)
+
+    tid, pos_p, v0, v1, v2, validp, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), jnp.float32))
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    valid = validp > 0.5
+
+    npos, nvel, j, inw = fused_em3d_substep(
+        jnp.asarray(table), pos_p, vel_p, valid, tid, shape, tiling,
+        qm_half_dt=0.3, dt=dt, cell_size=cell, charge=-0.01,
+        precision=precision, n_g=4, interpret=True)
+
+    keep = np.asarray(valid)
+    assert bool(np.all(np.asarray(inw)[keep]))
+    x1_ref = pos_p + dt * vel_p / jnp.asarray(cell)
+    q = jnp.where(valid, jnp.float32(-0.01), 0.0)
+    j_ref = esirkepov_deposit_3d(pos_p, x1_ref, q, dt, shape, cell)
+    np.testing.assert_allclose(np.asarray(nvel)[keep],
+                               np.asarray(vel_p)[keep], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(npos)[keep],
+        np.asarray(jnp.mod(x1_ref, jnp.asarray(shape, jnp.float32)))[keep],
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_em2d_substep_exact_bf16_tracks_highest():
     """The 3-term bf16 gather (ops/mxu.py) stays within ~1e-4 of Mosaic's
     multi-pass f32 path through a full fused EM substep."""
