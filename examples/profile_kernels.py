@@ -1,0 +1,141 @@
+"""Standalone timings of the fused Pallas substeps (no model shell, no
+resort/FFT/patch) — separates kernel cost from step composition.
+
+PYTHONPATH=/root/repo:$PYTHONPATH python examples/profile_kernels.py --which es2d
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion_sim_tpu.ops.sorted_deposit import (Tiling2D, Tiling3D,
+                                               build_padded_layout)
+
+
+def timeit(fn, *args, reps=5, **kw):
+    out = fn(*args, **kw)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])  # fence
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def prof_es2d(n, cells, precisions, n_gs):
+    from fusion_sim_tpu.ops.pallas_pic import fused_es2d_substep
+
+    shape = (cells, cells)
+    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 2)) * cells).astype(np.float32)
+    vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+    e = rng.standard_normal((*shape, 2)).astype(np.float32)
+    tid, pos_p, v0, v1, w, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.ones((n,), jnp.float32))
+    vel_p = jnp.stack([v0, v1], axis=-1)
+    for ng in n_gs:
+        for prec in precisions:
+            t = timeit(fused_es2d_substep, jnp.asarray(e), pos_p, vel_p, w,
+                       tid, shape, tiling, 0.01, 0.1, 0.1, precision=prec,
+                       n_g=ng)
+            print(f"es2d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
+                  f"({n / t:.2e} rows/s)")
+
+
+def prof_3d(n, cells, precisions, n_gs, which):
+    shape = (cells,) * 3
+    tiling = Tiling3D(tile=(8, 8, 8), block=512, margin=2)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 3)) * cells).astype(np.float32)
+    vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+    tid, pos_p, v0, v1, v2, w, _ = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), jnp.float32))
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    if which == "es3d":
+        from fusion_sim_tpu.ops.pallas_pic3d import fused_es3d_substep
+
+        e = rng.standard_normal((*shape, 3)).astype(np.float32)
+        for ng in n_gs:
+            for prec in precisions:
+                t = timeit(fused_es3d_substep, jnp.asarray(e), pos_p, vel_p,
+                           w, tid, shape, tiling, 0.01, 0.1, 0.1, 0.1,
+                           precision=prec, n_g=ng)
+                print(f"es3d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
+                      f"({n / t:.2e} rows/s)")
+    else:
+        from fusion_sim_tpu.ops.pallas_em3d import fused_em3d_substep
+
+        table = rng.standard_normal((*shape, 6)).astype(np.float32)
+        valid = w > 0.5
+
+        # XLA prep pieces (window extract + per-block gather + relayout)
+        import functools
+
+        wx = wy = wz = 8 + 2 * tiling.margin + 1
+        p_blk = tiling.block
+        nb = pos_p.shape[0] // p_blk
+
+        from fusion_sim_tpu.ops.sorted_deposit import (
+            extract_tile_windows_3d_flat, fold_tile_windows_3d_flat)
+
+        for prec in ("highest", "2term"):
+            @functools.partial(jax.jit, static_argnames=("p",))
+            def extract_flat(tbl, p="highest"):
+                return extract_tile_windows_3d_flat(tbl, shape, tiling,
+                                                    precision=p)
+
+            t = timeit(extract_flat, jnp.asarray(table), p=prec)
+            print(f"em3d extract FLAT ({prec}): {1e3 * t:7.2f} ms")
+
+        n_tiles = int(np.prod(tiling.n_tiles(shape)))
+        jflat = jnp.zeros((n_tiles, 3, wx, wy * wz), jnp.float32)
+        for prec in ("highest", "2term"):
+            @functools.partial(jax.jit, static_argnames=("p",))
+            def fold_flat(w, p="highest"):
+                return fold_tile_windows_3d_flat(w, shape, tiling,
+                                                 precision=p)
+
+            t = timeit(fold_flat, jflat, p=prec)
+            print(f"em3d fold FLAT ({prec}): {1e3 * t:7.2f} ms")
+
+        for ng in n_gs:
+            for prec in precisions:
+                t = timeit(fused_em3d_substep, jnp.asarray(table), pos_p,
+                           vel_p, valid, tid, shape, tiling, 0.01, 0.1,
+                           (0.5, 0.5, 0.5), -0.01, precision=prec, n_g=ng)
+                print(f"em3d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
+                      f"({n / t:.2e} rows/s)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="es2d",
+                    choices=["es2d", "es3d", "em3d"])
+    ap.add_argument("--n", type=int, default=0)
+    ap.add_argument("--cells", type=int, default=0)
+    ap.add_argument("--precisions", default="highest,exact_bf16,default")
+    ap.add_argument("--n-gs", default="")
+    args = ap.parse_args()
+    precisions = args.precisions.split(",")
+    print(f"dev={jax.devices()[0]}")
+    if args.which == "es2d":
+        n = args.n or 10_002_432
+        n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [32]
+        prof_es2d(n, args.cells or 512, precisions, n_gs)
+    else:
+        n = args.n or 9_998_336
+        n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [16]
+        prof_3d(n, args.cells or 128, precisions, n_gs, args.which)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,8 +87,17 @@ def charge_density(config: ESConfig, position: jax.Array) -> jax.Array:
 
 
 def solve_fields(config: ESConfig, rho: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """phi and E = -grad(phi) on the grid; E has a trailing axis of size d."""
-    phi = poisson_fft(rho, config.cell_size, eps0=config.eps0)
+    """phi and E = -grad(phi) on the grid; E has a trailing axis of size d.
+
+    2D grids up to 2048^2 route through the dense-DFT matmul form
+    (ops/solvers.poisson_dft2d) — XLA's emulated TPU FFT costs ~5 ms at
+    512^2 where the MXU matmuls cost ~0.5 ms; identical spectral semantics
+    (~1e-5 relative)."""
+    if config.n_dim == 2 and max(config.grid_shape) <= 2048:
+        from ..ops.solvers import poisson_dft2d
+        phi = poisson_dft2d(rho, config.cell_size, eps0=config.eps0)
+    else:
+        phi = poisson_fft(rho, config.cell_size, eps0=config.eps0)
     grads = gradient_periodic(phi, config.cell_size)
     e = jnp.stack([-g for g in grads], axis=-1)
     return phi, e
@@ -418,18 +427,20 @@ class SortedElectrostaticPIC:
 
     def _initial_rho(self):
         """Deposit at the current (freshly sorted) positions — seeds the
-        pallas backend's carried rho."""
-        from ..ops.sorted_deposit import deposit_sorted_2d, deposit_sorted_3d
+        pallas backend's carried rho.
 
-        deposit_fn = (deposit_sorted_2d if self.config.n_dim == 2
-                      else deposit_sorted_3d)
+        Uses the packed scatter deposit: it is one-time (slow is fine) and,
+        unlike the sorted einsum deposit, never tempts XLA into
+        materializing the (nb, P, wy, wz) tent outer product (21.7 GB at
+        3e7/128^3 — observed remat OOM)."""
+        from ..ops.interp import cic_deposit_packed
+
         w = jnp.where(self.state.valid,
                       jnp.float32(self.config.charge / self.config.cell_volume),
                       0.0)
-        rho, _, _ = deposit_fn(self.state.position, w,
-                               self.state.tile_id,
-                               self.config.grid_shape, self.tiling)
-        return rho
+        pos = jnp.mod(self.state.position,
+                      jnp.asarray(self.config.grid_shape, jnp.float32))
+        return cic_deposit_packed(pos, w, self.config.grid_shape)
 
     def _make_step_pallas(self):
         """Fused-kernel step: solve E from the carried rho, then ONE Pallas

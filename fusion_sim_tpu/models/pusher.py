@@ -411,17 +411,22 @@ class CylindricalParticlePusher:
 
         spec = self.spec
         if tiling is None:
-            # nr/nz must divide by the tiles; 400x800 default -> 25x32 tiles
-            candidates = (8, 16, 20, 25, 32, 40, 50)
-            divs_r = [t for t in candidates if spec.nr % t == 0]
-            divs_z = [t for t in candidates if spec.nz % t == 0]
-            if not divs_r or not divs_z:
-                raise ValueError(
-                    f"no default tile size in {candidates} divides the "
-                    f"{spec.nr}x{spec.nz} grid — pass an explicit "
-                    "Tiling2D(tile_r=..., tile_z=...) whose tiles divide it")
-            tiling = Tiling2D(tile_r=max(divs_r), tile_z=max(divs_z),
-                              block=1024, margin=4)
+            if backend == "fused":
+                # streamed-window kernel: narrow r tiles, wide z tiles
+                from ..ops.pallas_pusher import stream_tiling_for
+                tiling = stream_tiling_for(spec.nr, spec.nz, margin=6)
+            else:
+                # nr/nz must divide by the tiles; 400x800 -> 25x32 tiles
+                candidates = (8, 16, 20, 25, 32, 40, 50)
+                divs_r = [t for t in candidates if spec.nr % t == 0]
+                divs_z = [t for t in candidates if spec.nz % t == 0]
+                if not divs_r or not divs_z:
+                    raise ValueError(
+                        f"no default tile size in {candidates} divides the "
+                        f"{spec.nr}x{spec.nz} grid — pass an explicit "
+                        "Tiling2D(tile_r=..., tile_z=...) whose tiles divide it")
+                tiling = Tiling2D(tile_r=max(divs_r), tile_z=max(divs_z),
+                                  block=1024, margin=4)
         self._sorted_tiling = tiling
         self._sorted_resort_every = resort_every
         if rng_impl is not None:

@@ -191,21 +191,27 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
 
 def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
     """Full step via the fused Mosaic substep kernel (ops/pallas_pusher.py);
-    RNG, respawn replacement, and the exact spill patch stay in XLA."""
-    from ..ops.pallas_pusher import fused_pusher_substep
+    RNG, respawn replacement, and the exact spill patch stay in XLA.
+
+    The streamed per-tile windows depend only on the field coefficients
+    (static between field edits), so they are built once per field set and
+    cached host-side (keyed on the coefficient array identity)."""
+    from ..ops.pallas_pusher import (build_pusher_windows,
+                                     fused_pusher_substep)
 
     nr, nz = spec.nr, spec.nz
     step_factor = spec.step_factor
     interpret = jax.default_backend() != "tpu"
+    win_cache: dict = {}
 
-    def substep(fields, state: SortedPusherState, packed13):
+    def substep(fields, state: SortedPusherState, packed13, windows):
         n_tot = state.position.shape[0]
         rand, key = substep_uniforms(state.key, n_tot)
         cell = _cell_coords(state.position, nr, nz)
         pos1, vel1, sink, inw = fused_pusher_substep(
             packed13, state.position, state.velocity, state.alive, rand,
             cell, state.tile_id, nr, nz, tiling, step_factor,
-            interpret=interpret)
+            windows=windows, interpret=interpret)
 
         # exact re-push of out-of-window rows (compacted)
         mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
@@ -241,13 +247,22 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
             dropped=state.dropped + n_drop)
 
     @jax.jit
-    def step(fields, state: SortedPusherState) -> SortedPusherState:
-        packed13 = jnp.concatenate(
-            [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
-             fields.coeffs.a, fields.sink_mask[..., None]], axis=-1)
-        state = substep(fields, state, packed13)
-        state = substep(fields, state, packed13)
+    def _step_inner(fields, state, packed13, windows):
+        state = substep(fields, state, packed13, windows)
+        state = substep(fields, state, packed13, windows)
         return state
+
+    def step(fields, state: SortedPusherState) -> SortedPusherState:
+        ck = (id(fields.coeffs.r1), id(fields.sink_mask))
+        if win_cache.get("key") != ck:
+            packed13 = jnp.concatenate(
+                [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
+                 fields.coeffs.a, fields.sink_mask[..., None]], axis=-1)
+            win_cache.update(
+                key=ck, packed13=packed13,
+                windows=build_pusher_windows(packed13, nr, nz, tiling))
+        return _step_inner(fields, state, win_cache["packed13"],
+                           win_cache["windows"])
 
     return step
 

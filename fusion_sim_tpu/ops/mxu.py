@@ -46,3 +46,23 @@ def dot3_split(a, b, dimension_numbers):
     a_hi, a_lo = split_bf16(a)
     b_hi, b_lo = split_bf16(b)
     return dot3(a_hi, a_lo, b_hi, b_lo, dimension_numbers)
+
+
+def split_bf16_3_exact(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """EXACT 3-way bf16 decomposition: x == h1 + h2 + h3 bit-for-bit (f32).
+
+    Unlike ``split_bf16`` (round-to-nearest, ~2^-18 residual), this uses
+    mantissa TRUNCATION: h1 keeps x's top 16 bits (a valid bf16 pattern),
+    h2 the next 8 mantissa bits, h3 the last 8 — each exactly representable
+    in bf16, and their f32 sum reconstructs x exactly (disjoint exponent
+    windows).  This makes one-hot selection (NEAREST sampling) through
+    single-pass bf16 MXU matmuls BIT-EXACT in 3 passes, vs ~6 for XLA's
+    ``highest`` f32 emulation."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    h1 = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    r1 = x - h1
+    u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    h2 = jax.lax.bitcast_convert_type(u1 & jnp.uint32(0xFFFF0000), jnp.float32)
+    h3 = r1 - h2
+    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
+            h3.astype(jnp.bfloat16))

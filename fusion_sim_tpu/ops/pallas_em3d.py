@@ -7,6 +7,22 @@ ops/pallas_pic3d.py: particles on LANES, the x window axis on SUBLANES, the
 (y, z) window pair flattened onto lanes (wyz = wy*wz) via a flattened iota
 (y = i // wz, z = i % wz) — no cross-tile reshapes.
 
+Window streaming (round 3): the per-block XLA window pre-gather
+(win[blk_tile] + transpose, 207 ms at 1e7/128^3) and the per-block J
+segment-sum assembly (108 ms) were the measured bottleneck — 80% of the
+substep.  Both are replaced by in-kernel DMA against per-TILE flat windows
+(sorted_deposit.extract_tile_windows_3d_flat, (n_tiles, C, wx, wyz)):
+
+  * field windows are fetched per block by tile index (scalar-prefetched
+    block->tile map) into a double-buffered VMEM scratch, prefetched one
+    grid step ahead — HBM traffic is one 50 KB contiguous window per block
+    instead of a 1 GB materialized gather;
+  * J windows are accumulated in a VMEM scratch across the consecutive
+    same-tile blocks (the layout sorts blocks by tile) and flushed ONCE per
+    tile straight to the (n_tiles+1, 3, wx, wyz) output (row n_tiles is the
+    filler-block trash slot) — the caller folds tiles onto the grid with
+    fold_tile_windows_3d_flat (one-hot placement matmuls, no scatter).
+
 The 3D Esirkepov windows (sorted_deposit.esirkepov_sorted_3d term for term:
 W_a = dS_a (x) [S0_b S0_c + (dS_b S0_c + S0_b dS_c)/2 + dS_b dS_c/3], the
 bracket split into two separable pairs) are built with CLOSED-FORM
@@ -22,9 +38,6 @@ so each J component is 1-2 MXU matmuls contracting the particle axis:
 
 with K_a = clip(i - l1_a + 1, 0, 1) - clip(i - l0_a + 1, 0, 1) and
 c_a = -cell_a / (vol dt).  All J windows share the (wx, wyz) output layout.
-
-Per-block field windows are pre-gathered in XLA and streamed per grid step
-(the 3D window set cannot be VMEM-resident — see pallas_pic3d.py).
 """
 
 from __future__ import annotations
@@ -40,23 +53,49 @@ from jax.experimental.pallas import tpu as pltpu
 from .mxu import dot3, dot3_split, split_bf16
 
 
-def _em3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
-                 *refs, wx, wy, wz, n_g, qm_half_dt, inv_dx, inv_dy, inv_dz,
-                 dt, coef_x, coef_y, coef_z, c_light, relativistic,
-                 precision, dep_precision):
+def _em3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
+                 q_ref, *refs, wx, wy, wz, wx_pad, wyz_pad, n_g, n_tiles, qm_half_dt, inv_dx,
+                 inv_dy, inv_dz, dt, coef_x, coef_y, coef_z, c_light,
+                 relativistic, precision, dep_precision):
     three_term = precision == "exact_bf16"
     if three_term:
-        win_hi_ref, win_lo_ref = refs[0], refs[1]
-        rest = refs[2:]
+        win_hi_hbm, win_lo_hbm = refs[0], refs[1]
+        (olx_ref, oly_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
+         inw_ref, scr_hi, scr_lo, sem_hi, sem_lo, acc_ref,
+         acc_sem) = refs[2:]
+        hbm_scr_sem = ((win_hi_hbm, scr_hi, sem_hi),
+                       (win_lo_hbm, scr_lo, sem_lo))
     else:
-        win_ref = refs[0]
-        rest = refs[1:]
-    (olx_ref, oly_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
-     inw_ref) = rest
+        win_hbm = refs[0]
+        (olx_ref, oly_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
+         inw_ref, scr, sem, acc_ref, acc_sem) = refs[1:]
+        hbm_scr_sem = ((win_hbm, scr, sem),)
+
+    s = pl.program_id(0)
+    ns = pl.num_programs(0)
     p = lx_ref.shape[-1]
-    wyz = wy * wz
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, p), 0).astype(jnp.float32)
-    i_yz = jax.lax.broadcasted_iota(jnp.int32, (wyz, p), 0)
+
+    def window_dma(slot, step, g):
+        t = jnp.minimum(bt_ref[step * n_g + g], n_tiles - 1)
+        return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g], sm.at[slot, g])
+                for hbm, sc, sm in hbm_scr_sem]
+
+    def start_fetch(slot, step):
+        for g in range(n_g):
+            for dma in window_dma(slot, step, g):
+                dma.start()
+
+    @pl.when(s == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(s + 1 < ns)
+    def _():
+        start_fetch((s + 1) % 2, s + 1)
+
+    slot = s % 2
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx_pad, p), 0).astype(jnp.float32)
+    i_yz = jax.lax.broadcasted_iota(jnp.int32, (wyz_pad, p), 0)
     iota_yf = (i_yz // wz).astype(jnp.float32)
     iota_zf = (i_yz % wz).astype(jnp.float32)
     lx_all, ly_all, lz_all = lx_ref[0], ly_ref[0], lz_ref[0]
@@ -64,6 +103,8 @@ def _em3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
     q_all = q_ref[0]
     outs = [[] for _ in range(7)]
     for g in range(n_g):
+        for dma in window_dma(slot, s, g):
+            dma.wait()
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         l0x, l0y, l0z = sl(lx_all), sl(ly_all), sl(lz_all)
         ax0 = jnp.maximum(0.0, 1.0 - jnp.abs(l0x - iota_x))    # (wx, P)
@@ -74,21 +115,27 @@ def _em3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                  & (l0y >= 0.0) & (l0y < float(wy - 1))
                  & (l0z >= 0.0) & (l0z < float(wz - 1)))
 
-        # 6-channel CIC gather (Ex, Ey, Ez, Bx, By, Bz at the node table)
-        eb = []
+        # 6-channel CIC gather (Ex, Ey, Ez, Bx, By, Bz at the node table):
+        # ONE channel-stacked matmul contracting the flattened (y, z) lane
+        # pair (K = wyz_pad, full MXU tiles), then the x tent select +
+        # per-channel sublane reduce on the VPU — ~6x fewer MXU passes than
+        # per-channel K=wx dots
+        dn_yz = (((1,), (0,)), ((), ()))
         if three_term:
-            ax_hi, ax_lo = split_bf16(ax0)
-            dn = (((0,), (0,)), ((), ()))
-            for c in range(6):
-                u = dot3(win_hi_ref[0, g, c], win_lo_ref[0, g, c],
-                         ax_hi, ax_lo, dn)
-                eb.append(jnp.sum(ayz0 * u, axis=0, keepdims=True))
+            ayz_hi, ayz_lo = split_bf16(ayz0)
+            t_all = dot3(scr_hi[slot, g], scr_lo[slot, g],
+                         ayz_hi, ayz_lo, dn_yz)            # (6*wx_pad, P)
         else:
-            for c in range(6):
-                u = jax.lax.dot_general(
-                    win_ref[0, g, c], ax0, (((0,), (0,)), ((), ())),
-                    precision=precision, preferred_element_type=jnp.float32)
-                eb.append(jnp.sum(ayz0 * u, axis=0, keepdims=True))
+            t_all = jax.lax.dot_general(
+                scr[slot, g], ayz0, dn_yz,
+                precision=precision, preferred_element_type=jnp.float32)
+        i_cx = jax.lax.broadcasted_iota(jnp.int32, (6 * wx_pad, p), 0)
+        ax_c = jnp.maximum(
+            0.0, 1.0 - jnp.abs(l0x - (i_cx % wx_pad).astype(jnp.float32)))
+        pt = t_all * ax_c
+        eb = [jnp.sum(jax.lax.slice(pt, (c * wx_pad, 0),
+                                    ((c + 1) * wx_pad, p)),
+                      axis=0, keepdims=True) for c in range(6)]
         ex, ey, ez, bx, by, bz = eb
 
         # Boris kick (matches models.electromagnetic.boris_kick, on lanes)
@@ -161,19 +208,56 @@ def _em3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
         p2x = 0.5 * ax0 + dsx / 3.0
         mix_x = ((ay0 + 0.5 * dsy) * az0
                  + (0.5 * ay0 + dsy / 3.0) * dsz)      # (wyz, P)
-        j_ref[0, g, 0] = mm((qm * coef_x) * kx, mix_x)
+        jx = mm((qm * coef_x) * kx, mix_x)
         kyq = (qm * coef_y) * ky
-        j_ref[0, g, 1] = mm(p1x, kyq * az0) + mm(p2x, kyq * dsz)
+        jy = mm(p1x, kyq * az0) + mm(p2x, kyq * dsz)
         kzq = (qm * coef_z) * kz
-        j_ref[0, g, 2] = mm(p1x, kzq * ay0) + mm(p2x, kzq * dsy)
+        jz = mm(p1x, kzq * ay0) + mm(p2x, kzq * dsy)
+
+        # per-tile J accumulation: blocks are tile-contiguous, so flush the
+        # accumulator straight to j_ref[tile] whenever the tile changes
+        i = s * n_g + g
+        t_cur = bt_ref[i]
+        # i == 0 only at (s == 0, g == 0); bt[max(i-1, 0)] then equals t_cur,
+        # so do_flush is naturally False there, but new_tile must still
+        # initialize the accumulator
+        prev = bt_ref[jnp.maximum(i - 1, 0)]
+        changed = t_cur != prev
+        do_flush = changed
+        new_tile = (changed | (s == 0)) if g == 0 else changed
+
+        @pl.when(do_flush)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, j_ref.at[prev], acc_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(new_tile)
+        def _():
+            acc_ref[0] = jx
+            acc_ref[1] = jy
+            acc_ref[2] = jz
+
+        @pl.when(jnp.logical_not(new_tile))
+        def _():
+            acc_ref[0] += jx
+            acc_ref[1] += jy
+            acc_ref[2] += jz
+
+        if g == n_g - 1:
+            @pl.when(s == ns - 1)
+            def _():
+                cp = pltpu.make_async_copy(acc_ref, j_ref.at[t_cur], acc_sem)
+                cp.start()
+                cp.wait()
 
         # freeze out-of-window rows (exact re-push happens in the model)
         vals = (jnp.where(inw, l1x, l0x), jnp.where(inw, l1y, l0y),
                 jnp.where(inw, l1z, l0z),
                 jnp.where(inw, nvx, vx), jnp.where(inw, nvy, vy),
                 jnp.where(inw, nvz, vz), inw.astype(jnp.float32))
-        for i, v in enumerate(vals):
-            outs[i].append(v)
+        for k, v in enumerate(vals):
+            outs[k].append(v)
     for ref, acc in zip((olx_ref, oly_ref, olz_ref, ovx_ref, ovy_ref,
                          ovz_ref, inw_ref), outs):
         ref[0] = jnp.concatenate(acc, axis=0)
@@ -210,15 +294,17 @@ def fused_em3d_substep(
     patch).  Same ``precision`` contract as fused_em2d_substep.
     """
     from .pallas_pic3d import _local_coords_3d
-    from .sorted_deposit import (_assemble_tile_windows_3d,
-                                 extract_tile_windows_3d)
+    from .sorted_deposit import (extract_tile_windows_3d_flat,
+                                 fold_tile_windows_3d_flat)
 
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
     m = tiling.margin
     wx, wy, wz = (t + 2 * m + 1 for t in tiling.tile)
-    wyz = wy * wz
+    from .sorted_deposit import _padded_window_dims
+    _, wyz, wx_pad, wyz_pad = _padded_window_dims(tiling)
+    n_tiles = int(np.prod(tiling.n_tiles(shape)))
     n = position.shape[0]
     nb = n // p_blk
     nb_pad = -(-nb // n_g) * n_g
@@ -230,20 +316,29 @@ def fused_em3d_substep(
     blk_tile, origins, (lx, ly, lz) = _local_coords_3d(
         position, tile_id, shape, tiling, p_blk)
     if nb_pad != nb:
+        # filler blocks carry the sentinel tile (n_tiles): their (zero) J
+        # flushes land in the trash row and never touch a real tile
         blk_tile = jnp.concatenate(
-            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+            [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
         fill = jnp.full((nb_pad - nb, p_blk), 1e9, lx.dtype)
         lx = jnp.concatenate([lx, fill])
         ly = jnp.concatenate([ly, fill])
         lz = jnp.concatenate([lz, fill])
 
-    win = extract_tile_windows_3d(table, shape, tiling)
-    win_b = win[blk_tile].reshape(nb_pad, wx, wyz, 6).transpose(0, 3, 1, 2)
     three_term = precision == "exact_bf16"
+    ext_prec = ("2term" if three_term
+                or getattr(tiling, "dtype", "float32") == "bfloat16"
+                else "highest")
+    win_flat = extract_tile_windows_3d_flat(table, shape, tiling,
+                                            precision=ext_prec, padded=True)
+    # channel-stacked rows for the merged gather matmul (same HBM bytes)
+    win_flat = win_flat.reshape(n_tiles, 6 * wx_pad, wyz_pad)
     if three_term:
-        win_args = split_bf16(win_b.reshape(nsteps, n_g, 6, wx, wyz))
+        win_args = split_bf16(win_flat)
+        wdtype = jnp.bfloat16
     else:
-        win_args = (win_b.reshape(nsteps, n_g, 6, wx, wyz),)
+        win_args = (win_flat,)
+        wdtype = jnp.float32
 
     def rows(v):
         if v.shape[0] != n_pad:
@@ -257,43 +352,51 @@ def fused_em3d_substep(
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
     kernel = functools.partial(
-        _em3d_kernel, wx=wx, wy=wy, wz=wz, n_g=n_g,
+        _em3d_kernel, wx=wx, wy=wy, wz=wz, wx_pad=wx_pad, wyz_pad=wyz_pad, n_g=n_g, n_tiles=n_tiles,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
         inv_dy=float(1.0 / dy), inv_dz=float(1.0 / dz), dt=float(dt),
         coef_x=float(-dx / (vol * dt)), coef_y=float(-dy / (vol * dt)),
         coef_z=float(-dz / (vol * dt)), c_light=float(c_light),
         relativistic=relativistic, precision=precision,
         dep_precision=dep_precision)
-    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s: (s, 0, 0),
+    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, bt: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((1, n_g, 6, wx, wyz), lambda s: (s, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = []
+    for _ in win_args:
+        scratch.append(pltpu.VMEM((2, n_g, 6 * wx_pad, wyz_pad), wdtype))
+    for _ in win_args:
+        scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
+    scratch.append(pltpu.VMEM((3, wx_pad, wyz_pad), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nsteps,),
-        in_specs=[row_spec] * 7 + (
-            [win_spec, win_spec] if three_term else [win_spec]),
+        in_specs=[row_spec] * 7 + [any_spec] * len(win_args),
         out_specs=(
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, n_g, 3, wx, wyz), lambda s: (s, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            any_spec,
             row_spec,
         ),
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((nsteps, n_g, 3, wx, wyz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 3, wx_pad, wyz_pad), jnp.float32),
             row_shape,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(rows(lx.reshape(-1)), rows(ly.reshape(-1)), rows(lz.reshape(-1)),
+    )(blk_tile,
+      rows(lx.reshape(-1)), rows(ly.reshape(-1)), rows(lz.reshape(-1)),
       rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
       rows(q_row), *win_args)
-    nlx, nly, nlz, nvx, nvy, nvz, j_win, inw = outs
+    nlx, nly, nlz, nvx, nvy, nvz, j_tiles, inw = outs
 
     # back to global coordinates (periodic); drop filler rows
     pos_cols = []
@@ -303,7 +406,10 @@ def fused_em3d_substep(
     position_out = jnp.stack(pos_cols, axis=-1)
     velocity_out = jnp.stack([nvx.reshape(n_pad)[:n], nvy.reshape(n_pad)[:n],
                               nvz.reshape(n_pad)[:n]], axis=-1)
-    j_blocks = (j_win.reshape(nb_pad, 3, wx, wy, wz)[:nb]
-                .transpose(0, 2, 3, 4, 1))
-    j = _assemble_tile_windows_3d(j_blocks, blk_tile[:nb], shape, tiling)
+    # tiles with no blocks were never flushed -> mask uninitialized rows
+    present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
+        True, mode="drop")
+    j_tiles = jnp.where(present[:n_tiles, None, None, None],
+                        j_tiles[:n_tiles], 0.0)
+    j = fold_tile_windows_3d_flat(j_tiles, shape, tiling, precision=ext_prec)
     return position_out, velocity_out, j, inw.reshape(n_pad)[:n] > 0.5

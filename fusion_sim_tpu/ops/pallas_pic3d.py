@@ -13,13 +13,15 @@ axis (wyz = wy*wz) and x rides SUBLANES —
 ``ayz`` is built directly on (wyz, P) from a flattened iota (y = i // wz,
 z = i % wz) — no cross-tile reshapes, which Mosaic rejects.
 
-Unlike the 2D kernel, the per-tile window set is NOT VMEM-resident (a 128^3
-grid at tile 8^3 has 4096 windows x ~16 KB x C — far beyond VMEM).  Instead
-XLA pre-gathers each block's tile window (``win[blk_tile]``) and the kernel
-streams (n_g, C, wx, wyz) window blocks per grid step through Pallas's
-double-buffered pipeline.  Duplicate windows of same-tile neighbour blocks
-cost HBM bandwidth only (~2x logical traffic at config[3] density), not
-VMEM.
+Window streaming (round 3, same as ops/pallas_em3d.py): the 3D window set
+cannot be VMEM-resident, and the XLA per-block pre-gather / per-block rho
+segment-sum that round 2 used were the measured bottleneck (~300 ms of a
+~400 ms substep at 1e7/128^3).  The kernel now DMAs each block's tile
+window from the flat per-tile array (extract_tile_windows_3d_flat,
+(n_tiles, 3, wx, wyz)) by scalar-prefetched tile index, double-buffered one
+grid step ahead, and accumulates rho per TILE in VMEM, flushing once per
+tile to the (n_tiles+1, wx, wyz) output (row n_tiles = filler trash slot);
+the caller folds tiles onto the grid with fold_tile_windows_3d_flat.
 
 Out-of-window rows come back frozen with no deposit, exactly like the 2D
 kernel; the model's compacted spill patch re-pushes them (same contract as
@@ -39,22 +41,48 @@ from jax.experimental.pallas import tpu as pltpu
 from .mxu import dot3, dot3_split, split_bf16
 
 
-def _es3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, w_ref,
-                 *refs, wx, wy, wz, n_g, qm_dt, c_x, c_y, c_z, precision,
-                 dep_precision):
+def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
+                 w_ref, *refs, wx, wy, wz, wx_pad, wyz_pad, n_g, n_tiles, qm_dt, c_x, c_y,
+                 c_z, precision, dep_precision):
     three_term = precision == "exact_bf16"
     if three_term:
-        win_hi_ref, win_lo_ref = refs[0], refs[1]
+        win_hi_hbm, win_lo_hbm = refs[0], refs[1]
         (nlx_ref, nly_ref, nlz_ref, nvx_ref, nvy_ref, nvz_ref, rho_ref,
-         inw_ref) = refs[2:]
+         inw_ref, scr_hi, scr_lo, sem_hi, sem_lo, acc_ref,
+         acc_sem) = refs[2:]
+        hbm_scr_sem = ((win_hi_hbm, scr_hi, sem_hi),
+                       (win_lo_hbm, scr_lo, sem_lo))
     else:
-        win_ref = refs[0]
+        win_hbm = refs[0]
         (nlx_ref, nly_ref, nlz_ref, nvx_ref, nvy_ref, nvz_ref, rho_ref,
-         inw_ref) = refs[1:]
+         inw_ref, scr, sem, acc_ref, acc_sem) = refs[1:]
+        hbm_scr_sem = ((win_hbm, scr, sem),)
+
+    s = pl.program_id(0)
+    ns = pl.num_programs(0)
     p = lx_ref.shape[-1]
-    wyz = wy * wz
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, p), 0).astype(jnp.float32)
-    i_yz = jax.lax.broadcasted_iota(jnp.int32, (wyz, p), 0)
+
+    def window_dma(slot, step, g):
+        t = jnp.minimum(bt_ref[step * n_g + g], n_tiles - 1)
+        return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g], sm.at[slot, g])
+                for hbm, sc, sm in hbm_scr_sem]
+
+    def start_fetch(slot, step):
+        for g in range(n_g):
+            for dma in window_dma(slot, step, g):
+                dma.start()
+
+    @pl.when(s == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(s + 1 < ns)
+    def _():
+        start_fetch((s + 1) % 2, s + 1)
+
+    slot = s % 2
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx_pad, p), 0).astype(jnp.float32)
+    i_yz = jax.lax.broadcasted_iota(jnp.int32, (wyz_pad, p), 0)
     iota_y = (i_yz // wz).astype(jnp.float32)
     iota_z = (i_yz % wz).astype(jnp.float32)
     lx_all, ly_all, lz_all = lx_ref[0], ly_ref[0], lz_ref[0]   # (n_g, P)
@@ -62,29 +90,35 @@ def _es3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, w_ref,
     w_all = w_ref[0]
     o = {k: [] for k in ("lx", "ly", "lz", "vx", "vy", "vz", "inw")}
     for g in range(n_g):
+        for dma in window_dma(slot, s, g):
+            dma.wait()
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lx, ly, lz = sl(lx_all), sl(ly_all), sl(lz_all)
-        ax = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota_x))            # (wx, P)
         ayz = (jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota_y))
                * jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z)))       # (wyz, P)
         g_inw = ((lx < float(wx - 1)) & (ly < float(wy - 1))
                  & (lz < float(wz - 1)))                             # (1, P)
 
-        # 3-channel CIC gather: contract x on the MXU, reduce yz on sublanes
-        e = []
+        # 3-channel CIC gather: ONE channel-stacked matmul contracting the
+        # flattened (y, z) lane pair (K = wyz_pad, full MXU tiles), then the
+        # x tent select + per-channel sublane reduce on the VPU — ~6x fewer
+        # MXU passes than per-channel K=wx dots
+        dn_yz = (((1,), (0,)), ((), ()))
         if three_term:
-            ax_hi, ax_lo = split_bf16(ax)
-            dn = (((0,), (0,)), ((), ()))
-            for c in range(3):
-                u = dot3(win_hi_ref[0, g, c], win_lo_ref[0, g, c],
-                         ax_hi, ax_lo, dn)
-                e.append(jnp.sum(ayz * u, axis=0, keepdims=True))
+            ayz_hi, ayz_lo = split_bf16(ayz)
+            t_all = dot3(scr_hi[slot, g], scr_lo[slot, g],
+                         ayz_hi, ayz_lo, dn_yz)            # (3*wx_pad, P)
         else:
-            for c in range(3):
-                u = jax.lax.dot_general(
-                    win_ref[0, g, c], ax, (((0,), (0,)), ((), ())),
-                    precision=precision, preferred_element_type=jnp.float32)
-                e.append(jnp.sum(ayz * u, axis=0, keepdims=True))
+            t_all = jax.lax.dot_general(
+                scr[slot, g], ayz, dn_yz,
+                precision=precision, preferred_element_type=jnp.float32)
+        i_cx = jax.lax.broadcasted_iota(jnp.int32, (3 * wx_pad, p), 0)
+        ax_c = jnp.maximum(
+            0.0, 1.0 - jnp.abs(lx - (i_cx % wx_pad).astype(jnp.float32)))
+        pt = t_all * ax_c
+        e = [jnp.sum(jax.lax.slice(pt, (c * wx_pad, 0),
+                                   ((c + 1) * wx_pad, p)),
+                     axis=0, keepdims=True) for c in range(3)]
         ex, ey, ez = e
 
         w = sl(w_all)
@@ -113,11 +147,41 @@ def _es3d_kernel(lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref, w_ref,
         nvz = jnp.where(inw, nvz, sl(vz_all))
         dn_dep = (((1,), (1,)), ((), ()))
         if dep_precision == "exact_bf16":
-            rho_ref[0, g] = dot3_split(axn, ayzn * wm, dn_dep)
+            rho_g = dot3_split(axn, ayzn * wm, dn_dep)
         else:
-            rho_ref[0, g] = jax.lax.dot_general(
+            rho_g = jax.lax.dot_general(
                 axn, ayzn * wm, dimension_numbers=dn_dep,
                 precision=dep_precision, preferred_element_type=jnp.float32)
+
+        # per-tile rho accumulation, flushed once per tile (blocks are
+        # tile-contiguous in the sorted layout — see module docstring)
+        i = s * n_g + g
+        t_cur = bt_ref[i]
+        prev = bt_ref[jnp.maximum(i - 1, 0)]
+        changed = t_cur != prev
+        new_tile = (changed | (s == 0)) if g == 0 else changed
+
+        @pl.when(changed)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, rho_ref.at[prev], acc_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(new_tile)
+        def _():
+            acc_ref[...] = rho_g
+
+        @pl.when(jnp.logical_not(new_tile))
+        def _():
+            acc_ref[...] += rho_g
+
+        if g == n_g - 1:
+            @pl.when(s == ns - 1)
+            def _():
+                cp = pltpu.make_async_copy(acc_ref, rho_ref.at[t_cur],
+                                           acc_sem)
+                cp.start()
+                cp.wait()
 
         for k, v in (("lx", nlx), ("ly", nly), ("lz", nlz), ("vx", nvx),
                      ("vy", nvy), ("vz", nvz),
@@ -186,16 +250,17 @@ def fused_es3d_substep(
     rows frozen with no deposit, patched exactly by the caller).
     ``precision``: 'highest' | 'exact_bf16' | 'default' as in 2D.
     """
-    from .sorted_deposit import (_assemble_tile_windows_3d,
-                                 extract_tile_windows_3d)
+    from .sorted_deposit import (extract_tile_windows_3d_flat,
+                                 fold_tile_windows_3d_flat)
 
-    nts = tiling.n_tiles(shape)
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
     m = tiling.margin
     wx, wy, wz = (t + 2 * m + 1 for t in tiling.tile)
-    wyz = wy * wz
+    from .sorted_deposit import _padded_window_dims
+    _, wyz, wx_pad, wyz_pad = _padded_window_dims(tiling)
+    n_tiles = int(np.prod(tiling.n_tiles(shape)))
     n = position.shape[0]
     nb = n // p_blk
     nb_pad = -(-nb // n_g) * n_g
@@ -205,23 +270,29 @@ def fused_es3d_substep(
     blk_tile, origins, (lx, ly, lz) = _local_coords_3d(
         position, tile_id, shape, tiling, p_blk)
     if nb_pad != nb:
-        # dead filler blocks: tile 0, zero weight, far-out local coords
+        # filler blocks: sentinel tile (rho flushes to the trash row), zero
+        # weight, far-out local coords
         blk_tile = jnp.concatenate(
-            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+            [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
         fill = jnp.full((nb_pad - nb, p_blk), 1e9, lx.dtype)
         lx = jnp.concatenate([lx, fill])
         ly = jnp.concatenate([ly, fill])
         lz = jnp.concatenate([lz, fill])
 
-    # per-block tile windows, streamed per grid step (not VMEM-resident):
-    # (n_tiles, wx, wy, wz, 3) -> gather -> (nsteps, n_g, 3, wx, wyz)
-    win = extract_tile_windows_3d(e_grid, shape, tiling)
-    win_b = win[blk_tile].reshape(nb_pad, wx, wyz, 3).transpose(0, 3, 1, 2)
     three_term = precision == "exact_bf16"
+    ext_prec = ("2term" if three_term
+                or getattr(tiling, "dtype", "float32") == "bfloat16"
+                else "highest")
+    win_flat = extract_tile_windows_3d_flat(e_grid, shape, tiling,
+                                            precision=ext_prec, padded=True)
+    # channel-stacked rows for the merged gather matmul (same HBM bytes)
+    win_flat = win_flat.reshape(n_tiles, 3 * wx_pad, wyz_pad)
     if three_term:
-        win_args = split_bf16(win_b.reshape(nsteps, n_g, 3, wx, wyz))
+        win_args = split_bf16(win_flat)
+        wdtype = jnp.bfloat16
     else:
-        win_args = (win_b.reshape(nsteps, n_g, 3, wx, wyz),)
+        win_args = (win_flat,)
+        wdtype = jnp.float32
 
     def rows(v):
         if v.shape[0] != n_pad:
@@ -233,40 +304,48 @@ def fused_es3d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
-    kernel = functools.partial(_es3d_kernel, wx=wx, wy=wy, wz=wz, n_g=n_g,
-                               qm_dt=qm_dt, c_x=c_x, c_y=c_y, c_z=c_z,
-                               precision=precision,
+    kernel = functools.partial(_es3d_kernel, wx=wx, wy=wy, wz=wz, wx_pad=wx_pad, wyz_pad=wyz_pad, n_g=n_g,
+                               n_tiles=n_tiles, qm_dt=qm_dt, c_x=c_x,
+                               c_y=c_y, c_z=c_z, precision=precision,
                                dep_precision=dep_precision)
-    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s: (s, 0, 0),
+    row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, bt: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((1, n_g, 3, wx, wyz), lambda s: (s, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = []
+    for _ in win_args:
+        scratch.append(pltpu.VMEM((2, n_g, 3 * wx_pad, wyz_pad), wdtype))
+    for _ in win_args:
+        scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
+    scratch.append(pltpu.VMEM((wx_pad, wyz_pad), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(nsteps,),
-        in_specs=[row_spec] * 7 + (
-            [win_spec, win_spec] if three_term else [win_spec]),
+        in_specs=[row_spec] * 7 + [any_spec] * len(win_args),
         out_specs=(
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, n_g, wx, wyz), lambda s: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            any_spec,
             row_spec,
         ),
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((nsteps, n_g, wx, wyz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, wx_pad, wyz_pad), jnp.float32),
             row_shape,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(rows(lx.reshape(-1)), rows(ly.reshape(-1)), rows(lz.reshape(-1)),
+    )(blk_tile,
+      rows(lx.reshape(-1)), rows(ly.reshape(-1)), rows(lz.reshape(-1)),
       rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
       rows(weights), *win_args)
-    nlx, nly, nlz, nvx, nvy, nvz, rho_win, inw = outs
+    nlx, nly, nlz, nvx, nvy, nvz, rho_tiles, inw = outs
 
     # back to global coordinates (periodic); drop filler rows
     pos_cols = []
@@ -276,7 +355,11 @@ def fused_es3d_substep(
     position_out = jnp.stack(pos_cols, axis=-1)
     velocity_out = jnp.stack([nvx.reshape(n_pad)[:n], nvy.reshape(n_pad)[:n],
                               nvz.reshape(n_pad)[:n]], axis=-1)
-    rho = _assemble_tile_windows_3d(
-        rho_win.reshape(nb_pad, wx, wy, wz)[:nb], blk_tile[:nb], shape,
-        tiling)
+    # tiles with no blocks were never flushed -> mask uninitialized rows
+    present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
+        True, mode="drop")
+    rho_tiles = jnp.where(present[:n_tiles, None, None],
+                          rho_tiles[:n_tiles], 0.0)
+    rho = fold_tile_windows_3d_flat(rho_tiles[:, None], shape, tiling,
+                                    precision=ext_prec)[..., 0]
     return position_out, velocity_out, rho, inw.reshape(n_pad)[:n] > 0.5

@@ -626,6 +626,155 @@ def _assemble_tile_windows_3d(win: jax.Array, blk_tile: jax.Array,
     return g
 
 
+def _placement_x(n: int, n_t: int, tile: int, w: int, margin: int,
+                 w_pad: int | None = None, dtype=jnp.float32) -> jax.Array:
+    """One-hot fold matrix P[X, t, a] = [X == (t*tile + a - margin) mod n].
+
+    Encodes the periodic placement of per-tile window offsets onto the grid
+    axis; contraction with it folds (or, transposed, extracts) one axis.
+    ``w_pad`` (>= w) zero-extends the window-offset axis so padded window
+    storage (DMA-aligned shapes) folds/extracts exactly."""
+    wp = w if w_pad is None else w_pad
+    x = jax.lax.broadcasted_iota(jnp.int32, (n, n_t, wp), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (n, n_t, wp), 1)
+    a = jax.lax.broadcasted_iota(jnp.int32, (n, n_t, wp), 2)
+    hit = ((t * tile + a - margin) % n == x) & (a < w)
+    return hit.astype(dtype)
+
+
+def _placement_y_lanes(ny: int, nty: int, tile: int, wy: int, wz: int,
+                       margin: int, wyz_pad: int | None = None,
+                       dtype=jnp.float32) -> jax.Array:
+    """One-hot lane-space fold matrix P[t, l, m] for the flattened (b, cz)
+    lane pair: l = b*wz + cz  ->  m = cz*ny + Y,  Y = (t*tile + b - margin)
+    mod ny.  Folds the y axis without ever splitting the lane dimension at a
+    non-128 boundary (m splits as (wz, ny) with ny on lanes).  ``wyz_pad``
+    zero-extends the flattened lane axis for padded window storage."""
+    lp = wy * wz if wyz_pad is None else wyz_pad
+    shape = (nty, lp, wz * ny)
+    t = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    mm = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    b, cz = l // wz, l % wz
+    cz_m, y_m = mm // ny, mm % ny
+    hit = ((cz_m == cz) & (((t * tile + b - margin) % ny) == y_m)
+           & (b < wy))
+    return hit.astype(dtype)
+
+
+def _onehot_dot(a, b, dims, precision, placement="a"):
+    """dot_general where one operand is an exact 0/1 placement matrix.
+
+    ``precision='2term'`` runs two bf16 passes on the hi/lo split of the
+    value operand (the 0/1 placement is exact in bf16), ~2^-17 relative —
+    used by the bf16/exact_bf16 paths; any other value is passed straight
+    through as an XLA precision (``'highest'`` is the f32-exact default).
+    ``placement`` names which operand ('a' or 'b') is the 0/1 matrix."""
+    if precision == "2term":
+        x = b if placement == "a" else a
+        oh = (a if placement == "a" else b).astype(jnp.bfloat16)
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        def d(p, q):
+            return jax.lax.dot_general(p, q, dims,
+                                       preferred_element_type=jnp.float32)
+        if placement == "a":
+            return d(oh, hi) + d(oh, lo)
+        return d(hi, oh) + d(lo, oh)
+    return jax.lax.dot_general(a, b, dims, precision=precision,
+                               preferred_element_type=jnp.float32)
+
+
+def _padded_window_dims(tiling: Tiling3D) -> tuple[int, int, int, int]:
+    """(wx, wyz, wx_pad, wyz_pad): logical 3D window dims and their
+    DMA-aligned padded storage (sublanes to 8, lanes to 128) — Mosaic HBM
+    slices must align to the (8, 128) tiling, so streamed window arrays are
+    stored pre-padded with exact zeros."""
+    m = tiling.margin
+    wx, wy, wz = (t + 2 * m + 1 for t in tiling.tile)
+    wyz = wy * wz
+    return wx, wyz, -(-wx // 8) * 8, -(-wyz // 128) * 128
+
+
+def extract_tile_windows_3d_flat(grid: jax.Array,
+                                 shape: tuple[int, int, int],
+                                 tiling: Tiling3D,
+                                 precision: str = "highest",
+                                 padded: bool = False) -> jax.Array:
+    """Per-tile periodic windows in the MXU/DMA-friendly flat layout
+    ``(n_tiles, C, wx, wy*wz)``.
+
+    Functionally ``extract_tile_windows_3d`` reshaped, but built with three
+    one-hot placement matmuls so no intermediate ever exposes a tiny minor
+    dimension: the naive ``(n_tiles, wx, wy, wz, C)`` form is assigned an
+    XLA T(8,128) layout that pads 12x in HBM (~110 ms at 128^3; measured,
+    PERFORMANCE.md) while this form stays within ~1.5x padding.  Window t
+    spans ``(t_a*tile_a - margin .. + tile_a + margin)`` per axis with
+    periodic wrap; lane index l = b*wz + cz (y-offset major).
+    ``padded=True`` returns the DMA-aligned ``(n_tiles, C, wx_pad,
+    wyz_pad)`` storage (exact zeros in the pad region) for the streamed
+    Pallas kernels — Mosaic HBM slices must align to the (8, 128) tiling."""
+    nx, ny, nz = shape
+    ntx, nty, ntz = tiling.n_tiles(shape)
+    m = tiling.margin
+    wx, wy, wz = (t + 2 * m + 1 for t in tiling.tile)
+    _, wyz, wx_p, wyz_p = _padded_window_dims(tiling)
+    wx_out = wx_p if padded else wx
+    wyz_out = wyz_p if padded else wyz
+    channels = grid.shape[3:]
+    c = int(np.prod(channels)) if channels else 1
+    g1 = grid.reshape(nx, ny, nz, c).transpose(2, 0, 3, 1)  # (nz, nx, C, ny)
+    pz = _placement_x(nz, ntz, tiling.tile[2], wz, m)
+    # z-extract: (ntz, wz, nx, C, ny)
+    t1 = _onehot_dot(pz, g1, (((0,), (0,)), ((), ())), precision, placement='a')
+    # merge (wz, ny) -> lanes m = cz*ny + Y (128-aligned split point)
+    t1 = t1.transpose(0, 2, 3, 1, 4).reshape(ntz, nx, c, wz * ny)
+    py = _placement_y_lanes(ny, nty, tiling.tile[1], wy, wz, m,
+                            wyz_pad=wyz_out if padded else None)
+    # y-extract: contract lane space m -> (ntz, nx, C, nty, wyz[_p])
+    t2 = _onehot_dot(t1, py, (((3,), (2,)), ((), ())), precision, placement='b')
+    px = _placement_x(nx, ntx, tiling.tile[0], wx, m,
+                      w_pad=wx_out if padded else None)
+    # x-extract: (ntx, wx[_p], ntz, C, nty, wyz[_p])
+    t3 = _onehot_dot(px, t2, (((0,), (1,)), ((), ())), precision, placement='a')
+    win = t3.transpose(0, 4, 2, 3, 1, 5).reshape(
+        ntx * nty * ntz, c, wx_out, wyz_out)
+    return win
+
+
+def fold_tile_windows_3d_flat(win: jax.Array, shape: tuple[int, int, int],
+                              tiling: Tiling3D,
+                              precision: str = "highest") -> jax.Array:
+    """Adjoint of ``extract_tile_windows_3d_flat``: overlap-add per-tile
+    windows ``(n_tiles, C, wx, wy*wz)`` onto the periodic grid
+    ``(nx, ny, nz, C)`` via the same three one-hot placement matmuls
+    (replaces segment-sum + 27-term roll assembly for the fused 3D
+    kernels).  Padded ``(n_tiles, C, wx_pad, wyz_pad)`` input (the streamed
+    kernels' flush layout) is detected from the trailing dims and folded
+    exactly (pad rows carry zero placement)."""
+    nx, ny, nz = shape
+    ntx, nty, ntz = tiling.n_tiles(shape)
+    m = tiling.margin
+    wx, wy, wz = (t + 2 * m + 1 for t in tiling.tile)
+    c = win.shape[1]
+    wyz = wy * wz
+    wx_in, wyz_in = win.shape[2], win.shape[3]
+    t0 = win.reshape(ntx, nty, ntz, c, wx_in, wyz_in)
+    px = _placement_x(nx, ntx, tiling.tile[0], wx, m,
+                      w_pad=wx_in if wx_in != wx else None)
+    # fold x: (nx, nty, ntz, C, wyz)
+    t1 = _onehot_dot(px, t0, (((1, 2), (0, 4)), ((), ())), precision, placement='a')
+    py = _placement_y_lanes(ny, nty, tiling.tile[1], wy, wz, m,
+                            wyz_pad=wyz_in if wyz_in != wyz else None)
+    # fold y (lane space): (nx, ntz, C, wz*ny)
+    t2 = _onehot_dot(t1, py, (((1, 4), (0, 1)), ((), ())), precision, placement='b')
+    t2 = t2.reshape(nx, ntz, c, wz, ny)
+    pz = _placement_x(nz, ntz, tiling.tile[2], wz, m)
+    # fold z: (nz, nx, C, ny)
+    t3 = _onehot_dot(pz, t2, (((1, 2), (1, 3)), ((), ())), precision, placement='a')
+    return t3.transpose(1, 3, 0, 2)  # (nx, ny, nz, C)
+
+
 def _axis_gather_factors(d: jax.Array, frac: jax.Array, width: int,
                          mode: str) -> jax.Array:
     """(nb, P, width) interpolation row per particle for one axis.
