@@ -1,0 +1,86 @@
+"""Benchmark: domain-decomposed models at n_shards=1 on one chip.
+
+Measures the overhead of the full sharded composition (halo/apron pseudo-
+grid, migration ring, distributed solve) relative to the single-chip fused
+models — the VERDICT r2 #3 acceptance check (sharded-sorted-fused within
+1.3x of single-chip fused).
+
+PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_sharded_1chip.py
+"""
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from fusion_sim_tpu.models import electromagnetic as em
+from fusion_sim_tpu.models import electrostatic as es
+from fusion_sim_tpu.models.electromagnetic_sharded import (
+    ShardedEMConfig, ShardedElectromagneticPIC)
+from fusion_sim_tpu.models.electrostatic_sharded import (
+    ShardedESConfig, ShardedElectrostaticPIC)
+from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+from fusion_sim_tpu.parallel.mesh import make_mesh
+
+
+def bench(sim, label, n, steps=10, reps=3):
+    def fence():
+        np.asarray(jax.tree_util.tree_leaves(sim.state)[0].reshape(-1)[:1])
+
+    sim.step(max(steps, 7))
+    fence()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sim.step(steps)
+        fence()
+        ts.append((time.perf_counter() - t0) / steps)
+    med = sorted(ts)[len(ts) // 2]
+    print(f"{label}: {1e3 * med:.1f} ms/step  ({n / med:.2e} updates/s)")
+    return med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_002_432)
+    ap.add_argument("--cells", type=int, default=512)
+    ap.add_argument("--model", default="es", choices=["es", "em"])
+    ap.add_argument("--precision", default="exact_bf16")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    mesh = make_mesh(1, ("space",))
+    n, nc = args.n, args.cells
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 2)) * nc).astype(np.float32)
+    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    cap = (int(n * 1.5) // 1024) * 1024 + 1024
+    print(f"n={n:.2e} cells={nc}^2 dev={jax.devices()[0]}")
+
+    if args.model == "es":
+        length = 2 * np.pi
+        d = length / nc
+        vol = length * length
+        base = es.ESConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.05,
+                           charge=-vol / n, mass=vol / n)
+        vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+        cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
+                              migration_buffer=8192, tiling=tiling,
+                              resort_every=16, backend="pallas")
+        sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+        bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps)
+    else:
+        d = 0.5
+        base = em.EMConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.2 * d,
+                           charge=-0.01, mass=0.01, field_gather="centered")
+        vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+        cfg = ShardedEMConfig(base=base, n_shards=1, capacity=cap,
+                              migration_buffer=8192, tiling=tiling,
+                              resort_every=12, gather_backend="fused")
+        sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+        bench(sim, "sharded-em-fused nd=1", n, steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

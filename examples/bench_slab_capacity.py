@@ -1,0 +1,69 @@
+"""Benchmark: BASELINE configs[4] per-chip shard workload on ONE chip.
+
+The stretch config is 1e9 particles on a 512^3 grid across v5e-8 — i.e.
+1.25e8 particles on a 512 x 512 x 64 slab per chip.  Real multi-chip
+hardware is not reachable from this environment (the sharded composition is
+validated on the 8-device CPU mesh + dryrun_multichip), so this measures
+the per-chip compute half of config[4] directly: the fused 3D ES step at
+shard scale.  Pod-scale rate ~ this rate x 8 / (1 + collective fraction).
+
+PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_slab_capacity.py
+"""
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from fusion_sim_tpu.models import electrostatic as es
+from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=124_999_680)  # 1e9/8, /512
+    ap.add_argument("--cells", default="512,512,64")
+    ap.add_argument("--tile", type=int, default=8)
+    ap.add_argument("--margin", type=int, default=2)
+    ap.add_argument("--resort", type=int, default=8)
+    ap.add_argument("--precision", default="exact_bf16")
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args()
+
+    shape = tuple(int(x) for x in args.cells.split(","))
+    tiling = Tiling3D(tile=(args.tile,) * 3, block=512, margin=args.margin)
+    n = args.n
+    rng = np.random.default_rng(0)
+    length = 2 * np.pi
+    d = length / shape[0]
+    vol = length ** 3 * (shape[1] / shape[0]) * (shape[2] / shape[0])
+    print(f"n={n:.3e} cells={shape} dev={jax.devices()[0]}")
+    config = es.ESConfig(grid_shape=shape, cell_size=(d,) * 3, dt=0.05,
+                         charge=-vol / n, mass=vol / n)
+    pos = (rng.random((n, 3)) * np.asarray(shape)).astype(np.float32)
+    vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+    sim = es.SortedElectrostaticPIC(
+        config, pos, vel, tiling=tiling, resort_every=args.resort,
+        check_spill=False, backend="pallas", pallas_precision=args.precision)
+    del pos, vel
+
+    def fence():
+        np.asarray(sim.state.position[:1])
+
+    sim.step(1)
+    fence()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sim.step(args.steps)
+        fence()
+        ts.append((time.perf_counter() - t0) / args.steps)
+    med = sorted(ts)[len(ts) // 2]
+    print(f"slab ES fused: {1e3 * med:.1f} ms/step  "
+          f"({sim.n_real / med:.3e} updates/s/chip; x8 chips ~ "
+          f"{8 * sim.n_real / med:.2e}/s before collectives)")
+
+
+if __name__ == "__main__":
+    main()

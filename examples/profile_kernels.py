@@ -116,10 +116,62 @@ def prof_3d(n, cells, precisions, n_gs, which):
                       f"({n / t:.2e} rows/s)")
 
 
+def prof_pusher(nparticles):
+    """Per-piece timing of the fused grid-parity pusher substep."""
+    import jax.numpy as jnp
+
+    from fusion_sim_tpu import CylindricalParticlePusher
+    from fusion_sim_tpu.models.pusher_sorted import (_cell_coords,
+                                                     to_sorted_state)
+    from fusion_sim_tpu.ops.pallas_pusher import (build_pusher_windows,
+                                                  fused_pusher_substep,
+                                                  stream_tiling_for)
+    from fusion_sim_tpu.ops.push import sink_respawn
+    from fusion_sim_tpu.ops.rng import substep_uniforms
+    from fusion_sim_tpu.scenarios import apply_default_scenario
+
+    sim = CylindricalParticlePusher(
+        {"radius": 1.0, "height": 2.0, "nr": 400, "nz": 800, "dt": 2e-9,
+         "nparticles": nparticles, "particle_mass": 1.67e-27,
+         "particle_charge": 1.602e-19})
+    apply_default_scenario(sim)
+    spec = sim.spec
+    tiling = stream_tiling_for(spec.nr, spec.nz, margin=6)
+    st = to_sorted_state(sim.state, spec, tiling)
+    n_tot = st.position.shape[0]
+    print(f"n={spec.n_total:.3e} padded={n_tot:.3e} tiling=({tiling.tile_r},"
+          f"{tiling.tile_z})")
+    fields = sim.fields
+    packed13 = jnp.concatenate(
+        [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
+         fields.coeffs.a, fields.sink_mask[..., None]], axis=-1)
+    t = timeit(build_pusher_windows, packed13, spec.nr, spec.nz, tiling)
+    print(f"build_pusher_windows (once per field set): {1e3 * t:7.2f} ms")
+    windows = build_pusher_windows(packed13, spec.nr, spec.nz, tiling)
+
+    t = timeit(lambda k: substep_uniforms(k, n_tot), st.key)
+    print(f"substep_uniforms (threefry): {1e3 * t:7.2f} ms")
+    rand, _ = substep_uniforms(st.key, n_tot)
+    key_rbg = jax.random.key(0, impl="rbg")
+    t = timeit(lambda k: substep_uniforms(k, n_tot), key_rbg)
+    print(f"substep_uniforms (rbg): {1e3 * t:7.2f} ms")
+
+    cell = _cell_coords(st.position, spec.nr, spec.nz)
+    t = timeit(fused_pusher_substep, packed13, st.position, st.velocity,
+               st.alive, rand, cell, st.tile_id, spec.nr, spec.nz, tiling,
+               spec.step_factor, windows=windows)
+    print(f"fused_pusher_substep kernel: {1e3 * t:7.2f} ms")
+
+    sink = jnp.zeros((n_tot,), jnp.float32)
+    t = timeit(sink_respawn, st.position, sink, rand, fields.inv_cdf,
+               respawn_capacity=16384)
+    print(f"sink_respawn (no sinks): {1e3 * t:7.2f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="es2d",
-                    choices=["es2d", "es3d", "em3d"])
+                    choices=["es2d", "es3d", "em3d", "pusher"])
     ap.add_argument("--n", type=int, default=0)
     ap.add_argument("--cells", type=int, default=0)
     ap.add_argument("--precisions", default="highest,exact_bf16,default")
@@ -127,6 +179,9 @@ def main():
     args = ap.parse_args()
     precisions = args.precisions.split(",")
     print(f"dev={jax.devices()[0]}")
+    if args.which == "pusher":
+        prof_pusher(args.n or 1024)
+        return
     if args.which == "es2d":
         n = args.n or 10_002_432
         n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [32]

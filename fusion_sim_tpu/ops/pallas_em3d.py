@@ -129,9 +129,7 @@ def _em3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
             t_all = jax.lax.dot_general(
                 scr[slot, g], ayz0, dn_yz,
                 precision=precision, preferred_element_type=jnp.float32)
-        i_cx = jax.lax.broadcasted_iota(jnp.int32, (6 * wx_pad, p), 0)
-        ax_c = jnp.maximum(
-            0.0, 1.0 - jnp.abs(l0x - (i_cx % wx_pad).astype(jnp.float32)))
+        ax_c = jnp.concatenate([ax0] * 6, axis=0)
         pt = t_all * ax_c
         eb = [jnp.sum(jax.lax.slice(pt, (c * wx_pad, 0),
                                     ((c + 1) * wx_pad, p)),

@@ -60,34 +60,39 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     vr_all, vz_all = velr_ref[0], velz_ref[0]
     w_all = w_ref[0]
     o_lr, o_lz, o_vr, o_vz, o_inw = [], [], [], [], []
+    wz_pad = -(-wz // 8) * 8
+    iota_zp = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p),
+                                       0).astype(jnp.float32)
     for g in range(n_g):
         t = tile_ref[s * n_g + g]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lr, lz = sl(lr_all), sl(lz_all)
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr, P)
-        az = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_z))  # (wz, P)
         g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (1, P)
 
-        # gather E (2 channels), kick, drift — all in the local window frame
+        # gather E: ONE channel-stacked matmul (rows c*wz_pad + z; the
+        # padded window rows are zero so the stray tent past wz is inert),
+        # then the z tent select + per-channel sublane reduce on the VPU —
+        # half the MXU passes of the per-channel form
+        dn = (((1,), (0,)), ((), ()))
         if three_term:
-            # 3 bf16 MXU passes per channel (~2x fewer than 'highest',
-            # ~2^-18 relative error — ops/mxu.py); the window set was split
-            # once in XLA, only the tent splits per block
+            # 3 bf16 MXU passes (~2x fewer than 'highest', ~2^-18 relative
+            # error — ops/mxu.py); the window set was split once in XLA,
+            # only the tents split per block
             ar_hi, ar_lo = split_bf16(ar)
-            dn = (((1,), (0,)), ((), ()))
-            ur = dot3(ewin_hi_ref[t, 0], ewin_lo_ref[t, 0], ar_hi, ar_lo, dn)
-            uz = dot3(ewin_hi_ref[t, 1], ewin_lo_ref[t, 1], ar_hi, ar_lo, dn)
+            t_all = dot3(ewin_hi_ref[t], ewin_lo_ref[t], ar_hi, ar_lo, dn)
         else:
-            ur = jax.lax.dot_general(ewin_ref[t, 0], ar,
-                                     (((1,), (0,)), ((), ())),
-                                     precision=precision,
-                                     preferred_element_type=jnp.float32)
-            uz = jax.lax.dot_general(ewin_ref[t, 1], ar,
-                                     (((1,), (0,)), ((), ())),
-                                     precision=precision,
-                                     preferred_element_type=jnp.float32)
-        ex = jnp.sum(az * ur, axis=0, keepdims=True)  # (1, P)
-        ez = jnp.sum(az * uz, axis=0, keepdims=True)
+            t_all = jax.lax.dot_general(ewin_ref[t], ar, dn,
+                                        precision=precision,
+                                        preferred_element_type=jnp.float32)
+        # z tents once on (wz_pad, P), tiled per channel by concat (cheap
+        # copies instead of C x tent recompute on the VPU)
+        az_p = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_zp))
+        pt = t_all * jnp.concatenate([az_p, az_p], axis=0)
+        ex = jnp.sum(jax.lax.slice(pt, (0, 0), (wz_pad, p)),
+                     axis=0, keepdims=True)               # (1, P)
+        ez = jnp.sum(jax.lax.slice(pt, (wz_pad, 0), (2 * wz_pad, p)),
+                     axis=0, keepdims=True)
 
         w = sl(w_all)
         valid = w != 0.0
@@ -195,7 +200,12 @@ def fused_es2d_substep(
         lz = jnp.concatenate([lz, fill])
 
     ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
+    # channel-stacked rows (c*wz_pad + z), zero-padded to sublane multiples
+    # so the merged gather matmul can slice per channel at aligned offsets
+    wz_pad = -(-wz // 8) * 8
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
+    ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz), (0, 0)))
+    ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr)
     three_term = precision == "exact_bf16"
     if three_term:
         # split the resident window set ONCE in XLA; the kernel only splits
@@ -224,7 +234,8 @@ def fused_es2d_substep(
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((ntr * ntz, 2, wz, wr), lambda s, *_: (0, 0, 0, 0),
+    win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr),
+                            lambda s, *_: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -112,10 +112,8 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
             t_all = jax.lax.dot_general(
                 scr[slot, g], ayz, dn_yz,
                 precision=precision, preferred_element_type=jnp.float32)
-        i_cx = jax.lax.broadcasted_iota(jnp.int32, (3 * wx_pad, p), 0)
-        ax_c = jnp.maximum(
-            0.0, 1.0 - jnp.abs(lx - (i_cx % wx_pad).astype(jnp.float32)))
-        pt = t_all * ax_c
+        ax_p = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota_x))
+        pt = t_all * jnp.concatenate([ax_p] * 3, axis=0)
         e = [jnp.sum(jax.lax.slice(pt, (c * wx_pad, 0),
                                    ((c + 1) * wx_pad, p)),
                      axis=0, keepdims=True) for c in range(3)]

@@ -121,8 +121,6 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
 
     slot = s % 2
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p), 0).astype(jnp.float32)
-    i_cr = jax.lax.broadcasted_iota(jnp.int32, (rows12, p), 0)
-    iota_cr = (i_cr % wr_pad).astype(jnp.float32)   # r offset within channel
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p), 0).astype(jnp.float32)
     lcr_all, lcz_all = lcr_ref[0], lcz_ref[0]
     x_all, y_all, z_all = x_ref[0], y_ref[0], z_ref[0]
@@ -150,9 +148,9 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
                 scr[slot, g, part, :rows12], az, dn,
                 preferred_element_type=jnp.float32)
             t12 = u if t12 is None else t12 + u            # (rows12, P)
-        dcr = lcr - iota_cr
-        ar_t = ((dcr >= 0.0) & (dcr < 1.0)).astype(jnp.float32)
-        p6 = t12 * ar_t
+        dr1 = lcr - iota_r
+        ar1 = ((dr1 >= 0.0) & (dr1 < 1.0)).astype(jnp.float32)  # (wr_pad, P)
+        p6 = t12 * jnp.concatenate([ar1] * 12, axis=0)
         rows = [jnp.sum(jax.lax.slice(p6, (c * wr_pad, 0),
                                       ((c + 1) * wr_pad, p)),
                         axis=0, keepdims=True) for c in range(12)]

@@ -132,6 +132,7 @@ def test_sharded_gauss_and_energy_sanity():
     assert int(np.asarray(sim.state.alive).sum()) == pos.shape[0]
 
 
+@pytest.mark.slow
 def test_sharded_sorted_matches_packed_2d():
     """ShardedElectromagneticPIC with the sorted-layout composition
     (per-shard tile-sorted padded particles, VERDICT round-1 item 4)
@@ -202,6 +203,7 @@ def test_sharded_sorted_fused_matches_xla():
     np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_sorted_matches_packed_3d():
     """3D sorted x sharded composition (the config[4] stretch structure)."""
     from fusion_sim_tpu.ops.sorted_deposit import Tiling3D

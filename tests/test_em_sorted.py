@@ -39,6 +39,7 @@ def test_sorted_em_matches_reference_model():
     np.testing.assert_allclose(e_fast["field"], e_ref["field"], rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_sorted_em_3d_matches_reference_model():
     from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
 

@@ -200,6 +200,7 @@ def test_sharded_sorted_es_pallas_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_sorted_es_3d_matches_single_device():
     """3D sorted-sharded ES composition (VERDICT r2 next-step #4) on the
     8-device mesh reproduces the single-device ES model."""

@@ -87,6 +87,7 @@ def test_sorted_es_energy_drift_matches_reference():
     assert drift < drift_ref * 1.1 + 1e-4, (drift, drift_ref)
 
 
+@pytest.mark.slow
 def test_sorted_es_3d_matches_reference_model():
     """3D sorted ES (Tiling3D windows, VERDICT r2 next-step #4) tracks the
     packed reference model."""

@@ -9,7 +9,10 @@ from fusion_sim_tpu.ops.pallas_pic import fused_es2d_substep
 from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, build_padded_layout
 
 
-@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+@pytest.mark.parametrize("precision", [
+    "highest",
+    pytest.param("exact_bf16", marks=pytest.mark.slow),
+])
 def test_fused_es2d_substep_matches_composed_step(precision):
     shape = (64, 128)
     tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
@@ -166,6 +169,7 @@ def test_fused_em3d_substep_zero_field_matches_packed_esirkepov(precision):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_em2d_substep_exact_bf16_tracks_highest():
     """The 3-term bf16 gather (ops/mxu.py) stays within ~1e-4 of Mosaic's
     multi-pass f32 path through a full fused EM substep."""
@@ -198,6 +202,7 @@ def test_fused_em2d_substep_exact_bf16_tracks_highest():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_es2d_substep_flags_out_of_window():
     shape = (64, 64)
     tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=1)

@@ -82,7 +82,10 @@ def _setup(n=4096, cells=64, seed=0, drift=0.6):
     return config, pos, vel
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", [
+    "xla",
+    pytest.param("pallas", marks=pytest.mark.slow),
+])
 def test_repair_matches_reference_without_resort(backend):
     """repair=True with the resort disabled tracks the plain ES model: every
     spill is relocated into its new tile and the layout self-maintains."""
