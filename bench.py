@@ -93,14 +93,14 @@ def main() -> None:
 
     grid_pushes = measure(sim, steps_per_batch=20, batches=2)
 
-    # tile-sorted grid mode (same NEAREST parity semantics, windowed MXU
-    # gathers + compacted respawn patch — models/pusher_sorted.py)
+    # tile-sorted grid mode (same NEAREST parity semantics, fused Mosaic
+    # substep with streamed windows + compacted respawn patch —
+    # models/pusher_sorted.py, ops/pallas_pusher.py; rbg = the TPU-native
+    # counter RNG, distribution-equivalent per SURVEY's RNG-parity rule
+    # and ~5x cheaper than threefry — threefry alone was ~15 ms/step here)
     try:
-        from fusion_sim_tpu.models.pusher_sorted import Tiling2D
-
-        sim.enable_sorted_path(
-            tiling=Tiling2D(tile_r=50, tile_z=50, block=1024, margin=6),
-            resort_every=12)
+        sim.enable_sorted_path(resort_every=12, backend="fused",
+                               rng_impl="rbg")
         grid_sorted = measure(sim, steps_per_batch=20, batches=2)
         sim.disable_sorted_path()
     except Exception as e:  # noqa: BLE001

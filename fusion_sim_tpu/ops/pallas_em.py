@@ -30,25 +30,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, split_bf16
+from .mxu import dot3, dot3_split, split_bf16
 
 
 def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
-                 *refs, wr, wz, n_g, qm_half_dt, inv_dx, inv_dz, dt, coef_x,
-                 coef_z, inv_vol, c_light, relativistic, precision,
-                 dep_precision):
+                 *refs, wr, wz, wr_pad, n_g, n_tiles, qm_half_dt, inv_dx,
+                 inv_dz, dt, coef_x, coef_z, inv_vol, c_light, relativistic,
+                 precision, dep_precision):
     three_term = precision == "exact_bf16"
     if three_term:
         ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
         (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
-         inw_ref) = refs[2:]
+         inw_ref, acc_ref, acc_sem) = refs[2:]
     else:
         ewin_ref = refs[0]
         (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
-         inw_ref) = refs[1:]
+         inw_ref, acc_ref, acc_sem) = refs[1:]
     s = pl.program_id(0)
+    ns = pl.num_programs(0)
     p = lr_ref.shape[-1]
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
+    # r tents on the sublane-padded range (rows >= wr are zero in-window)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
+                                      0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
     lr_all, lz_all = lr_ref[0], lz_ref[0]
     vx_all, vy_all, vz_all = vx_ref[0], vy_ref[0], vz_ref[0]
@@ -58,7 +61,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                                        0).astype(jnp.float32)
     outs = [[] for _ in range(6)]
     for g in range(n_g):
-        t = tile_ref[s * n_g + g]
+        t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         l0r, l0z = sl(lr_all), sl(lz_all)
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(l0r - iota_r))   # (wr, P)
@@ -137,8 +140,11 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
         qm = jnp.where(inw, sl(q_all), 0.0)
 
         def win_mm(a, b):
+            dnums = (((1,), (1,)), ((), ()))
+            if dep_precision == "exact_bf16":
+                return dot3_split(a, b, dnums)
             return jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
+                a, b, dnums,
                 precision=dep_precision, preferred_element_type=jnp.float32)
 
         # Esirkepov cumsum along the window axis in CLOSED FORM: the
@@ -150,22 +156,53 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
               - jnp.clip(iota_r - l0r + 1.0, 0.0, 1.0))
         kz = (jnp.clip(iota_z - l1z + 1.0, 0.0, 1.0)
               - jnp.clip(iota_z - l0z + 1.0, 0.0, 1.0))
-        j_ref[0, g, 0] = win_mm((qm * coef_x) * kr, az + 0.5 * dsz)
-        j_ref[0, g, 1] = win_mm(ar + 0.5 * dsr, (qm * coef_z) * kz)
+        j0 = win_mm((qm * coef_x) * kr, az + 0.5 * dsz)
+        j1 = win_mm(ar + 0.5 * dsr, (qm * coef_z) * kz)
         qvz = qm * cvz * inv_vol  # coordinate velocity (= u_z/gamma if rel.)
         # two J_y contractions share the P axis: stack along lanes -> one
         # matmul of the same total FLOPs, half the pass overhead
-        j_ref[0, g, 2] = win_mm(
+        j2 = win_mm(
             jnp.concatenate([qvz * (ar + 0.5 * dsr),
                              qvz * (0.5 * ar + dsr / 3.0)], axis=1),
             jnp.concatenate([az, dsz], axis=1))
+        j_g = jnp.concatenate([j0, j1, j2], axis=0)   # (3*wr_pad, wz)
+
+        # per-tile J accumulation in VMEM, flushed once per tile (blocks
+        # are tile-contiguous; fillers carry sentinel tile n_tiles)
+        i = s * n_g + g
+        t_cur = tile_ref[i]
+        prev = tile_ref[jnp.maximum(i - 1, 0)]
+        changed = t_cur != prev
+        new_tile = (changed | (s == 0)) if g == 0 else changed
+
+        @pl.when(changed)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, j_ref.at[prev], acc_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(new_tile)
+        def _():
+            acc_ref[...] = j_g
+
+        @pl.when(jnp.logical_not(new_tile))
+        def _():
+            acc_ref[...] += j_g
+
+        if g == n_g - 1:
+            @pl.when(s == ns - 1)
+            def _():
+                cp = pltpu.make_async_copy(acc_ref, j_ref.at[t_cur],
+                                           acc_sem)
+                cp.start()
+                cp.wait()
 
         # freeze out-of-window rows (exact re-push happens in the model)
         vals = (jnp.where(inw, l1r, l0r), jnp.where(inw, l1z, l0z),
                 jnp.where(inw, nvx, vx), jnp.where(inw, nvy, vy),
                 jnp.where(inw, nvz, vz), inw.astype(jnp.float32))
-        for i, v in enumerate(vals):
-            outs[i].append(v)
+        for i_v, v in enumerate(vals):
+            outs[i_v].append(v)
     for ref, acc in zip((olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref,
                          inw_ref), outs):
         ref[0] = jnp.concatenate(acc, axis=0)
@@ -205,16 +242,18 @@ def fused_em2d_substep(
     (single-pass bf16).
     """
     from .pallas_gather import _local_coords
-    from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
+    from .sorted_deposit import extract_tile_windows, fold_tile_windows
 
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)
+    n_tiles = ntr * ntz
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
+    wr_pad = -(-wr // 8) * 8
     dx, dz_cell = cell_size
     n = position.shape[0]
     nb = n // p_blk
@@ -226,19 +265,22 @@ def fused_em2d_substep(
     blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
         position, tile_id, shape, tiling, p_blk)
     if nb_pad != nb:
+        # filler blocks: sentinel tile (J flushes to the trash row)
         blk_tile = jnp.concatenate(
-            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+            [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
         fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
         lr = jnp.concatenate([lr, fill])
         lz = jnp.concatenate([lz, fill])
 
     ewin = extract_tile_windows(table, shape, tiling, wr, wz)
     # channel-stacked rows (c*wz_pad + z), zero-padded to sublane multiples
-    # so the merged gather matmul can slice per channel at aligned offsets
+    # so the merged gather matmul can slice per channel at aligned offsets;
+    # K dim padded wr -> wr_pad (zero columns) to match the padded r tents
     wz_pad = -(-wz // 8) * 8
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 6).transpose(0, 3, 2, 1)
-    ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz), (0, 0)))
-    ewin_t = ewin_t.reshape(ntr * ntz, 6 * wz_pad, wr)
+    ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
+                              (0, wr_pad - wr)))
+    ewin_t = ewin_t.reshape(ntr * ntz, 6 * wz_pad, wr_pad)
     three_term = precision == "exact_bf16"
     ewin_args = split_bf16(ewin_t) if three_term else (ewin_t,)
 
@@ -249,10 +291,13 @@ def fused_em2d_substep(
 
     q_row = jnp.where(valid, jnp.float32(charge), 0.0)
     vol = dx * dz_cell
-    dep_precision = ("default" if getattr(tiling, "dtype", "float32")
-                     == "bfloat16" else "highest")
+    if three_term:
+        dep_precision = "exact_bf16"
+    else:
+        dep_precision = ("default" if getattr(tiling, "dtype", "float32")
+                         == "bfloat16" else "highest")
     kernel = functools.partial(
-        _em2d_kernel, wr=wr, wz=wz, n_g=n_g,
+        _em2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad, n_g=n_g, n_tiles=n_tiles,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
         inv_dz=float(1.0 / dz_cell), dt=float(dt),
         coef_x=float(-dx / (vol * dt)), coef_z=float(-dz_cell / (vol * dt)),
@@ -262,7 +307,7 @@ def fused_em2d_substep(
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr),
+    win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr_pad),
                             lambda s, *_: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -272,17 +317,22 @@ def fused_em2d_substep(
             [win_spec, win_spec] if three_term else [win_spec]),
         out_specs=(
             row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, n_g, 3, wr, wz), lambda s, *_: (s, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # per-TILE J (row n_tiles = filler trash slot), flushed once
+            # per tile by async copy
+            pl.BlockSpec(memory_space=pl.ANY),
             row_spec,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((3 * wr_pad, wz), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((nsteps, n_g, 3, wr, wz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 3 * wr_pad, wz), jnp.float32),
             row_shape,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
@@ -290,7 +340,7 @@ def fused_em2d_substep(
     )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)),
       rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
       rows(q_row), *ewin_args)
-    nlr, nlz, nvx, nvy, nvz, j_win, inw = outs
+    nlr, nlz, nvx, nvy, nvz, j_tiles, inw = outs
 
     orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
     orz = jnp.repeat(blk_tz.astype(jnp.float32), p_blk)
@@ -300,7 +350,10 @@ def fused_em2d_substep(
     velocity_out = jnp.stack([nvx.reshape(n_pad)[:n],
                               nvy.reshape(n_pad)[:n],
                               nvz.reshape(n_pad)[:n]], axis=-1)
-    j = _assemble_tile_windows(
-        j_win.transpose(0, 1, 3, 4, 2).reshape(nb_pad, wr, wz, 3)[:nb],
-        blk_tile[:nb], shape, tiling, wr, wz)
+    # tiles with no blocks were never flushed -> mask uninitialized rows
+    present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
+        True, mode="drop")
+    tw = jnp.where(present[:n_tiles, None, None], j_tiles[:n_tiles], 0.0)
+    tw = tw.reshape(n_tiles, 3, wr_pad, wz)[:, :, :wr].transpose(0, 2, 3, 1)
+    j = fold_tile_windows(tw, shape, tiling, wr, wz)
     return position_out, velocity_out, j, inw.reshape(n_pad)[:n] > 0.5

@@ -41,20 +41,25 @@ from .mxu import dot3, dot3_split, split_bf16
 
 
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
-                 *refs, wr, wz, n_g, qm_dt, c_r, c_z, precision,
-                 dep_precision):
+                 *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
+                 precision, dep_precision):
     three_term = precision == "exact_bf16"
     if three_term:
         ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
         (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
-         inw_ref) = refs[2:]
+         inw_ref, acc_ref, acc_sem) = refs[2:]
     else:
         ewin_ref = refs[0]
         (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
-         inw_ref) = refs[1:]
+         inw_ref, acc_ref, acc_sem) = refs[1:]
     s = pl.program_id(0)
+    ns = pl.num_programs(0)
     p = lr_ref.shape[-1]
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr, p), 0).astype(jnp.float32)
+    # r tents on the sublane-padded range: rows wr..wr_pad-1 are zero for
+    # every in-window coordinate, so the padded gather columns / deposit
+    # rows they touch are inert
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
+                                      0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
     lr_all, lz_all = lr_ref[0], lz_ref[0]          # (G, P)
     vr_all, vz_all = velr_ref[0], velz_ref[0]
@@ -64,10 +69,10 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     iota_zp = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p),
                                        0).astype(jnp.float32)
     for g in range(n_g):
-        t = tile_ref[s * n_g + g]
+        t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lr, lz = sl(lr_all), sl(lz_all)
-        ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr, P)
+        ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr_pad, P)
         g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (1, P)
 
         # gather E: ONE channel-stacked matmul (rows c*wz_pad + z; the
@@ -116,12 +121,42 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         nvr = jnp.where(inw, nvr, sl(vr_all))
         nvz = jnp.where(inw, nvz, sl(vz_all))
         if dep_precision == "exact_bf16":
-            rho_ref[0, g] = dot3_split(arn, azn * wm,
-                                       (((1,), (1,)), ((), ())))
+            rho_g = dot3_split(arn, azn * wm, (((1,), (1,)), ((), ())))
         else:
-            rho_ref[0, g] = jax.lax.dot_general(
+            rho_g = jax.lax.dot_general(
                 arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=dep_precision, preferred_element_type=jnp.float32)
+
+        # per-tile rho accumulation in VMEM, flushed once per tile (blocks
+        # are tile-contiguous in the sorted layout); filler blocks carry the
+        # sentinel tile n_tiles and flush to the trash row
+        i = s * n_g + g
+        t_cur = tile_ref[i]
+        prev = tile_ref[jnp.maximum(i - 1, 0)]
+        changed = t_cur != prev
+        new_tile = (changed | (s == 0)) if g == 0 else changed
+
+        @pl.when(changed)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, rho_ref.at[prev], acc_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(new_tile)
+        def _():
+            acc_ref[...] = rho_g
+
+        @pl.when(jnp.logical_not(new_tile))
+        def _():
+            acc_ref[...] += rho_g
+
+        if g == n_g - 1:
+            @pl.when(s == ns - 1)
+            def _():
+                cp = pltpu.make_async_copy(acc_ref, rho_ref.at[t_cur],
+                                           acc_sem)
+                cp.start()
+                cp.wait()
 
         o_lr.append(nlr)
         o_lz.append(nlz)
@@ -172,16 +207,18 @@ def fused_es2d_substep(
     field).
     """
     from .pallas_gather import _local_coords
-    from .sorted_deposit import _assemble_tile_windows, extract_tile_windows
+    from .sorted_deposit import extract_tile_windows, fold_tile_windows
 
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)
+    n_tiles = ntr * ntz
     p_blk = tiling.block
     if p_blk % 128:
         raise ValueError(f"pallas path needs block % 128 == 0, got {p_blk}")
     m = tiling.margin
     wr = tiling.tile_r + 2 * m + 1
     wz = tiling.tile_z + 2 * m + 1
+    wr_pad = -(-wr // 8) * 8
     n = position.shape[0]
     nb = n // p_blk
     # n_g = blocks per grid step (amortizes ~7us/step pipeline overhead)
@@ -192,20 +229,24 @@ def fused_es2d_substep(
     blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
         position, tile_id, shape, tiling, p_blk)
     if nb_pad != nb:
-        # dead filler blocks: tile 0, zero weight, far-out local coords
+        # dead filler blocks: sentinel tile (rho flushes to the trash row),
+        # zero weight, far-out local coords
         blk_tile = jnp.concatenate(
-            [blk_tile, jnp.zeros((nb_pad - nb,), jnp.int32)])
+            [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
         fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
         lr = jnp.concatenate([lr, fill])
         lz = jnp.concatenate([lz, fill])
 
     ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
     # channel-stacked rows (c*wz_pad + z), zero-padded to sublane multiples
-    # so the merged gather matmul can slice per channel at aligned offsets
+    # so the merged gather matmul can slice per channel at aligned offsets;
+    # the gather K dim is padded wr -> wr_pad (zero columns) to match the
+    # sublane-padded r tents the deposit needs
     wz_pad = -(-wz // 8) * 8
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
-    ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz), (0, 0)))
-    ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr)
+    ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
+                              (0, wr_pad - wr)))
+    ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr_pad)
     three_term = precision == "exact_bf16"
     if three_term:
         # split the resident window set ONCE in XLA; the kernel only splits
@@ -227,14 +268,15 @@ def fused_es2d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
-    kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, n_g=n_g,
+    kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad,
+                               n_g=n_g, n_tiles=n_tiles,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
                                precision=precision,
                                dep_precision=dep_precision)
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr),
+    win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr_pad),
                             lambda s, *_: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -246,17 +288,23 @@ def fused_es2d_substep(
         ],
         out_specs=(
             row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((1, n_g, wr, wz), lambda s, *_: (s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # per-TILE rho (row n_tiles = filler trash slot), flushed once
+            # per tile by async copy — no per-block HBM windows, no XLA
+            # segment-sum
+            pl.BlockSpec(memory_space=pl.ANY),
             row_spec,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((wr_pad, wz), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((nsteps, n_g, wr, wz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, wr_pad, wz), jnp.float32),
             row_shape,
         ),
         # the resident window set lane-pads each (wz, wr) window to
@@ -267,7 +315,7 @@ def fused_es2d_substep(
         interpret=interpret,
     )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)), velr, velz, w,
       *ewin_args)
-    nlr, nlz, nvelr, nvelz, rho_win, inw = outs
+    nlr, nlz, nvelr, nvelz, rho_tiles, inw = outs
 
     # back to global coordinates (periodic); drop filler rows
     orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
@@ -277,6 +325,9 @@ def fused_es2d_substep(
          jnp.mod(nlz.reshape(n_pad)[:n] + orz, nz)], axis=-1)
     velocity_out = jnp.stack([nvelr.reshape(n_pad)[:n],
                               nvelz.reshape(n_pad)[:n]], axis=-1)
-    rho = _assemble_tile_windows(rho_win.reshape(nb_pad, wr, wz), blk_tile,
-                                 shape, tiling, wr, wz)
+    # tiles with no blocks were never flushed -> mask uninitialized rows
+    present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
+        True, mode="drop")
+    tw = jnp.where(present[:n_tiles, None, None], rho_tiles[:n_tiles], 0.0)
+    rho = fold_tile_windows(tw[:, :wr], shape, tiling, wr, wz)
     return position_out, velocity_out, rho, inw.reshape(n_pad)[:n] > 0.5

@@ -516,6 +516,23 @@ def _assemble_tile_windows(win: jax.Array, blk_tile: jax.Array,
 
     tw = jax.ops.segment_sum(win.reshape(nb, -1), blk_tile,
                              num_segments=ntr * ntz)
+    tw = tw.reshape(ntr * ntz, wr, wz, *channels)
+    return fold_tile_windows(tw, shape, tiling, wr, wz)
+
+
+def fold_tile_windows(tw: jax.Array, shape: tuple[int, int],
+                      tiling: Tiling2D, wr: int, wz: int) -> jax.Array:
+    """Fold per-TILE windows onto the periodic grid (the roll half of
+    ``_assemble_tile_windows``, for kernels that already accumulated their
+    blocks per tile in VMEM — ops/pallas_pic.py, ops/pallas_em.py).
+
+    ``tw``: (ntr*ntz, wr, wz[, C]) tile windows anchored at
+    (tile_r*i - margin, tile_z*j - margin)."""
+    nr, nz = shape
+    ntr, ntz = tiling.n_tiles(shape)
+    tr_t, tz_t = tiling.tile_r, tiling.tile_z
+    m = tiling.margin
+    channels = tw.shape[3:]
     tw = tw.reshape(ntr, ntz, wr, wz, *channels)
 
     full = jnp.zeros((ntr, ntz, 3 * tr_t, 3 * tz_t, *channels), jnp.float32)
