@@ -47,6 +47,8 @@ def main():
                     help="fused-kernel matmul strategy (None = auto)")
     ap.add_argument("--backends", default="fused",
                     help="comma list from: xla,pallas,fused")
+    ap.add_argument("--repair", action="store_true",
+                    help="incremental layout repair instead of resorts")
     args = ap.parse_args()
 
     d = 0.5
@@ -66,10 +68,17 @@ def main():
         kw = {}
         if backend == "fused":
             kw["pallas_precision"] = args.precision
+        resort = args.resort
+        if args.repair:
+            kw["repair"] = True
+            resort = 10 ** 9
         sim = em.SortedElectromagneticPIC(
-            config, pos, vel, tiling=tiling, resort_every=args.resort,
+            config, pos, vel, tiling=tiling, resort_every=resort,
             check_spill=False, gather_backend=backend, **kw)
         bench(sim, f"{backend:6s}", n_steps=args.steps)
+        if args.repair:
+            print(f"  unplaced={int(sim.state.unplaced)} "
+                  f"dropped={int(sim.state.spill_dropped)}")
         del sim
 
 

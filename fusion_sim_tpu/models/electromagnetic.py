@@ -242,6 +242,11 @@ class SortedEMState(NamedTuple):
     spill: jax.Array
     spill_dropped: jax.Array  # cumulative rows past spill_capacity (their
                               # deposits are lost even with the fallback on)
+    # incremental layout repair (repair=True) only:
+    free_idx: jax.Array | None = None  # (n_tiles, F) per-tile dead-slot stacks
+    free_cnt: jax.Array | None = None  # (n_tiles,)
+    unplaced: jax.Array | None = None  # cumulative spills left in place (no
+                                       # free slot in their new tile yet)
 
 
 class SortedElectromagneticPIC:
@@ -257,7 +262,8 @@ class SortedElectromagneticPIC:
                  e=None, b=None, tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
                  spill_capacity: int = 16384, gather_backend: str = "xla",
-                 pallas_precision: str | None = None):
+                 pallas_precision: str | None = None, repair: bool = False,
+                 repair_free_slots: int = 256):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
@@ -290,6 +296,14 @@ class SortedElectromagneticPIC:
         if pallas_precision not in (None, "highest", "exact_bf16", "default"):
             raise ValueError(f"pallas_precision {pallas_precision!r}")
         self.pallas_precision = pallas_precision
+        # repair=True: spilled rows are RELOCATED each step into dead slots
+        # of their new tile (ops/repair.py) instead of waiting for the full
+        # resort — same contract as SortedElectrostaticPIC(repair=True);
+        # kills the amortized multi-payload-sort cost of the resort cadence.
+        if repair and not spill_fallback:
+            raise ValueError("repair=True requires spill_fallback=True")
+        self.repair = repair
+        self.repair_free_slots = int(repair_free_slots)
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         self.resort_every = resort_every
@@ -313,6 +327,10 @@ class SortedElectromagneticPIC:
             b=zero_f if b is None else jnp.asarray(b, jnp.float32),
             step=jnp.int32(0), spill=jnp.int32(0),
             spill_dropped=jnp.int32(0))
+        self._n_tiles = int(np.prod(self.tiling.n_tiles(shape)))
+        if repair:
+            self.state = self.state._replace(unplaced=jnp.int32(0))
+            self._rebuild_free_list()
         self._step = (self._make_step_fused()
                       if gather_backend == "fused" else self._make_step())
         self._resort = self._make_resort()
@@ -320,6 +338,16 @@ class SortedElectromagneticPIC:
         self.check_spill = check_spill
         self._spill_seen = 0
         self._dropped_seen = 0
+        self._unplaced_seen = 0
+        self._need_resort = False
+
+    def _rebuild_free_list(self):
+        from ..ops.repair import init_free_list
+
+        fidx, fcnt = init_free_list(self.state.tile_id, self.state.valid,
+                                    self._n_tiles, self.tiling.block,
+                                    self.repair_free_slots)
+        self.state = self.state._replace(free_idx=fidx, free_cnt=fcnt)
 
     def _check_spill(self):
         # report the delta since the previous check, not the cumulative
@@ -367,6 +395,8 @@ class SortedElectromagneticPIC:
         e_off = fdtd.E_OFFSETS_2D if ndim == 2 else fdtd.E_OFFSETS_3D
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         capacity = self.spill_capacity
+        use_repair = self.repair
+        n_tiles = self._n_tiles
         interpret = jax.default_backend() != "tpu"
 
         @jax.jit
@@ -405,8 +435,27 @@ class SortedElectromagneticPIC:
             else:
                 j = j + esirkepov_deposit_3d(x0_k, x1_k, q_k, config.dt,
                                              shape, config.cell_size)
-            x1 = x1.at[idx].set(jnp.mod(x1_k, grid_f), mode="drop")
-            velocity = velocity.at[idx].set(vel_k, mode="drop")
+            extra = {}
+            valid = state.valid
+            x1w_k = jnp.mod(x1_k, grid_f)
+            if use_repair:
+                from ..ops.repair import allocate_slots, relocate
+                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+
+                n_tot = x1.shape[0]
+                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+                new_t = tid_fn(x1w_k, shape, tiling)
+                dest, placed, fidx, fcnt, nun = allocate_slots(
+                    state.free_idx, state.free_cnt, idx, ok, new_t,
+                    state.tile_id[idx], n_tot, n_tiles)
+                (x1, velocity), valid = relocate(
+                    (x1, velocity), state.valid, idx, dest, placed,
+                    (x1w_k, vel_k), n_tot)
+                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                             unplaced=state.unplaced + nun)
+            else:
+                x1 = x1.at[idx].set(x1w_k, mode="drop")
+                velocity = velocity.at[idx].set(vel_k, mode="drop")
 
             # Yee update
             b_half = fdtd.advance_b_half(state.b, state.e, config.dt,
@@ -416,13 +465,14 @@ class SortedElectromagneticPIC:
                                         eps0=config.eps0)
             b_new = fdtd.advance_b_half(b_half, e_new, config.dt,
                                         config.cell_size)
-            x1 = jnp.where(state.valid[:, None], x1, 0.0)
-            velocity = jnp.where(state.valid[:, None], velocity, 0.0)
+            x1 = jnp.where(valid[:, None], x1, 0.0)
+            velocity = jnp.where(valid[:, None], velocity, 0.0)
             dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
             return state._replace(position=x1, velocity=velocity,
                                   e=e_new, b=b_new, step=state.step + 1,
                                   spill=state.spill + spill.astype(jnp.int32),
-                                  spill_dropped=state.spill_dropped + dropped)
+                                  spill_dropped=state.spill_dropped + dropped,
+                                  **extra)
 
         return step
 
@@ -443,6 +493,8 @@ class SortedElectromagneticPIC:
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         use_fallback = self.spill_fallback
         capacity = self.spill_capacity
+        use_repair = self.repair
+        n_tiles = self._n_tiles
         use_pallas_gather = self.gather_backend == "pallas" and ndim == 2
 
         @jax.jit
@@ -516,7 +568,28 @@ class SortedElectromagneticPIC:
             b_new = fdtd.advance_b_half(b_half, e_new, config.dt,
                                         config.cell_size)
             x1 = jnp.mod(x1, grid_f)
-            x1 = jnp.where(state.valid[:, None], x1, 0.0)
+            extra = {}
+            valid = state.valid
+            if use_repair:
+                # relocate margin out-drifters into dead slots of their new
+                # tile (velocity was already exact-patched above; x1 is
+                # exact for every row <= capacity)
+                from ..ops.repair import allocate_slots, relocate
+                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+
+                n_tot = x1.shape[0]
+                pos_k2 = x1[idx]
+                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+                new_t = tid_fn(pos_k2, shape, tiling)
+                dest, placed, fidx, fcnt, nun = allocate_slots(
+                    state.free_idx, state.free_cnt, idx, ok, new_t,
+                    state.tile_id[idx], n_tot, n_tiles)
+                (x1, velocity), valid = relocate(
+                    (x1, velocity), state.valid, idx, dest, placed,
+                    (pos_k2, velocity[idx]), n_tot)
+                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                             unplaced=state.unplaced + nun)
+            x1 = jnp.where(valid[:, None], x1, 0.0)
             if use_fallback:
                 dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
             else:
@@ -524,7 +597,8 @@ class SortedElectromagneticPIC:
             return state._replace(position=x1, velocity=velocity,
                                   e=e_new, b=b_new, step=state.step + 1,
                                   spill=state.spill + spill.astype(jnp.int32),
-                                  spill_dropped=state.spill_dropped + dropped)
+                                  spill_dropped=state.spill_dropped + dropped,
+                                  **extra)
 
         return step
 
@@ -557,11 +631,25 @@ class SortedElectromagneticPIC:
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
-            if self._since_sort >= self.resort_every:
+            if self._since_sort >= self.resort_every or self._need_resort:
                 self.state = self._resort(self.state)
+                if self.repair:
+                    self._rebuild_free_list()
                 self._since_sort = 0
+                self._need_resort = False
             self.state = self._step(self.state)
             self._since_sort += 1
+        if self.repair:
+            # a small unplaced trickle is normal (a row whose target tile is
+            # momentarily full stays exactly-patched and retries next step);
+            # a large delta means stacks drained (net migration imbalance) —
+            # schedule a full resort at the next step().  One host sync per
+            # step() CALL, not per step.
+            unplaced = int(self.state.unplaced)
+            delta = unplaced - self._unplaced_seen
+            self._unplaced_seen = unplaced
+            if delta > max(64, self.spill_capacity // 8) * max(1, n):
+                self._need_resort = True
         if self.check_spill:
             self._check_spill()
 
