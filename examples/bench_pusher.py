@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--backend", default="fused",
                     choices=["xla", "pallas", "fused"])
     ap.add_argument("--rng", default=None, choices=[None, "rbg"])
+    ap.add_argument("--repair", action="store_true",
+                    help="incremental layout repair instead of resorts")
     ap.add_argument("--nparticles", type=int, default=1024)  # x1024
     ap.add_argument("--resort", type=int, default=12)
     ap.add_argument("--tile", default="")
@@ -64,9 +66,18 @@ def main():
                           margin=args.margin)
     print(f"dev={jax.devices()[0]} backend={args.backend} rng={args.rng} "
           f"tiling={tiling}")
-    sim.enable_sorted_path(tiling=tiling, resort_every=args.resort,
-                           backend=args.backend, rng_impl=args.rng)
+    kw = {}
+    resort = args.resort
+    if args.repair:
+        kw = dict(repair=True)
+        resort = 10 ** 9
+    sim.enable_sorted_path(tiling=tiling, resort_every=resort,
+                           backend=args.backend, rng_impl=args.rng, **kw)
     measure(sim, f"sorted-{args.backend}", steps=args.steps)
+    if args.repair:
+        st = sim._sorted_state
+        print(f"  unplaced={int(st.unplaced)} spill={int(st.spill)} "
+              f"dropped={int(st.dropped)}")
 
 
 if __name__ == "__main__":

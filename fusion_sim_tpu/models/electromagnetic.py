@@ -318,7 +318,7 @@ class SortedElectromagneticPIC:
         vel = jnp.asarray(velocity, jnp.float32).reshape(n, 3)
         tid, pos_p, v0, v1, v2, valid_p, _ = build_padded_layout(
             pos, shape, self.tiling, vel[:, 0], vel[:, 1], vel[:, 2],
-            jnp.ones((n,), jnp.float32))
+            jnp.ones((n,), jnp.float32), reserve=repair)
         zero_f = jnp.zeros((*shape, 3), jnp.float32)
         self.state = SortedEMState(
             position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
@@ -608,6 +608,7 @@ class SortedElectromagneticPIC:
         config = self.config
         tiling = self.tiling
         n_state = self.state.position.shape[0]
+        reserve = self.repair
 
         @jax.jit
         def resort(state: SortedEMState) -> SortedEMState:
@@ -618,7 +619,8 @@ class SortedElectromagneticPIC:
             out = build_padded_layout(
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(3)],
-                state.valid.astype(jnp.float32), valid=state.valid)
+                state.valid.astype(jnp.float32), valid=state.valid,
+                reserve=reserve)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:5]
             validp = out[5]
@@ -648,7 +650,8 @@ class SortedElectromagneticPIC:
             unplaced = int(self.state.unplaced)
             delta = unplaced - self._unplaced_seen
             self._unplaced_seen = unplaced
-            if delta > max(64, self.spill_capacity // 8) * max(1, n):
+            if delta > max(64, min(self.spill_capacity,
+                                   self.n_real) // 8) * max(1, n):
                 self._need_resort = True
         if self.check_spill:
             self._check_spill()

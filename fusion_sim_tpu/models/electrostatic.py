@@ -285,7 +285,8 @@ class SortedElectrostaticPIC:
         valid = jnp.ones((n,), bool)
         out = build_padded_layout(
             pos, config.grid_shape, self.tiling,
-            *[vel[:, a] for a in range(ndim)], valid.astype(jnp.float32))
+            *[vel[:, a] for a in range(ndim)], valid.astype(jnp.float32),
+            reserve=repair)
         tid, pos_p = out[0], out[1]
         vel_cols = out[2:2 + ndim]
         valid_p = out[2 + ndim]
@@ -542,6 +543,7 @@ class SortedElectrostaticPIC:
         config = self.config
         tiling = self.tiling
         n_state = self.state.position.shape[0]
+        reserve = self.repair
 
         ndim = config.n_dim
 
@@ -553,7 +555,8 @@ class SortedElectrostaticPIC:
             out = build_padded_layout(
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(ndim)],
-                state.valid.astype(jnp.float32), valid=state.valid)
+                state.valid.astype(jnp.float32), valid=state.valid,
+                reserve=reserve)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:2 + ndim]
             validp = out[2 + ndim]
@@ -591,7 +594,8 @@ class SortedElectrostaticPIC:
             unplaced = int(self.state.unplaced)
             delta = unplaced - self._unplaced_seen
             self._unplaced_seen = unplaced
-            if delta > max(64, self.spill_capacity // 8) * max(1, n):
+            if delta > max(64, min(self.spill_capacity,
+                                   self.n_real) // 8) * max(1, n):
                 self._need_resort = True
         if self.check_spill:
             self._check_spill()

@@ -398,7 +398,9 @@ class CylindricalParticlePusher:
     def enable_sorted_path(self, tiling=None, resort_every: int = 8,
                            spill_capacity: int = 16384,
                            backend: str = "xla",
-                           rng_impl: str | None = None) -> None:
+                           rng_impl: str | None = None,
+                           repair: bool = False,
+                           repair_free_slots: int = 256) -> None:
         """Switch grid-parity stepping to the tile-sorted windowed-gather
         layout (models/pusher_sorted.py): the reference's per-particle
         texture fetches (empic.js:749-773, :712-720) become MXU window
@@ -435,12 +437,32 @@ class CylindricalParticlePusher:
             # rng_impl option)
             self.state = self.state._replace(
                 key=jax.random.key(0, impl=rng_impl))
-        self._sorted_state = to_sorted_state(self.state, spec, tiling)
+        self._sorted_state = to_sorted_state(self.state, spec, tiling,
+                                             reserve=repair)
+        # repair=True: relocate out-drifters/respawns into their new tile
+        # each substep (ops/repair.py) — the full resort then runs only when
+        # per-tile free stacks drain (same contract as the ES/EM models)
+        self._sorted_repair = repair
+        self._sorted_capacity = spill_capacity
+        if repair:
+            from ..ops.repair import init_free_list
+
+            n_tiles = int(np.prod(tiling.n_tiles((spec.nr, spec.nz))))
+            self._sorted_n_tiles = n_tiles
+            self._sorted_free_slots = int(repair_free_slots)
+            fidx, fcnt = init_free_list(
+                self._sorted_state.tile_id, self._sorted_state.valid,
+                n_tiles, tiling.block, self._sorted_free_slots)
+            self._sorted_state = self._sorted_state._replace(
+                free_idx=fidx, free_cnt=fcnt, unplaced=jnp.int32(0))
         self._sorted_step = make_sorted_step_fn(spec, tiling, spill_capacity,
-                                                backend)
+                                                backend, repair=repair)
         self._sorted_density = make_sorted_density_fn(spec)
-        self._sorted_resort = make_sorted_resort_fn(spec, tiling)
+        self._sorted_resort = make_sorted_resort_fn(spec, tiling,
+                                                    reserve=repair)
         self._sorted_since = 0
+        self._sorted_unplaced_seen = 0
+        self._sorted_need_resort = False
 
     def disable_sorted_path(self) -> None:
         """Return to the plain layout (live rows in layout order)."""
@@ -453,12 +475,32 @@ class CylindricalParticlePusher:
 
     def _step_sorted(self, n: int) -> None:
         for _ in range(n):
-            if self._sorted_since >= self._sorted_resort_every:
+            if (self._sorted_since >= self._sorted_resort_every
+                    or self._sorted_need_resort):
                 self._sorted_state = self._sorted_resort(self._sorted_state)
+                if self._sorted_repair:
+                    from ..ops.repair import init_free_list
+
+                    st = self._sorted_state
+                    fidx, fcnt = init_free_list(
+                        st.tile_id, st.valid, self._sorted_n_tiles,
+                        self._sorted_tiling.block, self._sorted_free_slots)
+                    self._sorted_state = st._replace(free_idx=fidx,
+                                                     free_cnt=fcnt)
                 self._sorted_since = 0
+                self._sorted_need_resort = False
             self._sorted_state = self._sorted_step(self.fields,
                                                    self._sorted_state)
             self._sorted_since += 1
+        if self._sorted_repair:
+            # schedule a full resort only when free stacks drain (large
+            # unplaced delta); one host sync per step() call, not per step
+            unplaced = int(self._sorted_state.unplaced)
+            delta = unplaced - self._sorted_unplaced_seen
+            self._sorted_unplaced_seen = unplaced
+            if delta > max(64, min(self._sorted_capacity,
+                                   self.spec.n_total) // 8) * max(1, n):
+                self._sorted_need_resort = True
 
     def _step_fast(self, n: int) -> None:
         from ..ops.analytic import FastState, make_fast_multi_step_fn

@@ -50,6 +50,10 @@ class SortedPusherState(NamedTuple):
     spill: jax.Array        # cumulative exact-patched rows (diagnostic)
     dropped: jax.Array      # cumulative respawns past capacity (backlog;
                             # rows retry next substep — should stay 0)
+    # incremental layout repair (repair=True) only:
+    free_idx: jax.Array | None = None  # (n_tiles, F) per-tile dead-slot stacks
+    free_cnt: jax.Array | None = None  # (n_tiles,)
+    unplaced: jax.Array | None = None  # cumulative spills left in place
 
 
 def _cell_coords(position: jax.Array, nr: int, nz: int) -> jax.Array:
@@ -66,6 +70,45 @@ def _cell_coords(position: jax.Array, nr: int, nz: int) -> jax.Array:
     return jnp.stack([cu, cv], axis=-1)
 
 
+def _relocate_out_rows(state: SortedPusherState, position, velocity, alive,
+                       nr: int, nz: int, tiling: Tiling2D,
+                       spill_capacity: int):
+    """Repair pass shared by both substep backends: rows whose FINAL sample
+    cell left their block's sort window (margin out-drifters and fresh
+    respawns — the pusher's dominant layout churn) are relocated into dead
+    filler slots of their new tile (ops/repair.py).  Unplaced rows stay put,
+    keep taking the exact patch, and retry next substep.
+
+    Returns ``(position, velocity, alive, valid, extra_state_fields)``."""
+    from ..ops.repair import allocate_slots, relocate
+    from ..ops.sorted_deposit import tile_ids
+
+    n_tot = position.shape[0]
+    ntz = tiling.n_tiles((nr, nz))[1]
+    m = tiling.margin
+    wr = tiling.tile_r + 2 * m + 1
+    wz = tiling.tile_z + 2 * m + 1
+    cell = _cell_coords(position, nr, nz)
+    org_r = ((state.tile_id // ntz) * tiling.tile_r - m).astype(jnp.float32)
+    org_z = ((state.tile_id % ntz) * tiling.tile_z - m).astype(jnp.float32)
+    lr = jnp.mod(cell[:, 0] - org_r, nr)
+    lz = jnp.mod(cell[:, 1] - org_z, nz)
+    out = jnp.logical_or(lr >= float(wr - 1), lz >= float(wz - 1))
+    mask = jnp.logical_and(out, state.valid)
+    n_rel = jnp.sum(mask)
+    idx, ok = spill_rows_cond(mask, n_rel, spill_capacity, n_tot)
+    new_t = tile_ids(cell[idx], (nr, nz), tiling)
+    dest, placed, fidx, fcnt, nun = allocate_slots(
+        state.free_idx, state.free_cnt, idx, ok, new_t,
+        state.tile_id[idx], n_tot, int(np.prod(tiling.n_tiles((nr, nz)))))
+    (position, velocity, alive), valid = relocate(
+        (position, velocity, alive), state.valid, idx, dest, placed,
+        (position[idx], velocity[idx], alive[idx]), n_tot)
+    extra = dict(free_idx=fidx, free_cnt=fcnt,
+                 unplaced=state.unplaced + nun)
+    return position, velocity, alive, valid, extra
+
+
 def padded_size(spec, tiling: Tiling2D) -> int:
     """Static layout length: real count rounded to the block, plus the
     worst-case per-tile padding budget."""
@@ -74,7 +117,7 @@ def padded_size(spec, tiling: Tiling2D) -> int:
     return n0 + n_tiles * tiling.block
 
 
-def make_sorted_resort_fn(spec, tiling: Tiling2D):
+def make_sorted_resort_fn(spec, tiling: Tiling2D, reserve: bool = False):
     nr, nz = spec.nr, spec.nz
     shape = (nr, nz)
 
@@ -87,7 +130,7 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D):
             *[state.position[:, a] for a in range(3)],
             *[state.velocity[:, a] for a in range(3)],
             state.alive, state.valid.astype(jnp.float32),
-            valid=state.valid)
+            valid=state.valid, reserve=reserve)
         tid = out[0]
         pos_cols = out[2:5]
         vel_cols = out[5:8]
@@ -106,12 +149,14 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D):
 
 
 def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
-                        backend: str = "xla"):
+                        backend: str = "xla", repair: bool = False):
     """Jitted full step (two half-steps) on the padded sorted layout.
 
     ``backend``: 'xla' (windowed MXU gathers), 'pallas' (Mosaic gather
     kernel), or 'fused' (ONE Mosaic kernel per half-step covering gather +
-    rotation + drift + sink sample — ops/pallas_pusher.py)."""
+    rotation + drift + sink sample — ops/pallas_pusher.py).  ``repair``
+    relocates margin out-drifters/respawns into their new tile each substep
+    (ops/repair.py) so the full resort never runs."""
     nr, nz = spec.nr, spec.nz
     shape = (nr, nz)
     step_factor = spec.step_factor
@@ -119,7 +164,7 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
     if use_pallas:
         from ..ops.pallas_gather import gather_sorted_2d_pallas
     if backend == "fused":
-        return _make_fused_step_fn(spec, tiling, spill_capacity)
+        return _make_fused_step_fn(spec, tiling, spill_capacity, repair)
     interpret = jax.default_backend() != "tpu"
 
     def window_gather(grid, cell, tile_id):
@@ -167,15 +212,21 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
             next_pos, sink, rand, fields.inv_cdf,
             respawn_capacity=spill_capacity)
 
-        # --- freeze fillers (inert, no NaNs, zero deposit weight) ---------
+        # --- repair + freeze fillers (inert, no NaNs, zero weight) --------
+        extra = {}
         v = state.valid
+        if repair:
+            position, velocity, alive, v, extra = _relocate_out_rows(
+                state, position, velocity, alive, nr, nz, tiling,
+                spill_capacity)
+            extra["valid"] = v
         position = jnp.where(v[:, None], position, FILLER)
         velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + (n_g + n_s).astype(jnp.int32),
-            dropped=state.dropped + n_drop)
+            dropped=state.dropped + n_drop, **extra)
 
     @jax.jit
     def step(fields, state: SortedPusherState) -> SortedPusherState:
@@ -189,7 +240,8 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
     return step
 
 
-def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
+def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
+                        repair: bool = False):
     """Full step via the fused Mosaic substep kernel (ops/pallas_pusher.py);
     RNG, respawn replacement, and the exact spill patch stay in XLA.
 
@@ -237,14 +289,21 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int):
             pos1, sink, rand, fields.inv_cdf,
             respawn_capacity=spill_capacity)
 
+        extra = {}
         v = state.valid
+        velocity = vel1
+        if repair:
+            position, velocity, alive, v, extra = _relocate_out_rows(
+                state, position, velocity, alive, spec.nr, spec.nz, tiling,
+                spill_capacity)
+            extra["valid"] = v
         position = jnp.where(v[:, None], position, FILLER)
-        velocity = jnp.where(v[:, None], vel1, 0.0)
+        velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + n_sp.astype(jnp.int32),
-            dropped=state.dropped + n_drop)
+            dropped=state.dropped + n_drop, **extra)
 
     @jax.jit
     def _step_inner(fields, state, packed13, windows):
@@ -286,7 +345,8 @@ def make_sorted_density_fn(spec):
     return density
 
 
-def to_sorted_state(state, spec, tiling: Tiling2D) -> SortedPusherState:
+def to_sorted_state(state, spec, tiling: Tiling2D,
+                    reserve: bool = False) -> SortedPusherState:
     """PusherState -> padded sorted layout (order not preserved)."""
     n = spec.n_total
     n_p = padded_size(spec, tiling)
@@ -311,7 +371,7 @@ def to_sorted_state(state, spec, tiling: Tiling2D) -> SortedPusherState:
         spill=jnp.int32(0),
         dropped=jnp.int32(0),
     )
-    return make_sorted_resort_fn(spec, tiling)(base)
+    return make_sorted_resort_fn(spec, tiling, reserve=reserve)(base)
 
 
 def from_sorted_state(sorted_state: SortedPusherState, spec, state_cls):

@@ -103,7 +103,8 @@ def sort_by_tile(position: jax.Array, shape: tuple[int, int],
 
 def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
                         tiling, *payloads: jax.Array,
-                        valid: jax.Array | None = None):
+                        valid: jax.Array | None = None,
+                        reserve: bool = False):
     """Sort particles by tile AND pad every tile's segment to a multiple of
     ``tiling.block`` with dead filler rows (weight handling is the caller's:
     fillers carry position 0 and payload 0 — give weights as a payload and
@@ -118,6 +119,15 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     — they keep their payload values but sort into the trailing dead region
     with ``tile_id = n_tiles`` (the sharded models resort fixed-capacity
     slots without compacting on the host).
+
+    ``reserve``: give EVERY tile at least one block's worth of filler rows
+    (instead of only rounding each tile's count up to the block).  The
+    incremental-repair paths (ops/repair.py) need this: without it a tile
+    with no particles has no segment, hence no dead slots, and arrivals
+    into it can never be relocated (fatal for strongly non-uniform layouts
+    like the pusher's source-concentrated default scenario).  The total
+    layout length is unchanged — the per-tile reserve consumes the same
+    ``n_tiles * block`` budget the trailing dead region otherwise absorbs.
 
     Returns ``(tile_id, position, *payloads, n_valid)`` arrays of fixed
     length ``N + n_tiles*block`` (fillers sorted to the end of their tile's
@@ -143,6 +153,10 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     bounds = jnp.searchsorted(tid_sorted, jnp.arange(n_tiles + 1))
     counts = bounds[1:] - bounds[:-1]
     pads = (-counts) % p_blk
+    if reserve:
+        # every tile keeps >= 1 filler block of free slots (see docstring);
+        # per-tile pad <= p_blk so the n_tiles*p_blk budget always covers it
+        pads = jnp.where(pads == 0, p_blk, pads)
     cum_pads = jnp.cumsum(pads)
     # filler j gets the tile whose cumulative pad range contains j; the
     # surplus beyond cum_pads[-1] sorts to the global end (tile = n_tiles)
