@@ -57,9 +57,10 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     the same jit.  Margin-6 tiling: identical VMEM footprint to margin 4
     (both lane-pad to 128) with ~100x less margin spill.
 
-    Returns ``(median steps/s of 3 windows, spill count)`` — the spill count
-    makes the number self-auditing (spilled rows take the exact compacted
-    patch; spill_fallback is ON, nothing is shed)."""
+    Returns ``(median steps/s of 3 windows, spill count, repair_mode)`` —
+    the spill count makes the number self-auditing (spilled rows take the
+    exact compacted patch; spill_fallback is ON, nothing is shed);
+    repair_mode records whether the repair configuration actually ran."""
     from fusion_sim_tpu.models import electrostatic as es
     from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
 
@@ -74,6 +75,8 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     pos = rng.random((n, 2)).astype(np.float32) * cells
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
     tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    import sys
+
     try:
         # incremental per-tile layout repair (ops/repair.py): spills are
         # relocated each step, so the multi-payload resort never runs
@@ -81,11 +84,15 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
                                         resort_every=10 ** 9, repair=True,
                                         backend=backend, check_spill=False)
         sim.step(17)  # compile everything
-    except Exception:  # noqa: BLE001 — fall back to the resort cadence
+        repair_mode = True
+    except Exception as e:  # noqa: BLE001 — fall back to the resort cadence
+        print(f"bench: ES repair config failed ({type(e).__name__}: {e}); "
+              f"falling back to resort-16", file=sys.stderr)
         sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                         resort_every=16, backend=backend,
                                         check_spill=False)
         sim.step(17)  # compile everything incl. one resort
+        repair_mode = False
     np.asarray(sim.state.position[:1])
     rates = []
     for _ in range(3):  # median of 3 windows (tunnel variance)
@@ -93,7 +100,7 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
         sim.step(16)
         np.asarray(sim.state.position[:1])
         rates.append(16 / (time.perf_counter() - t0))
-    return sorted(rates)[1], int(sim.state.spill)
+    return sorted(rates)[1], int(sim.state.spill), repair_mode
 
 
 def main() -> None:
@@ -120,11 +127,11 @@ def main() -> None:
     # The ES sections compile several large programs (minutes over the
     # tunnel); never let them take down the headline line.
     try:
-        es_steps, es_spill = bench_es_10m(backend="pallas")
+        es_steps, es_spill, es_repair = bench_es_10m(backend="pallas")
     except Exception as e:  # noqa: BLE001
-        es_steps, es_spill = f"failed: {type(e).__name__}", -1
+        es_steps, es_spill, es_repair = f"failed: {type(e).__name__}", -1, False
     try:
-        es_steps_xla, _ = bench_es_10m(backend="xla")
+        es_steps_xla, _, _ = bench_es_10m(backend="xla")
     except Exception as e:  # noqa: BLE001
         es_steps_xla = f"failed: {type(e).__name__}"
 
@@ -144,6 +151,7 @@ def main() -> None:
         "es_pic_steps_per_sec_at_10m": es_steps,
         "es_pic_steps_per_sec_at_10m_xla": es_steps_xla,
         "es_spill_patched_rows": es_spill,
+        "es_repair_mode": es_repair,
         "n_particles": sim.spec.n_total,
     }))
 

@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 bench queue: waits for the axon relay to return, then measures.
+# Full unfiltered logs in /tmp/bench_round3.log.
+export PYTHONPATH=/root/repo:$PYTHONPATH
+cd /root/repo
+
+echo "$(date) waiting for axon relay on 127.0.0.1:8083..."
+while ! timeout 3 bash -c "echo > /dev/tcp/127.0.0.1/8083" 2>/dev/null; do
+  sleep 60
+done
+echo "$(date) relay is back; smoke test..."
+timeout 300 python -u -c "
+import jax, numpy as np, jax.numpy as jnp
+print('devices', jax.devices(), flush=True)
+x = jnp.ones((256, 256))
+print('smoke', float(np.asarray((x @ x)[:1, :1])), flush=True)
+" || { echo "smoke failed"; exit 1; }
+
+run() {
+  echo "===== $(date) $* ====="
+  timeout 1500 python -u "$@" 2>&1 | tail -20
+}
+
+run examples/bench_es_fused.py --skip-xla --precision highest
+run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --repair
+run examples/bench_es_fused.py --skip-xla --precision highest --tile 16
+run examples/bench_em_fused.py --backends fused --precision highest
+run examples/bench_em_fused.py --backends fused --precision exact_bf16 --repair
+run examples/bench_em_fused.py --backends fused --precision highest --tile 16
+run examples/bench_pusher.py --backend fused --rng rbg
+run examples/bench_pusher.py --backend fused --rng rbg --repair
+run examples/profile_kernels.py --which pusher
+run examples/profile_kernels.py --which es2d --n 10002432
+run examples/bench_sharded_1chip.py --model es
+run examples/bench_sharded_1chip.py --model em
+echo "===== ALL DONE ROUND3 ====="
+run bench.py
+echo "===== ALL DONE ROUND3B ====="

@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--n", type=int, default=10_002_432)
     ap.add_argument("--cells", type=int, default=512)
     ap.add_argument("--model", default="es", choices=["es", "em"])
-    ap.add_argument("--precision", default="exact_bf16")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "exact_bf16", "default"])
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
@@ -67,7 +68,8 @@ def main():
         vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=16, backend="pallas")
+                              resort_every=16, backend="pallas",
+                              pallas_precision=args.precision)
         sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
         bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps)
     else:
@@ -77,7 +79,8 @@ def main():
         vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
         cfg = ShardedEMConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=12, gather_backend="fused")
+                              resort_every=12, gather_backend="fused",
+                              pallas_precision=args.precision)
         sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
         bench(sim, "sharded-em-fused nd=1", n, steps=args.steps)
 

@@ -249,6 +249,28 @@ class SortedEMState(NamedTuple):
                                        # free slot in their new tile yet)
 
 
+def _repair_relocate(state, x1, velocity, idx, ok, pos_k, vel_k,
+                     shape, tiling, n_tiles: int, ndim: int):
+    """Shared repair wiring for the sorted EM steps: relocate the compacted
+    spilled rows (exact values ``pos_k``/``vel_k``) into dead slots of their
+    new tile (ops/repair.py).  Returns ``(x1, velocity, valid, extra)``."""
+    from ..ops.repair import allocate_slots, relocate
+    from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+
+    n_tot = x1.shape[0]
+    tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+    new_t = tid_fn(pos_k, shape, tiling)
+    dest, placed, fidx, fcnt, nun = allocate_slots(
+        state.free_idx, state.free_cnt, idx, ok, new_t,
+        state.tile_id[idx], n_tot, n_tiles)
+    (x1, velocity), valid = relocate(
+        (x1, velocity), state.valid, idx, dest, placed,
+        (pos_k, vel_k), n_tot)
+    extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                 unplaced=state.unplaced + nun)
+    return x1, velocity, valid, extra
+
+
 class SortedElectromagneticPIC:
     """EM PIC (2D3V or 3D) with sorted digit-matmul Esirkepov deposition.
 
@@ -439,20 +461,9 @@ class SortedElectromagneticPIC:
             valid = state.valid
             x1w_k = jnp.mod(x1_k, grid_f)
             if use_repair:
-                from ..ops.repair import allocate_slots, relocate
-                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
-
-                n_tot = x1.shape[0]
-                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
-                new_t = tid_fn(x1w_k, shape, tiling)
-                dest, placed, fidx, fcnt, nun = allocate_slots(
-                    state.free_idx, state.free_cnt, idx, ok, new_t,
-                    state.tile_id[idx], n_tot, n_tiles)
-                (x1, velocity), valid = relocate(
-                    (x1, velocity), state.valid, idx, dest, placed,
-                    (x1w_k, vel_k), n_tot)
-                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
-                             unplaced=state.unplaced + nun)
+                x1, velocity, valid, extra = _repair_relocate(
+                    state, x1, velocity, idx, ok, x1w_k, vel_k,
+                    shape, tiling, n_tiles, ndim)
             else:
                 x1 = x1.at[idx].set(x1w_k, mode="drop")
                 velocity = velocity.at[idx].set(vel_k, mode="drop")
@@ -574,22 +585,11 @@ class SortedElectromagneticPIC:
                 # relocate margin out-drifters into dead slots of their new
                 # tile (velocity was already exact-patched above; x1 is
                 # exact for every row <= capacity)
-                from ..ops.repair import allocate_slots, relocate
-                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
-
-                n_tot = x1.shape[0]
-                pos_k2 = x1[idx]
-                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
-                new_t = tid_fn(pos_k2, shape, tiling)
-                dest, placed, fidx, fcnt, nun = allocate_slots(
-                    state.free_idx, state.free_cnt, idx, ok, new_t,
-                    state.tile_id[idx], n_tot, n_tiles)
-                (x1, velocity), valid = relocate(
-                    (x1, velocity), state.valid, idx, dest, placed,
-                    (pos_k2, velocity[idx]), n_tot)
-                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
-                             unplaced=state.unplaced + nun)
+                x1, velocity, valid, extra = _repair_relocate(
+                    state, x1, velocity, idx, ok, x1[idx], velocity[idx],
+                    shape, tiling, n_tiles, ndim)
             x1 = jnp.where(valid[:, None], x1, 0.0)
+            velocity = jnp.where(valid[:, None], velocity, 0.0)
             if use_fallback:
                 dropped = jnp.maximum(spill.astype(jnp.int32) - capacity, 0)
             else:

@@ -75,6 +75,9 @@ class ShardedEMConfig:
     # windows (ops/pallas_em.py, 2D3V) — the single-chip fused substep
     # composed with halo/apron/migration (VERDICT r2 next-step #3).
     gather_backend: str = "xla"
+    # fused-kernel matmul strategy override ('highest' | 'exact_bf16' |
+    # 'default'); None = 'highest' ('default' for bfloat16 tilings)
+    pallas_precision: str | None = None
     # True: the shell verifies after every step() call that the observed max
     # per-step displacement respects the migration/apron invariant (raises
     # RuntimeError instead of silently corrupting ownership) — costs one
@@ -378,6 +381,7 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
                 table, lp0, velocity, valid_k, tile_id, pseudo_shape,
                 tiling, qm_half_dt, dt, base.cell_size, base.charge,
                 c_light=base.c, relativistic=base.relativistic,
+                precision=config.pallas_precision or "highest",
                 interpret=interpret)
             d_mask = jnp.logical_and(
                 jnp.logical_or(jnp.logical_not(in_win), bad_block), alive)

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot3, dot3_split, split_bf16
+from .pallas_pic import accumulate_tile_2d
 
 
 def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
@@ -167,35 +168,9 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
             jnp.concatenate([az, dsz], axis=1))
         j_g = jnp.concatenate([j0, j1, j2], axis=0)   # (3*wr_pad, wz)
 
-        # per-tile J accumulation in VMEM, flushed once per tile (blocks
-        # are tile-contiguous; fillers carry sentinel tile n_tiles)
-        i = s * n_g + g
-        t_cur = tile_ref[i]
-        prev = tile_ref[jnp.maximum(i - 1, 0)]
-        changed = t_cur != prev
-        new_tile = (changed | (s == 0)) if g == 0 else changed
-
-        @pl.when(changed)
-        def _():
-            cp = pltpu.make_async_copy(acc_ref, j_ref.at[prev], acc_sem)
-            cp.start()
-            cp.wait()
-
-        @pl.when(new_tile)
-        def _():
-            acc_ref[...] = j_g
-
-        @pl.when(jnp.logical_not(new_tile))
-        def _():
-            acc_ref[...] += j_g
-
-        if g == n_g - 1:
-            @pl.when(s == ns - 1)
-            def _():
-                cp = pltpu.make_async_copy(acc_ref, j_ref.at[t_cur],
-                                           acc_sem)
-                cp.start()
-                cp.wait()
+        # per-tile J accumulation in VMEM, flushed once per tile
+        accumulate_tile_2d(tile_ref, acc_ref, j_ref, acc_sem, j_g,
+                           s, g, ns, n_g)
 
         # freeze out-of-window rows (exact re-push happens in the model)
         vals = (jnp.where(inw, l1r, l0r), jnp.where(inw, l1z, l0z),

@@ -40,6 +40,46 @@ from jax.experimental.pallas import tpu as pltpu
 from .mxu import dot3, dot3_split, split_bf16
 
 
+def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
+                       s, g, ns, n_g):
+    """Per-tile VMEM accumulation with flush-on-tile-change, shared by the
+    2D fused kernels (ES rho here, EM J in ops/pallas_em.py).
+
+    Blocks are tile-contiguous in the sorted layout; ``val`` is this block's
+    contribution.  When block ``i``'s tile differs from block ``i-1``'s the
+    accumulator is flushed to ``out_ref[prev]`` by async copy and restarted;
+    the last block of the last grid step flushes to its own tile (filler
+    blocks carry the sentinel tile = the trash row)."""
+    i = s * n_g + g
+    t_cur = tile_ref[i]
+    prev = tile_ref[jnp.maximum(i - 1, 0)]
+    changed = t_cur != prev
+    # i == 0 only at (s == 0, g == 0): bt[max(i-1,0)] == t_cur there, so
+    # changed is naturally False, but the accumulator must still initialize
+    new_tile = (changed | (s == 0)) if g == 0 else changed
+
+    @pl.when(changed)
+    def _():
+        cp = pltpu.make_async_copy(acc_ref, out_ref.at[prev], acc_sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(new_tile)
+    def _():
+        acc_ref[...] = val
+
+    @pl.when(jnp.logical_not(new_tile))
+    def _():
+        acc_ref[...] += val
+
+    if g == n_g - 1:
+        @pl.when(s == ns - 1)
+        def _():
+            cp = pltpu.make_async_copy(acc_ref, out_ref.at[t_cur], acc_sem)
+            cp.start()
+            cp.wait()
+
+
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
                  precision, dep_precision):
@@ -127,36 +167,9 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                 arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=dep_precision, preferred_element_type=jnp.float32)
 
-        # per-tile rho accumulation in VMEM, flushed once per tile (blocks
-        # are tile-contiguous in the sorted layout); filler blocks carry the
-        # sentinel tile n_tiles and flush to the trash row
-        i = s * n_g + g
-        t_cur = tile_ref[i]
-        prev = tile_ref[jnp.maximum(i - 1, 0)]
-        changed = t_cur != prev
-        new_tile = (changed | (s == 0)) if g == 0 else changed
-
-        @pl.when(changed)
-        def _():
-            cp = pltpu.make_async_copy(acc_ref, rho_ref.at[prev], acc_sem)
-            cp.start()
-            cp.wait()
-
-        @pl.when(new_tile)
-        def _():
-            acc_ref[...] = rho_g
-
-        @pl.when(jnp.logical_not(new_tile))
-        def _():
-            acc_ref[...] += rho_g
-
-        if g == n_g - 1:
-            @pl.when(s == ns - 1)
-            def _():
-                cp = pltpu.make_async_copy(acc_ref, rho_ref.at[t_cur],
-                                           acc_sem)
-                cp.start()
-                cp.wait()
+        # per-tile rho accumulation in VMEM, flushed once per tile
+        accumulate_tile_2d(tile_ref, acc_ref, rho_ref, acc_sem, rho_g,
+                           s, g, ns, n_g)
 
         o_lr.append(nlr)
         o_lz.append(nlz)

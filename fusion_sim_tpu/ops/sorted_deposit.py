@@ -120,8 +120,9 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     with ``tile_id = n_tiles`` (the sharded models resort fixed-capacity
     slots without compacting on the host).
 
-    ``reserve``: give EVERY tile at least one block's worth of filler rows
-    (instead of only rounding each tile's count up to the block).  The
+    ``reserve``: guarantee EVERY tile at least ONE filler row — tiles whose
+    count would pad to zero (empty tiles, and tiles landing exactly on a
+    block multiple) get a full extra block of fillers instead.  The
     incremental-repair paths (ops/repair.py) need this: without it a tile
     with no particles has no segment, hence no dead slots, and arrivals
     into it can never be relocated (fatal for strongly non-uniform layouts
