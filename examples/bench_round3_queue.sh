@@ -32,7 +32,9 @@ run examples/bench_pusher.py --backend fused --rng rbg --repair
 run examples/profile_kernels.py --which pusher
 run examples/profile_kernels.py --which es2d --n 10002432
 run examples/bench_sharded_1chip.py --model es
+run examples/bench_sharded_1chip.py --model es --repair
 run examples/bench_sharded_1chip.py --model em
+run examples/bench_sharded_1chip.py --model em --repair
 echo "===== ALL DONE ROUND3 ====="
 run bench.py
 echo "===== ALL DONE ROUND3B ====="

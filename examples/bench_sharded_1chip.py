@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "exact_bf16", "default"])
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repair", action="store_true",
+                    help="incremental layout repair instead of resorts")
     args = ap.parse_args()
 
     mesh = make_mesh(1, ("space",))
@@ -68,7 +70,8 @@ def main():
         vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=16, backend="pallas",
+                              resort_every=10 ** 9 if args.repair else 16,
+                              repair=args.repair, backend="pallas",
                               pallas_precision=args.precision)
         sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
         bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps)
@@ -79,7 +82,8 @@ def main():
         vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
         cfg = ShardedEMConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=12, gather_backend="fused",
+                              resort_every=10 ** 9 if args.repair else 12,
+                              repair=args.repair, gather_backend="fused",
                               pallas_precision=args.precision)
         sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
         bench(sim, "sharded-em-fused nd=1", n, steps=args.steps)

@@ -55,6 +55,13 @@ class ShardedEMState(NamedTuple):
     # sorted-layout composition only:
     tile_id: jax.Array | None = None  # (n_shards*cap,) pseudo-grid tile per slot
     spill: jax.Array | None = None    # (n_shards,) cumulative out-of-window rows
+    # incremental layout repair (repair=True) only (see
+    # electrostatic_sharded.ShardedESState):
+    free_idx: jax.Array | None = None   # (n_shards*n_tiles, F)
+    free_cnt: jax.Array | None = None   # (n_shards*n_tiles,)
+    spare_idx: jax.Array | None = None  # (n_shards, S)
+    spare_cnt: jax.Array | None = None  # (n_shards,)
+    unplaced: jax.Array | None = None   # (n_shards,) cumulative
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +85,11 @@ class ShardedEMConfig:
     # fused-kernel matmul strategy override ('highest' | 'exact_bf16' |
     # 'default'); None = 'highest' ('default' for bfloat16 tilings)
     pallas_precision: str | None = None
+    # sorted composition only: incremental layout repair + stack-
+    # coordinated migration (see electrostatic_sharded.ShardedESConfig)
+    repair: bool = False
+    repair_free_slots: int = 256
+    spare_slots: int | None = None
     # True: the shell verifies after every step() call that the observed max
     # per-step displacement respects the migration/apron invariant (raises
     # RuntimeError instead of silently corrupting ownership) — costs one
@@ -324,6 +336,7 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
     b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
     rest_f = jnp.asarray(rest, jnp.float32)
     n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+    use_repair = config.repair
     use_fused = config.gather_backend == "fused"
     if config.gather_backend not in ("xla", "fused"):
         raise ValueError(f"gather_backend {config.gather_backend!r} "
@@ -353,7 +366,7 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
         return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
 
     def local_step(position, velocity, alive, tile_id, e_local, b_local,
-                   overflow, spill, max_disp):
+                   overflow, spill, max_disp, *repair_state):
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
         n_tot = position.shape[0]
@@ -479,32 +492,57 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
 
         # ---- back to global + migration ----------------------------------
         gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
-        x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], rest_f)],
-                             axis=1)
-        if config.n_shards > 1:
-            go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
-            go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
+        ly1_w = jnp.mod(lp1[:, 1:], rest_f)
+        x1 = jnp.concatenate([gx[:, None], ly1_w], axis=1)
+        go_left = jnp.logical_and(alive, _dist_left(gx, x_lo))
+        go_right = jnp.logical_and(alive, _dist_right(gx, x_lo + slab))
+        if use_repair:
+            from ..ops.repair import sharded_repair_migrate
+
+            def arrival_tiles(arrs):
+                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+
+                loc = to_local(arrs[0], x_lo)
+                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+                return tid_fn(loc, pseudo_shape, tiling)
+
+            fidx, fcnt, sidx, scnt, unpl = repair_state
+            (x1, velocity, alive, fidx, fcnt, sidx, scnt, unpl,
+             overflow) = sharded_repair_migrate(
+                x1, velocity, alive, tile_id, d_idx, d_ok, lp1[:, 0], ly1_w,
+                go_left, go_right, fidx, fcnt, sidx, scnt, unpl, overflow,
+                arrival_tiles, axis=axis, n_shards=config.n_shards,
+                migration_buffer=config.migration_buffer,
+                pseudo_shape=pseudo_shape, tiling=tiling,
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+            repair_out = (fidx, fcnt, sidx, scnt, unpl)
+        elif config.n_shards > 1:
             res = migration.migrate_ring(
                 (x1, velocity), alive, go_left, go_right, axis,
                 config.migration_buffer)
             x1, velocity = res.arrays
             alive = res.alive
             overflow = overflow + res.overflow
-        # n_shards == 1: no boundaries — skip migration entirely
+            repair_out = ()
+        else:
+            # n_shards == 1: no boundaries — skip migration entirely
+            repair_out = ()
         spill = spill + n_spill.astype(jnp.int32)
 
         x1 = jnp.where(alive[:, None], x1, 0.0)
         velocity = jnp.where(alive[:, None], velocity, 0.0)
         return (x1, velocity, alive, tile_id, e_new, b_new, overflow, spill,
-                max_disp)
+                max_disp, *repair_out)
 
     fspec = P(axis, *([None] * ndim))
+    repair_spec = ((P(axis, None), P(axis), P(axis, None), P(axis), P(axis))
+                   if use_repair else ())
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
-                  fspec, fspec, P(axis), P(axis), P(axis)),
+                  fspec, fspec, P(axis), P(axis), P(axis)) + repair_spec,
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
-                   fspec, fspec, P(axis), P(axis), P(axis)),
+                   fspec, fspec, P(axis), P(axis), P(axis)) + repair_spec,
         # pallas_call outputs carry no varying-mesh-axes metadata; the fused
         # backend would trip shard_map's vma check
         check_vma=False,
@@ -512,12 +550,20 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
 
     @jax.jit
     def step(state: ShardedEMState) -> ShardedEMState:
-        pos, vel, alive, tid, e, b, ov, sp, md = mapped(
-            state.position, state.velocity, state.alive, state.tile_id,
-            state.e, state.b, state.overflow, state.spill, state.max_disp)
-        return ShardedEMState(position=pos, velocity=vel, alive=alive,
+        rep_in = ((state.free_idx, state.free_cnt, state.spare_idx,
+                   state.spare_cnt, state.unplaced) if use_repair else ())
+        out = mapped(state.position, state.velocity, state.alive,
+                     state.tile_id, state.e, state.b, state.overflow,
+                     state.spill, state.max_disp, *rep_in)
+        pos, vel, alive, tid, e, b, ov, sp, md = out[:9]
+        extra = {}
+        if use_repair:
+            fidx, fcnt, sidx, scnt, unpl = out[9:]
+            extra = dict(free_idx=fidx, free_cnt=fcnt, spare_idx=sidx,
+                         spare_cnt=scnt, unplaced=unpl)
+        return state._replace(position=pos, velocity=vel, alive=alive,
                               e=e, b=b, overflow=ov, max_disp=md,
-                              tile_id=tid, spill=sp)
+                              tile_id=tid, spill=sp, **extra)
 
     return step
 
@@ -554,7 +600,7 @@ def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
         payloads += [velocity[:, c] for c in range(3)]
         payloads.append(alive_f)
         out = build_padded_layout(lp, pseudo_shape, tiling, *payloads,
-                                  valid=alive)
+                                  valid=alive, reserve=config.repair)
         tid_s = out[0]
         cols = out[2:2 + ndim]          # global position columns
         vels = out[2 + ndim:5 + ndim]
@@ -583,6 +629,40 @@ def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
                               tile_id=tid, overflow=ov)
 
     return resort
+
+
+def make_sharded_em_free_init_fn(config: ShardedEMConfig, mesh: Mesh,
+                                 axis: str = "space"):
+    """Per-shard free-stack (re)build for the repair composition (mirror of
+    electrostatic_sharded.make_sharded_es_free_init_fn)."""
+    from ..ops.repair import init_free_list
+
+    tiling = config.tiling
+    n_tiles_ps = int(np.prod(tiling.n_tiles(config.pseudo_shape)))
+    F = config.repair_free_slots
+    S = config.spare_slots or max(config.repair_free_slots,
+                                  2 * config.migration_buffer)
+
+    def local_init(tile_id, alive):
+        fidx, fcnt = init_free_list(tile_id, alive, n_tiles_ps,
+                                    tiling.block, F)
+        sidx_a, scnt_a = init_free_list(tile_id, alive, n_tiles_ps,
+                                        tiling.block, S, spare=True)
+        return fidx, fcnt, sidx_a[n_tiles_ps:], scnt_a[n_tiles_ps:]
+
+    mapped = shard_map(
+        local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis)))
+
+    @jax.jit
+    def init(state: ShardedEMState) -> ShardedEMState:
+        fidx, fcnt, sidx, scnt = mapped(state.tile_id, state.alive)
+        return state._replace(
+            free_idx=fidx, free_cnt=fcnt, spare_idx=sidx, spare_cnt=scnt,
+            unplaced=(state.unplaced if state.unplaced is not None
+                      else jnp.zeros((config.n_shards,), jnp.int32)))
+
+    return init
 
 
 class ShardedElectromagneticPIC:
@@ -620,9 +700,17 @@ class ShardedElectromagneticPIC:
             spill=(jax.device_put(jnp.zeros((config.n_shards,), jnp.int32),
                                   spec1) if self.sorted else None),
         )
+        if config.repair and not self.sorted:
+            raise ValueError("repair=True needs the sorted composition")
         if self.sorted:
             self._resort = make_sharded_resort_fn(config, mesh, axis)
             self.state = self._resort(self.state)  # establish the layout
+            if config.repair:
+                self._free_init = make_sharded_em_free_init_fn(config, mesh,
+                                                               axis)
+                self.state = self._free_init(self.state)
+                self._unplaced_seen = 0
+                self._need_resort = False
             self._step = make_sharded_sorted_step_fn(config, mesh, axis)
             self._since_sort = 0
         else:
@@ -630,12 +718,25 @@ class ShardedElectromagneticPIC:
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
-            if self.sorted and self._since_sort >= self.config.resort_every:
+            if self.sorted and (
+                    self._since_sort >= self.config.resort_every
+                    or getattr(self, "_need_resort", False)):
                 self.state = self._resort(self.state)
+                if self.config.repair:
+                    self.state = self._free_init(self.state)
+                    self._need_resort = False
                 self._since_sort = 0
             self.state = self._step(self.state)
             if self.sorted:
                 self._since_sort += 1
+        if self.config.repair:
+            # resort-on-drain (see electrostatic_sharded)
+            unplaced = int(jnp.sum(self.state.unplaced))
+            delta = unplaced - self._unplaced_seen
+            self._unplaced_seen = unplaced
+            if delta > max(64, min(self.config.spill_capacity,
+                                   self.config.capacity) // 8) * max(1, n):
+                self._need_resort = True
         if self.config.debug_checks:
             inv = self.check_invariants()
             if not inv["disp_bound_ok"]:

@@ -53,6 +53,13 @@ class ShardedESState(NamedTuple):
     # steps (this step's solve uses last step's deposit — same re-cut of the
     # loop as SortedElectrostaticPIC's fused backend)
     rho: jax.Array | None = None
+    # incremental layout repair (repair=True) only: per-shard per-tile
+    # dead-slot stacks + the spare stack of trailing-region slots
+    free_idx: jax.Array | None = None   # (n_shards*n_tiles, F)
+    free_cnt: jax.Array | None = None   # (n_shards*n_tiles,)
+    spare_idx: jax.Array | None = None  # (n_shards, S)
+    spare_cnt: jax.Array | None = None  # (n_shards,)
+    unplaced: jax.Array | None = None   # (n_shards,) cumulative
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +83,16 @@ class ShardedESConfig:
     # fused-kernel matmul strategy override ('highest' | 'exact_bf16' |
     # 'default'); None = 'highest' ('default' for bfloat16 tilings)
     pallas_precision: str | None = None
+    # sorted composition only: incremental layout repair (ops/repair.py) —
+    # spilled rows relocate into dead slots of their new tile each step and
+    # migration arrivals are seated straight into their tile's segment
+    # (tile-local stack pop; spare trailing-region stack as fallback), so
+    # the per-shard resort runs only when stacks drain.
+    repair: bool = False
+    repair_free_slots: int = 256
+    # spare-stack capacity; None = max(repair_free_slots,
+    # 2*migration_buffer) so one step's worth of arrivals always seats
+    spare_slots: int | None = None
     # True: verify the displacement invariant after every step() (raises
     # RuntimeError on violation; one host sync per step() call).
     debug_checks: bool = False
@@ -277,6 +294,7 @@ def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
     w0 = base.charge / base.cell_volume
     n_cells = float(np.prod(base.grid_shape))
     n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+    use_repair = config.repair
     deposit_fn = deposit_sorted_2d if ndim == 2 else deposit_sorted_3d
     gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
 
@@ -297,7 +315,7 @@ def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
         return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
 
     def local_step(position, velocity, alive, tile_id, overflow, max_disp,
-                   spill):
+                   spill, *repair_state):
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
         n_tot = position.shape[0]
@@ -343,36 +361,72 @@ def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
             jnp.abs(dt * velocity / dxv), axis=1), 0.0))
         max_disp = jnp.maximum(max_disp, disp)
         gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
-        x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], rest_f)],
-                             axis=1)
-        if config.n_shards > 1:
-            d_left = jnp.mod(x_lo - gx, nx)
-            go_left = jnp.logical_and(
-                alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
-            go_right = jnp.logical_and(
-                alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+        ly1_w = jnp.mod(lp1[:, 1:], rest_f)
+        x1 = jnp.concatenate([gx[:, None], ly1_w], axis=1)
+        d_left = jnp.mod(x_lo - gx, nx)
+        go_left = jnp.logical_and(
+            alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
+        go_right = jnp.logical_and(
+            alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+        if use_repair:
+            from ..ops.repair import sharded_repair_migrate
+
+            def arrival_tiles(arrs):
+                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+
+                loc = to_local(arrs[0], x_lo)
+                tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+                return tid_fn(loc, pseudo_shape, tiling)
+
+            fidx, fcnt, sidx, scnt, unpl = repair_state
+            (x1, velocity, alive, fidx, fcnt, sidx, scnt, unpl,
+             overflow) = sharded_repair_migrate(
+                x1, velocity, alive, tile_id, idx, ok, lp1[:, 0], ly1_w,
+                go_left, go_right, fidx, fcnt, sidx, scnt, unpl, overflow,
+                arrival_tiles, axis=axis, n_shards=config.n_shards,
+                migration_buffer=config.migration_buffer,
+                pseudo_shape=pseudo_shape, tiling=tiling,
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+            repair_out = (fidx, fcnt, sidx, scnt, unpl)
+        elif config.n_shards > 1:
             res = migration.migrate_ring((x1, velocity), alive, go_left,
                                          go_right, axis,
                                          config.migration_buffer)
             x1, velocity = res.arrays
             alive = res.alive
             overflow = overflow + res.overflow
+            repair_out = ()
+        else:
+            repair_out = ()
         spill = spill + n_spill.astype(jnp.int32)
         x1 = jnp.where(alive[:, None], x1, 0.0)
         velocity = jnp.where(alive[:, None], velocity, 0.0)
-        return (x1, velocity, alive, tile_id, overflow, max_disp, spill)
+        return (x1, velocity, alive, tile_id, overflow, max_disp, spill,
+                *repair_out)
 
-    spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
-            P(axis), P(axis))
+    base_spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
+                 P(axis), P(axis))
+    repair_spec = ((P(axis, None), P(axis), P(axis, None), P(axis), P(axis))
+                   if use_repair else ())
+    spec = base_spec + repair_spec
     mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec)
 
     @jax.jit
     def step(state: ShardedESState) -> ShardedESState:
-        pos, vel, alive, tid, ov, md, sp = mapped(
-            state.position, state.velocity, state.alive, state.tile_id,
-            state.overflow, state.max_disp, state.spill)
-        return ShardedESState(position=pos, velocity=vel, alive=alive,
-                              overflow=ov, max_disp=md, tile_id=tid, spill=sp)
+        rep_in = ((state.free_idx, state.free_cnt, state.spare_idx,
+                   state.spare_cnt, state.unplaced) if use_repair else ())
+        out = mapped(state.position, state.velocity, state.alive,
+                     state.tile_id, state.overflow, state.max_disp,
+                     state.spill, *rep_in)
+        pos, vel, alive, tid, ov, md, sp = out[:7]
+        extra = {}
+        if use_repair:
+            fidx, fcnt, sidx, scnt, unpl = out[7:]
+            extra = dict(free_idx=fidx, free_cnt=fcnt, spare_idx=sidx,
+                         spare_cnt=scnt, unplaced=unpl)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              overflow=ov, max_disp=md, tile_id=tid,
+                              spill=sp, **extra)
 
     return step
 
@@ -409,6 +463,7 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
     w0 = base.charge / base.cell_volume
     n_cells = float(np.prod(base.grid_shape))
     n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+    use_repair = config.repair
     interpret = jax.default_backend() != "tpu"
 
     def _grad(phi_local):
@@ -425,7 +480,7 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
         return jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
 
     def local_step(position, velocity, alive, tile_id, overflow, max_disp,
-                   spill, rho_local):
+                   spill, rho_local, *repair_state):
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
         n_tot = position.shape[0]
@@ -476,39 +531,74 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
             jnp.abs(dt * velocity / dxv), axis=1), 0.0))
         max_disp = jnp.maximum(max_disp, disp)
         gx = jnp.mod(lp1[:, 0] - H + x_lo, nx)
-        x1 = jnp.concatenate([gx[:, None], jnp.mod(lp1[:, 1:], ny)], axis=1)
-        if config.n_shards > 1:
-            d_left = jnp.mod(x_lo - gx, nx)
-            go_left = jnp.logical_and(
-                alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
-            go_right = jnp.logical_and(
-                alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+        ly1_w = jnp.mod(lp1[:, 1:], ny)
+        x1 = jnp.concatenate([gx[:, None], ly1_w], axis=1)
+        d_left = jnp.mod(x_lo - gx, nx)
+        go_left = jnp.logical_and(
+            alive, jnp.logical_and(d_left > 0, d_left <= slab / 2))
+        go_right = jnp.logical_and(
+            alive, jnp.mod(gx - (x_lo + slab), nx) < slab / 2)
+        if use_repair:
+            from ..ops.repair import sharded_repair_migrate
+
+            def arrival_tiles(arrs):
+                from ..ops.sorted_deposit import tile_ids
+
+                return tile_ids(to_local(arrs[0], x_lo), pseudo_shape,
+                                tiling)
+
+            fidx, fcnt, sidx, scnt, unpl = repair_state
+            (x1, velocity, alive, fidx, fcnt, sidx, scnt, unpl,
+             overflow) = sharded_repair_migrate(
+                x1, velocity, alive, tile_id, idx, ok, lp1[:, 0], ly1_w,
+                go_left, go_right, fidx, fcnt, sidx, scnt, unpl, overflow,
+                arrival_tiles, axis=axis, n_shards=config.n_shards,
+                migration_buffer=config.migration_buffer,
+                pseudo_shape=pseudo_shape, tiling=tiling,
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+            repair_out = (fidx, fcnt, sidx, scnt, unpl)
+        elif config.n_shards > 1:
             res = migration.migrate_ring((x1, velocity), alive, go_left,
                                          go_right, axis,
                                          config.migration_buffer)
             x1, velocity = res.arrays
             alive = res.alive
             overflow = overflow + res.overflow
+            repair_out = ()
+        else:
+            repair_out = ()
         spill = spill + n_spill.astype(jnp.int32)
         x1 = jnp.where(alive[:, None], x1, 0.0)
         velocity = jnp.where(alive[:, None], velocity, 0.0)
         return (x1, velocity, alive, tile_id, overflow, max_disp, spill,
-                rho_new)
+                rho_new, *repair_out)
 
     pf = P(axis, None)
-    spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
-            P(axis), P(axis), pf)
+    use_repair2 = use_repair
+    base_spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
+                 P(axis), P(axis), pf)
+    repair_spec = ((P(axis, None), P(axis), P(axis, None), P(axis), P(axis))
+                   if use_repair2 else ())
+    spec = base_spec + repair_spec
     mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec,
                        check_vma=False)
 
     @jax.jit
     def step(state: ShardedESState) -> ShardedESState:
-        pos, vel, alive, tid, ov, md, sp, rho = mapped(
-            state.position, state.velocity, state.alive, state.tile_id,
-            state.overflow, state.max_disp, state.spill, state.rho)
-        return ShardedESState(position=pos, velocity=vel, alive=alive,
+        rep_in = ((state.free_idx, state.free_cnt, state.spare_idx,
+                   state.spare_cnt, state.unplaced) if use_repair2 else ())
+        out = mapped(state.position, state.velocity, state.alive,
+                     state.tile_id, state.overflow, state.max_disp,
+                     state.spill, state.rho, *rep_in)
+        pos, vel, alive, tid, ov, md, sp, rho = out[:8]
+        extra = {}
+        if use_repair2:
+            fidx, fcnt, sidx, scnt, unpl = out[8:]
+            extra = dict(free_idx=fidx, free_cnt=fcnt, spare_idx=sidx,
+                         spare_cnt=scnt, unplaced=unpl)
+        return state._replace(position=pos, velocity=vel, alive=alive,
                               overflow=ov, max_disp=md, tile_id=tid,
-                              spill=sp, rho=rho)
+                              spill=sp, rho=rho, **extra)
 
     return step
 
@@ -561,6 +651,41 @@ def make_sharded_es_seed_rho_fn(config: ShardedESConfig, mesh: Mesh,
     return seed
 
 
+def make_sharded_es_free_init_fn(config: ShardedESConfig, mesh: Mesh,
+                                 axis: str = "space"):
+    """Per-shard free-stack (re)build for the repair composition: per-tile
+    stacks from each tile's filler suffix + the spare stack from the
+    trailing dead region (ops/repair.init_free_list)."""
+    from ..ops.repair import init_free_list
+
+    tiling = config.tiling
+    n_tiles_ps = int(np.prod(tiling.n_tiles(config.pseudo_shape)))
+    F = config.repair_free_slots
+    S = config.spare_slots or max(config.repair_free_slots,
+                                  2 * config.migration_buffer)
+
+    def local_init(tile_id, alive):
+        fidx, fcnt = init_free_list(tile_id, alive, n_tiles_ps,
+                                    tiling.block, F)
+        sidx_a, scnt_a = init_free_list(tile_id, alive, n_tiles_ps,
+                                        tiling.block, S, spare=True)
+        return fidx, fcnt, sidx_a[n_tiles_ps:], scnt_a[n_tiles_ps:]
+
+    mapped = shard_map(
+        local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis)))
+
+    @jax.jit
+    def init(state: ShardedESState) -> ShardedESState:
+        fidx, fcnt, sidx, scnt = mapped(state.tile_id, state.alive)
+        return state._replace(
+            free_idx=fidx, free_cnt=fcnt, spare_idx=sidx, spare_cnt=scnt,
+            unplaced=(state.unplaced if state.unplaced is not None
+                      else jnp.zeros((config.n_shards,), jnp.int32)))
+
+    return init
+
+
 def make_sharded_sorted_es_resort_fn(config: ShardedESConfig, mesh: Mesh,
                                      axis: str = "space"):
     """Per-shard local resort (see electromagnetic_sharded's)."""
@@ -586,7 +711,8 @@ def make_sharded_sorted_es_resort_fn(config: ShardedESConfig, mesh: Mesh,
             lp, pseudo_shape, tiling,
             *[position[:, a] for a in range(ndim)],
             *[velocity[:, a] for a in range(ndim)],
-            alive.astype(jnp.float32), valid=alive)
+            alive.astype(jnp.float32), valid=alive,
+            reserve=config.repair)
         tid_s = out[0]
         g_cols = out[2:2 + ndim]
         v_cols = out[2 + ndim:2 + 2 * ndim]
@@ -648,9 +774,17 @@ class ShardedElectrostaticPIC:
         if config.backend == "pallas" and not self.sorted:
             raise ValueError("backend='pallas' needs the sorted composition "
                              "(pass a tiling)")
+        if config.repair and not self.sorted:
+            raise ValueError("repair=True needs the sorted composition")
         if self.sorted:
             self._resort = make_sharded_sorted_es_resort_fn(config, mesh, axis)
             self.state = self._resort(self.state)
+            if config.repair:
+                self._free_init = make_sharded_es_free_init_fn(config, mesh,
+                                                               axis)
+                self.state = self._free_init(self.state)
+                self._unplaced_seen = 0
+                self._need_resort = False
             if config.backend == "pallas":
                 self._seed_rho = make_sharded_es_seed_rho_fn(config, mesh,
                                                              axis)
@@ -665,12 +799,27 @@ class ShardedElectrostaticPIC:
 
     def step(self, n: int = 1) -> None:
         for _ in range(n):
-            if self.sorted and self._since_sort >= self.config.resort_every:
+            if self.sorted and (
+                    self._since_sort >= self.config.resort_every
+                    or getattr(self, "_need_resort", False)):
                 self.state = self._resort(self.state)
+                if self.config.repair:
+                    self.state = self._free_init(self.state)
+                    self._need_resort = False
                 self._since_sort = 0
             self.state = self._step(self.state)
             if self.sorted:
                 self._since_sort += 1
+        if self.config.repair:
+            # resort-on-drain: a large unplaced delta means per-tile stacks
+            # exhausted (net migration imbalance) — one host sync per call
+            unplaced = int(jnp.sum(self.state.unplaced))
+            delta = unplaced - self._unplaced_seen
+            self._unplaced_seen = unplaced
+            per_shard = self.config.capacity
+            if delta > max(64, min(self.config.spill_capacity,
+                                   per_shard) // 8) * max(1, n):
+                self._need_resort = True
         if self.config.debug_checks:
             inv = self.check_invariants()
             if not inv["disp_bound_ok"]:

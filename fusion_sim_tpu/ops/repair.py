@@ -38,9 +38,11 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "block", "capacity"))
+@functools.partial(jax.jit, static_argnames=("n_tiles", "block", "capacity",
+                                             "spare"))
 def init_free_list(tile_id: jax.Array, valid: jax.Array, n_tiles: int,
-                   block: int, capacity: int) -> tuple[jax.Array, jax.Array]:
+                   block: int, capacity: int,
+                   spare: bool = False) -> tuple[jax.Array, jax.Array]:
     """Per-tile dead-slot stacks for a FRESH layout.
 
     Fresh = straight out of ``build_padded_layout``: within each tile's
@@ -48,15 +50,22 @@ def init_free_list(tile_id: jax.Array, valid: jax.Array, n_tiles: int,
     a range.  Tiles with more than ``capacity`` fillers track only the first
     ``capacity`` (the rest are recovered at the next full resort).
 
-    Returns ``(free_idx (n_tiles, capacity), free_cnt (n_tiles,))``.
+    ``spare=True`` adds one extra stack row (index ``n_tiles``) tracking up
+    to ``capacity`` slots of the TRAILING dead region (rows with
+    ``tile_id == n_tiles``) — the overflow capacity the sharded sorted
+    models hand to migration arrivals that find their tile's stack empty.
+
+    Returns ``(free_idx (rows, capacity), free_cnt (rows,))`` with
+    ``rows = n_tiles + spare``.
     """
     n = tile_id.shape[0]
     blk_tile = tile_id[::block]
+    rows = n_tiles + (1 if spare else 0)
     # row-level segment bounds from the sorted block tile ids
-    bounds = jnp.searchsorted(blk_tile, jnp.arange(n_tiles + 1)) * block
-    dead = jnp.logical_and(~valid, tile_id < n_tiles)
+    bounds = jnp.searchsorted(blk_tile, jnp.arange(rows + 1)) * block
+    dead = jnp.logical_and(~valid, tile_id < rows)
     dead_per_tile = jax.ops.segment_sum(dead.astype(jnp.int32), tile_id,
-                                        num_segments=n_tiles)
+                                        num_segments=rows)
     cnt = jnp.minimum(dead_per_tile, capacity)
     k = jnp.arange(capacity, dtype=jnp.int32)
     start = bounds[1:].astype(jnp.int32) - dead_per_tile
@@ -133,6 +142,65 @@ def allocate_slots(free_idx: jax.Array, free_cnt: jax.Array,
     return dest, placed, free_idx, free_cnt, n_unplaced
 
 
+@functools.partial(jax.jit, static_argnames=())
+def pop_slots(free_idx: jax.Array, free_cnt: jax.Array, tiles: jax.Array,
+              want: jax.Array, n_total: int):
+    """Pop one dead slot per requested row from stack row ``tiles[k]``.
+
+    ``tiles``: (K,) stack-row index per request (any value >= the stack row
+    count means "no request", like ``want=False``); ``want``: (K,) bool.
+    Returns ``(slot (K,), got (K,) bool, free_idx', free_cnt')`` — requests
+    the stack could not satisfy come back ``got=False, slot=n_total``.
+    """
+    rows = free_idx.shape[0]
+    cap = free_idx.shape[1]
+    sent = jnp.int32(rows)
+    key = jnp.where(want, jnp.minimum(tiles, sent), sent).astype(jnp.int32)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    ok_s = key_s < sent
+    r = _segment_ranks(key_s)
+    t_c = jnp.minimum(key_s, rows - 1)
+    cnt_t = free_cnt[t_c]
+    got_s = jnp.logical_and(ok_s, r < cnt_t)
+    slot_s = free_idx[t_c, jnp.clip(cnt_t - 1 - r, 0, cap - 1)]
+    slot_s = jnp.where(got_s, slot_s, n_total)
+    used = jax.ops.segment_sum(got_s.astype(jnp.int32), key_s,
+                               num_segments=rows)
+    free_cnt = free_cnt - used
+    inv = jnp.argsort(order)
+    return slot_s[inv], got_s[inv], free_idx, free_cnt
+
+
+@functools.partial(jax.jit, static_argnames=())
+def push_slots(free_idx: jax.Array, free_cnt: jax.Array, slots: jax.Array,
+               tiles: jax.Array, ok: jax.Array):
+    """Push freed slot indices onto per-tile stacks.
+
+    ``slots``/``tiles``/``ok``: (K,) slot row indices, their stack row, and
+    a validity mask.  Pushes past a stack's capacity are dropped (the slot
+    leaks until the next full resort — bounded by the resort-on-drain
+    logic).  Returns ``(free_idx', free_cnt')``."""
+    rows = free_idx.shape[0]
+    cap = free_idx.shape[1]
+    sent = jnp.int32(rows)
+    key = jnp.where(ok, jnp.minimum(tiles, sent), sent).astype(jnp.int32)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    slots_s = slots[order]
+    ok_s = key_s < sent
+    r = _segment_ranks(key_s)
+    t_c = jnp.minimum(key_s, rows - 1)
+    pos = free_cnt[t_c] + r
+    write_ok = jnp.logical_and(ok_s, pos < cap)
+    free_idx = free_idx.at[
+        jnp.where(write_ok, t_c, rows),
+        jnp.clip(pos, 0, cap - 1)].set(slots_s, mode="drop")
+    pushed = jax.ops.segment_sum(write_ok.astype(jnp.int32), key_s,
+                                 num_segments=rows)
+    return free_idx, free_cnt + pushed
+
+
 def relocate(arrays, valid: jax.Array, src: jax.Array, dest: jax.Array,
              placed: jax.Array, values, n_total: int):
     """Move rows ``src -> dest`` (payload ``values`` written at ``dest``;
@@ -151,3 +219,85 @@ def relocate(arrays, valid: jax.Array, src: jax.Array, dest: jax.Array,
     dest_set = jnp.where(placed, dest, sent)
     valid = valid.at[dest_set].set(True, mode="drop")
     return tuple(out), valid
+
+
+def sharded_repair_migrate(
+    x1: jax.Array,
+    velocity: jax.Array,
+    alive: jax.Array,
+    tile_id: jax.Array,
+    idx: jax.Array,
+    ok: jax.Array,
+    lx1: jax.Array,
+    ly1_wrapped: jax.Array,
+    go_left: jax.Array,
+    go_right: jax.Array,
+    free_idx: jax.Array,
+    free_cnt: jax.Array,
+    spare_idx: jax.Array,
+    spare_cnt: jax.Array,
+    unplaced: jax.Array,
+    overflow: jax.Array,
+    arrival_tiles_fn,
+    *,
+    axis: str,
+    n_shards: int,
+    migration_buffer: int,
+    pseudo_shape: tuple,
+    tiling,
+    n_tiles: int,
+    slab: int,
+    halo_w: int,
+):
+    """The repair-enabled tail of a sorted-sharded local step: relocate the
+    compacted spilled rows (``idx``/``ok``, already exact-patched in
+    ``x1``/``velocity``) into dead slots of their new tile, then migrate
+    slab crossers with stack-coordinated slot accounting
+    (parallel/migration.migrate_ring_stacked).
+
+    ``lx1``: (N,) the new LOCAL x of every row (pseudo-grid frame);
+    ``ly1_wrapped``: (N, d-1) the new local/global rest coordinates already
+    wrapped.  Rows about to migrate are excluded from relocation (their
+    slot frees on the other side of the exchange).
+
+    Returns ``(x1, velocity, alive, free_idx, free_cnt, spare_idx,
+    spare_cnt, unplaced, overflow)``.
+    """
+    from ..parallel import migration
+    from .sorted_deposit import tile_ids, tile_ids_3d
+
+    n_tot = x1.shape[0]
+    # rows this shard keeps: local x inside the owned slab
+    lx_k = lx1[idx]
+    staying = jnp.logical_and(lx_k >= float(halo_w),
+                              lx_k < float(halo_w + slab))
+    req = jnp.logical_and(ok, staying)
+    loc_k = jnp.concatenate([lx_k[:, None], ly1_wrapped[idx]], axis=1)
+    tid_fn = tile_ids if len(pseudo_shape) == 2 else tile_ids_3d
+    new_t = tid_fn(loc_k, pseudo_shape, tiling)
+    old_t = tile_id[idx]
+    dest, placed, free_idx, free_cnt, nun = allocate_slots(
+        free_idx, free_cnt, idx, req, new_t, old_t, n_tot, n_tiles)
+    (x1, velocity), alive_b = relocate(
+        (x1, velocity), alive, idx, dest, placed,
+        (x1[idx], velocity[idx]), n_tot)
+    alive = alive_b
+    # placed rows vacating TRAILING (bad-block) slots free them to the
+    # spare stack (allocate_slots only pushes tile-segment slots)
+    spare_free = jnp.logical_and(placed, old_t >= n_tiles)
+    spare_idx, spare_cnt = push_slots(
+        spare_idx, spare_cnt, idx, jnp.zeros_like(old_t), spare_free)
+    unplaced = unplaced + nun
+
+    if n_shards > 1:
+        res = migration.migrate_ring_stacked(
+            (x1, velocity), alive, go_left, go_right, axis,
+            migration_buffer, tile_id, n_tiles, arrival_tiles_fn,
+            free_idx, free_cnt, spare_idx, spare_cnt)
+        x1, velocity = res.arrays
+        alive = res.alive
+        overflow = overflow + res.overflow
+        free_idx, free_cnt = res.free_idx, res.free_cnt
+        spare_idx, spare_cnt = res.spare_idx, res.spare_cnt
+    return (x1, velocity, alive, free_idx, free_cnt, spare_idx, spare_cnt,
+            unplaced, overflow)

@@ -33,11 +33,11 @@ class MigrationResult(NamedTuple):
     overflow: jax.Array    # scalar int — leavers dropped for lack of capacity
 
 
-def _pack(arrays, mask, capacity: int):
+def _pack(arrays, mask, capacity: int, with_take: bool = False):
     """Gather rows where ``mask`` into fixed (capacity, ...) buffers.
 
-    Returns (buffers, valid, overflow): rows beyond ``capacity`` are counted
-    as overflow."""
+    Returns (buffers, valid, overflow[, take]): rows beyond ``capacity`` are
+    counted as overflow; ``take`` is the packed rows' source indices."""
     n = mask.shape[0]
     # stable order: indices of selected rows first
     order = jnp.argsort(~mask)  # True (selected) sort first
@@ -46,7 +46,115 @@ def _pack(arrays, mask, capacity: int):
     valid = jnp.arange(capacity) < jnp.minimum(count, capacity)
     buffers = tuple(a[take] for a in arrays)
     overflow = jnp.maximum(count - capacity, 0)
+    if with_take:
+        return buffers, valid, overflow, take
     return buffers, valid, overflow
+
+
+class StackedMigrationResult(NamedTuple):
+    arrays: tuple          # per-field (N, ...) arrays after migration
+    alive: jax.Array       # (N,) bool
+    overflow: jax.Array    # leavers dropped + arrivals with no free slot
+    free_idx: jax.Array    # updated per-tile dead-slot stacks
+    free_cnt: jax.Array
+    spare_idx: jax.Array   # updated spare stack (trailing-region slots)
+    spare_cnt: jax.Array
+    placed_tile: jax.Array  # arrivals placed into their tile's segment
+    placed_spare: jax.Array  # arrivals placed into spare (bad-block) slots
+
+
+def migrate_ring_stacked(
+    arrays: tuple,
+    alive: jax.Array,
+    go_left: jax.Array,
+    go_right: jax.Array,
+    axis_name: str,
+    capacity: int,
+    tile_id: jax.Array,
+    n_tiles: int,
+    arrival_tiles_fn,
+    free_idx: jax.Array,
+    free_cnt: jax.Array,
+    spare_idx: jax.Array,
+    spare_cnt: jax.Array,
+) -> StackedMigrationResult:
+    """``migrate_ring`` for the repair-enabled sorted layouts: dead slots
+    are owned by the per-tile free stacks (ops/repair.py), so the merge
+    must allocate arrival slots FROM them (tile-local first — the arrival
+    is then immediately in-window — falling back to the spare stack of
+    trailing-region slots) and push leavers' freed slots back on.
+
+    ``tile_id``: (N,) the layout's per-row block tile (sentinel >= n_tiles
+    on trailing blocks); ``arrival_tiles_fn(arrival_arrays) -> (K,) int32``
+    maps the concatenated arrival buffers to their destination tile in THIS
+    shard's pseudo-grid.  Arrivals that neither stack can seat are dropped
+    and counted in ``overflow`` (legacy ``migrate_ring`` would seat them in
+    any dead slot; with stacks as the single source of truth that would
+    double-book — the resort-on-drain shell logic keeps stacks from running
+    dry in practice)."""
+    from ..ops.repair import pop_slots, push_slots
+
+    n_shards = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    n = alive.shape[0]
+
+    mask_l = jnp.logical_and(alive, go_left)
+    mask_r = jnp.logical_and(alive, go_right)
+    send_l, valid_l, ov_l, take_l = _pack(arrays, mask_l, capacity,
+                                          with_take=True)
+    send_r, valid_r, ov_r, take_r = _pack(arrays, mask_r, capacity,
+                                          with_take=True)
+    stay = jnp.logical_and(alive,
+                           jnp.logical_not(jnp.logical_or(go_left, go_right)))
+
+    # every leaver row's slot frees (even capacity-overflow leavers, which
+    # are dropped); compacted leaver indices cover up to capacity per side —
+    # overflow leaver slots leak until the next resort (overflow is an
+    # asserted-zero anomaly)
+    for take, valid in ((take_l, valid_l), (take_r, valid_r)):
+        t_of = tile_id[take]
+        tile_ok = jnp.logical_and(valid, t_of < n_tiles)
+        free_idx, free_cnt = push_slots(free_idx, free_cnt, take,
+                                        t_of, tile_ok)
+        spare_ok = jnp.logical_and(valid, t_of >= n_tiles)
+        spare_idx, spare_cnt = push_slots(
+            spare_idx, spare_cnt, take, jnp.zeros_like(t_of), spare_ok)
+
+    recv_from_right = tuple(lax.ppermute(b, axis_name, bwd) for b in send_l)
+    recv_valid_r = lax.ppermute(valid_l, axis_name, bwd)
+    recv_from_left = tuple(lax.ppermute(b, axis_name, fwd) for b in send_r)
+    recv_valid_l = lax.ppermute(valid_r, axis_name, fwd)
+
+    arrivals = tuple(
+        jnp.concatenate([l, r], axis=0)
+        for l, r in zip(recv_from_left, recv_from_right))
+    arrivals_valid = jnp.concatenate([recv_valid_l, recv_valid_r])
+
+    # seat arrivals: tile-local pop first, spare stack for the leftovers
+    arr_tiles = arrival_tiles_fn(arrivals)
+    slot, got, free_idx, free_cnt = pop_slots(
+        free_idx, free_cnt, arr_tiles, arrivals_valid, n)
+    need_spare = jnp.logical_and(arrivals_valid, jnp.logical_not(got))
+    slot2, got2, spare_idx, spare_cnt = pop_slots(
+        spare_idx, spare_cnt, jnp.zeros_like(arr_tiles), need_spare, n)
+    dest = jnp.where(got, slot, slot2)
+    placed = jnp.logical_or(got, got2)
+    dest = jnp.where(placed, dest, n)
+
+    out_arrays = []
+    for a, arr in zip(arrays, arrivals):
+        out_arrays.append(a.at[dest].set(arr, mode="drop"))
+    new_alive = stay.at[dest].set(True, mode="drop")
+    n_lost = jnp.sum(jnp.logical_and(arrivals_valid,
+                                     jnp.logical_not(placed)))
+    overflow = ov_l + ov_r + n_lost.astype(jnp.int32)
+    return StackedMigrationResult(
+        arrays=tuple(out_arrays), alive=new_alive, overflow=overflow,
+        free_idx=free_idx, free_cnt=free_cnt,
+        spare_idx=spare_idx, spare_cnt=spare_cnt,
+        placed_tile=jnp.sum(got.astype(jnp.int32)),
+        placed_spare=jnp.sum(got2.astype(jnp.int32)))
 
 
 def migrate_ring(

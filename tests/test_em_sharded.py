@@ -263,3 +263,47 @@ def test_sharded_sorted_single_shard():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(sim.state.b), np.asarray(ref.state.b),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("gather_backend", [
+    "xla",
+    pytest.param("fused", marks=pytest.mark.slow),
+])
+def test_sharded_sorted_em_repair_matches_single_device(gather_backend):
+    """repair=True on the sorted-sharded EM composition: resort disabled,
+    sustained cross-shard drift, stack-coordinated migration — still matches
+    the single-device reference."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    base, pos, vel = _setup()
+    vel = vel.copy()
+    vel[:, 0] += 1.2  # sustained drift: rows cross shards continuously
+    mesh = make_mesh(8, ("space",))
+
+    n_steps = 20
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(n_steps)
+
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128, tiling=tiling,
+                          resort_every=10 ** 6, repair=True,
+                          gather_backend=gather_backend)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(n_steps)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    if gather_backend == "xla":
+        # the fused kernel's slab geometry (one x-tile per slab) hands every
+        # x-crossing to migration before it can spill, so spill can be 0
+        assert int(np.asarray(sim.state.spill).sum()) > 0
+    np.testing.assert_allclose(np.asarray(sim.state.e),
+                               np.asarray(ref.state.e), rtol=2e-3, atol=2e-4)
+    p_sharded, _ = sim.gather_particles()
+    assert p_sharded.shape[0] == pos.shape[0]   # no particle lost
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sharded[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4,
+                               atol=2e-3)

@@ -271,3 +271,68 @@ def test_sharded_sorted_es_single_shard():
     d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
     match = d2.argmin(axis=1)
     np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("backend", [
+    "xla",
+    pytest.param("pallas", marks=pytest.mark.slow),
+])
+def test_sharded_sorted_es_repair_matches_single_device(backend):
+    """repair=True on the sorted-sharded composition: spills relocate
+    in-shard, migration arrivals seat straight into their tile via the
+    stack-coordinated merge (migrate_ring_stacked), and with the resort
+    DISABLED the run still reproduces the single-device ES model through
+    sustained cross-shard drift."""
+    from fusion_sim_tpu.models import electrostatic as es
+    from fusion_sim_tpu.models.electrostatic_sharded import (
+        ShardedESConfig, ShardedElectrostaticPIC)
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 64
+    d = 2 * np.pi / n_cells
+    n = 4000
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+    vel[:, 0] += 0.8  # sustained x drift: every particle crosses shards
+
+    n_steps = 24
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    if backend == "pallas":
+        # the pallas composition carries rho (solve uses last step's
+        # deposit); the reference for row-level comparison is the XLA
+        # sharded repair path below — here just check vs plain ES moments
+        pass
+    ref.step(n_steps)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128, tiling=tiling,
+                          resort_every=10 ** 6, backend=backend, repair=True)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(n_steps)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    assert int(np.asarray(sim.state.spill).sum()) > 0   # migration churned
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n                           # no particle lost
+    ref_pos = np.asarray(ref.state.position)
+    if backend == "xla":
+        d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+        match = d2.argmin(axis=1)
+        assert len(np.unique(match)) == len(match)
+        np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=5e-3)
+        np.testing.assert_allclose(v_sh,
+                                   np.asarray(ref.state.velocity)[match],
+                                   rtol=1e-4, atol=5e-3)
+    else:
+        # carried-rho loop lags the solve by one step — compare moments
+        np.testing.assert_allclose(np.sort(p_sh[:, 0]),
+                                   np.sort(ref_pos[:, 0]), atol=0.3)
+        np.testing.assert_allclose(v_sh.mean(0), 
+                                   np.asarray(ref.state.velocity).mean(0),
+                                   atol=0.02)

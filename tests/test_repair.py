@@ -8,7 +8,8 @@ import pytest
 import jax.numpy as jnp
 
 from fusion_sim_tpu.models import electrostatic as es
-from fusion_sim_tpu.ops.repair import allocate_slots, init_free_list
+from fusion_sim_tpu.ops.repair import (allocate_slots, init_free_list,
+                                       pop_slots, push_slots)
 from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
 
 
@@ -239,3 +240,59 @@ def test_pusher_repair_tracks_plain_grid_path(backend):
     # margins at any instant; the broken (no-reserve) repair decayed to
     # ~0.25 here while the working one equilibrates at ~0.5-0.65
     assert frac > 0.4
+
+
+def test_pop_push_slots_roundtrip():
+    n_total = 1000
+    free_idx = jnp.asarray([[10, 11, 12, n_total],
+                            [20, n_total, n_total, n_total],
+                            [30, 31, n_total, n_total]], jnp.int32)
+    free_cnt = jnp.asarray([3, 1, 2], jnp.int32)
+    # pop: 2 from tile 0, 2 from tile 1 (one fails), 1 no-request
+    tiles = jnp.asarray([0, 0, 1, 1, 7], jnp.int32)
+    want = jnp.asarray([True, True, True, True, False])
+    slot, got, fidx, fcnt = pop_slots(free_idx, free_cnt, tiles, want, n_total)
+    slot, got = np.asarray(slot), np.asarray(got)
+    assert got[0] and got[1] and {slot[0], slot[1]} == {12, 11}
+    assert got[2] != got[3]                     # only one slot in tile 1
+    assert {slot[2], slot[3]} & {20} == {20}
+    assert not got[4] and slot[4] == n_total
+    fcnt = np.asarray(fcnt)
+    assert fcnt.tolist() == [1, 0, 2]
+    # push the popped slots back (and one dropped pushing past cap)
+    fidx2, fcnt2 = push_slots(fidx, fcnt,
+                              jnp.asarray([12, 11, 20, 99, 98], jnp.int32),
+                              jnp.asarray([0, 0, 1, 2, 2], jnp.int32),
+                              jnp.asarray([True, True, True, True, True]))
+    fcnt2 = np.asarray(fcnt2)
+    assert fcnt2.tolist() == [3, 1, 4]
+    got_back = set(np.asarray(fidx2)[0, :3].tolist())
+    assert {11, 12}.issubset(got_back)
+
+
+def test_init_free_list_spare_row():
+    """spare=True: the trailing dead region (tile_id == n_tiles) lands on
+    stack row n_tiles."""
+    from fusion_sim_tpu.ops.sorted_deposit import build_padded_layout
+
+    rng = np.random.default_rng(1)
+    n, cells = 512, 16
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    pos = jnp.asarray(rng.random((n, 2)) * cells, jnp.float32)
+    w = jnp.ones((n,), jnp.float32)
+    # kill half the rows -> they sort to the trailing dead region
+    valid_in = jnp.arange(n) % 2 == 0
+    tid, pos_p, w_p, _ = build_padded_layout(pos, (cells, cells), tiling, w,
+                                             valid=valid_in, reserve=True)
+    valid = jnp.logical_and(w_p > 0.5, tid < 4)
+    fidx, fcnt = init_free_list(tid, valid, 4, tiling.block, 64, spare=True)
+    fidx, fcnt = np.asarray(fidx), np.asarray(fcnt)
+    assert fidx.shape[0] == 5
+    tid_np = np.asarray(tid)
+    n_trailing = int((tid_np == 4).sum())
+    assert n_trailing > 0
+    assert fcnt[4] == min(n_trailing, 64)
+    assert np.all(tid_np[fidx[4, :fcnt[4]]] == 4)
+    # per-tile rows unchanged vs spare=False
+    fidx0, fcnt0 = init_free_list(tid, valid, 4, tiling.block, 64)
+    assert np.array_equal(np.asarray(fcnt0), fcnt[:4])
