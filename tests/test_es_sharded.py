@@ -336,3 +336,40 @@ def test_sharded_sorted_es_repair_matches_single_device(backend):
         np.testing.assert_allclose(v_sh.mean(0), 
                                    np.asarray(ref.state.velocity).mean(0),
                                    atol=0.02)
+
+
+@pytest.mark.slow
+def test_sharded_sorted_es_3d_repair_matches_single_device():
+    """3D sorted-sharded ES with repair=True and the resort disabled: the
+    dimension-agnostic relocation + stacked migration reproduce the
+    single-device model under sustained cross-shard drift."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n_cells, n = 32, 4096
+    d = 2 * np.pi / n_cells
+    base = es.ESConfig(grid_shape=(n_cells,) * 3, cell_size=(d,) * 3,
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(2)
+    pos = (rng.random((n, 3)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    vel[:, 0] += 0.6
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(16)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling3D(tile=(4, 8, 8), block=128, margin=1)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128, tiling=tiling,
+                          resort_every=10 ** 6, repair=True)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(16)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=5e-3)
