@@ -251,7 +251,7 @@ class SimulationService:
                 sim.enable_sorted_path(**{
                     k: v for k, v in body.items()
                     if k in ("resort_every", "spill_capacity", "backend",
-                             "rng_impl")})
+                             "rng_impl", "repair", "repair_free_slots")})
             elif name == "disable_sorted_path":
                 sim.disable_sorted_path()
             else:
