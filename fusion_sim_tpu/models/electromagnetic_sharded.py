@@ -633,22 +633,16 @@ def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
 
 def make_sharded_em_free_init_fn(config: ShardedEMConfig, mesh: Mesh,
                                  axis: str = "space"):
-    """Per-shard free-stack (re)build for the repair composition (mirror of
-    electrostatic_sharded.make_sharded_es_free_init_fn)."""
-    from ..ops.repair import init_free_list
+    """Per-shard free-stack (re)build for the repair composition
+    (ops/repair.make_sharded_free_init — shared with the other sharded
+    model)."""
+    from ..ops.repair import make_sharded_free_init
 
-    tiling = config.tiling
-    n_tiles_ps = int(np.prod(tiling.n_tiles(config.pseudo_shape)))
-    F = config.repair_free_slots
     S = config.spare_slots or max(config.repair_free_slots,
                                   2 * config.migration_buffer)
-
-    def local_init(tile_id, alive):
-        fidx, fcnt = init_free_list(tile_id, alive, n_tiles_ps,
-                                    tiling.block, F)
-        sidx_a, scnt_a = init_free_list(tile_id, alive, n_tiles_ps,
-                                        tiling.block, S, spare=True)
-        return fidx, fcnt, sidx_a[n_tiles_ps:], scnt_a[n_tiles_ps:]
+    local_init = make_sharded_free_init(
+        config.tiling, config.pseudo_shape, config.tiling.block,
+        config.repair_free_slots, S)
 
     mapped = shard_map(
         local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
@@ -730,13 +724,13 @@ class ShardedElectromagneticPIC:
             if self.sorted:
                 self._since_sort += 1
         if self.config.repair:
-            # resort-on-drain (see electrostatic_sharded)
-            unplaced = int(jnp.sum(self.state.unplaced))
-            delta = unplaced - self._unplaced_seen
-            self._unplaced_seen = unplaced
-            if delta > max(64, min(self.config.spill_capacity,
-                                   self.config.capacity) // 8) * max(1, n):
-                self._need_resort = True
+            from ..ops.repair import drain_check
+
+            self._need_resort, self._unplaced_seen, self._overflow_seen = \
+                drain_check(self.state, self._unplaced_seen,
+                            getattr(self, "_overflow_seen", 0),
+                            self.config.spill_capacity,
+                            self.config.capacity, n)
         if self.config.debug_checks:
             inv = self.check_invariants()
             if not inv["disp_bound_ok"]:

@@ -574,11 +574,11 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
                 rho_new, *repair_out)
 
     pf = P(axis, None)
-    use_repair2 = use_repair
+    use_repair = use_repair
     base_spec = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis),
                  P(axis), P(axis), pf)
     repair_spec = ((P(axis, None), P(axis), P(axis, None), P(axis), P(axis))
-                   if use_repair2 else ())
+                   if use_repair else ())
     spec = base_spec + repair_spec
     mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec,
                        check_vma=False)
@@ -586,13 +586,13 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
     @jax.jit
     def step(state: ShardedESState) -> ShardedESState:
         rep_in = ((state.free_idx, state.free_cnt, state.spare_idx,
-                   state.spare_cnt, state.unplaced) if use_repair2 else ())
+                   state.spare_cnt, state.unplaced) if use_repair else ())
         out = mapped(state.position, state.velocity, state.alive,
                      state.tile_id, state.overflow, state.max_disp,
                      state.spill, state.rho, *rep_in)
         pos, vel, alive, tid, ov, md, sp, rho = out[:8]
         extra = {}
-        if use_repair2:
+        if use_repair:
             fidx, fcnt, sidx, scnt, unpl = out[8:]
             extra = dict(free_idx=fidx, free_cnt=fcnt, spare_idx=sidx,
                          spare_cnt=scnt, unplaced=unpl)
@@ -653,23 +653,16 @@ def make_sharded_es_seed_rho_fn(config: ShardedESConfig, mesh: Mesh,
 
 def make_sharded_es_free_init_fn(config: ShardedESConfig, mesh: Mesh,
                                  axis: str = "space"):
-    """Per-shard free-stack (re)build for the repair composition: per-tile
-    stacks from each tile's filler suffix + the spare stack from the
-    trailing dead region (ops/repair.init_free_list)."""
-    from ..ops.repair import init_free_list
+    """Per-shard free-stack (re)build for the repair composition
+    (ops/repair.make_sharded_free_init — shared with the other sharded
+    model)."""
+    from ..ops.repair import make_sharded_free_init
 
-    tiling = config.tiling
-    n_tiles_ps = int(np.prod(tiling.n_tiles(config.pseudo_shape)))
-    F = config.repair_free_slots
     S = config.spare_slots or max(config.repair_free_slots,
                                   2 * config.migration_buffer)
-
-    def local_init(tile_id, alive):
-        fidx, fcnt = init_free_list(tile_id, alive, n_tiles_ps,
-                                    tiling.block, F)
-        sidx_a, scnt_a = init_free_list(tile_id, alive, n_tiles_ps,
-                                        tiling.block, S, spare=True)
-        return fidx, fcnt, sidx_a[n_tiles_ps:], scnt_a[n_tiles_ps:]
+    local_init = make_sharded_free_init(
+        config.tiling, config.pseudo_shape, config.tiling.block,
+        config.repair_free_slots, S)
 
     mapped = shard_map(
         local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
@@ -811,15 +804,13 @@ class ShardedElectrostaticPIC:
             if self.sorted:
                 self._since_sort += 1
         if self.config.repair:
-            # resort-on-drain: a large unplaced delta means per-tile stacks
-            # exhausted (net migration imbalance) — one host sync per call
-            unplaced = int(jnp.sum(self.state.unplaced))
-            delta = unplaced - self._unplaced_seen
-            self._unplaced_seen = unplaced
-            per_shard = self.config.capacity
-            if delta > max(64, min(self.config.spill_capacity,
-                                   per_shard) // 8) * max(1, n):
-                self._need_resort = True
+            from ..ops.repair import drain_check
+
+            self._need_resort, self._unplaced_seen, self._overflow_seen = \
+                drain_check(self.state, self._unplaced_seen,
+                            getattr(self, "_overflow_seen", 0),
+                            self.config.spill_capacity,
+                            self.config.capacity, n)
         if self.config.debug_checks:
             inv = self.check_invariants()
             if not inv["disp_bound_ok"]:

@@ -301,3 +301,85 @@ def sharded_repair_migrate(
         spare_idx, spare_cnt = res.spare_idx, res.spare_cnt
     return (x1, velocity, alive, free_idx, free_cnt, spare_idx, spare_cnt,
             unplaced, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "block", "capacity"))
+def init_spare_list(tile_id: jax.Array, valid: jax.Array, n_tiles: int,
+                    block: int, capacity: int):
+    """Spare stack over the TRAILING dead region (rows with
+    ``tile_id == n_tiles``) of a fresh layout, directly as a range — O(S),
+    no per-tile work (unlike ``init_free_list(spare=True)``).
+
+    Returns ``(spare_idx (1, capacity), spare_cnt (1,))``."""
+    n = tile_id.shape[0]
+    blk_tile = tile_id[::block]
+    start = jnp.searchsorted(blk_tile, jnp.int32(n_tiles)) * block
+    # the trailing region is all dead by construction (surplus fillers +
+    # invalid rows sorted past every tile segment); guard with `valid`
+    # anyway so a non-fresh layout cannot hand out live rows
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    idx = start.astype(jnp.int32) + k
+    ok = jnp.logical_and(idx < n, ~valid[jnp.minimum(idx, n - 1)])
+    cnt = jnp.sum(ok.astype(jnp.int32), keepdims=True)
+    # dead rows are contiguous from `start` on a fresh layout, so the first
+    # `cnt` entries are exactly the usable ones
+    idx = jnp.where(k < cnt, idx, n)
+    return idx[None, :], cnt
+
+
+def make_sharded_free_init(tiling, pseudo_shape, block: int,
+                           free_slots: int, spare_slots: int):
+    """Shared per-shard free-stack builder for the sharded repair
+    compositions (ES and EM): returns a function
+    ``(tile_id, alive) -> (free_idx, free_cnt, spare_idx, spare_cnt)``
+    suitable for shard_map over per-shard local arrays."""
+    import numpy as _np
+
+    n_tiles = int(_np.prod(tiling.n_tiles(pseudo_shape)))
+
+    def local_init(tile_id, alive):
+        fidx, fcnt = init_free_list(tile_id, alive, n_tiles, block,
+                                    free_slots)
+        sidx, scnt = init_spare_list(tile_id, alive, n_tiles, block,
+                                     spare_slots)
+        return fidx, fcnt, sidx, scnt
+
+    return local_init
+
+
+def drain_check(state, unplaced_seen: int, overflow_seen: int,
+                spill_capacity: int, per_shard_capacity: int,
+                n_steps: int):
+    """Shared resort-on-drain heuristic for the sharded repair shells.
+
+    Schedules a full resort when either signal fires since the last check
+    (one host sync per step() call):
+
+    * a large ``unplaced`` delta — relocation requests found their tile's
+      stack empty (net migration imbalance draining the free slots);
+    * ANY ``overflow`` delta — with repair on, overflow includes migration
+      arrivals DROPPED because both their tile's stack and the spare stack
+      were empty (permanent particle loss; legacy ``migrate_ring`` would
+      have seated them in an untracked dead slot).  The resort rebuilds
+      every stack from the full dead inventory, stopping further loss.
+
+    Returns ``(need_resort, unplaced_seen', overflow_seen')``."""
+    import warnings
+
+    import jax.numpy as _jnp
+
+    unplaced = int(_jnp.sum(state.unplaced))
+    overflow = int(_jnp.sum(state.overflow))
+    d_unpl = unplaced - unplaced_seen
+    d_ovf = overflow - overflow_seen
+    need = d_unpl > max(64, min(spill_capacity,
+                                per_shard_capacity) // 8) * max(1, n_steps)
+    if d_ovf > 0:
+        warnings.warn(
+            f"{d_ovf} migration arrivals were dropped (their tile's free "
+            f"stack AND the spare stack were empty); scheduling a full "
+            f"resort — raise spare_slots/repair_free_slots or lower the "
+            f"resort threshold to avoid the loss",
+            RuntimeWarning, stacklevel=3)
+        need = True
+    return need, unplaced, overflow

@@ -307,3 +307,46 @@ def test_sharded_sorted_em_repair_matches_single_device(gather_backend):
     assert len(np.unique(match)) == len(match)
     np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4,
                                atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_sorted_em_3d_repair_matches_single_device():
+    """3D sorted-sharded EM with repair=True, resort disabled: the
+    dimension-agnostic relocation + stacked migration hold in 3D too."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    d = 0.5
+    n_cells = 32
+    base = em.EMConfig(grid_shape=(n_cells, n_cells, n_cells),
+                       cell_size=(d, d, d), dt=0.15 * d,
+                       charge=-0.01, mass=0.01, field_gather="centered")
+    rng = np.random.default_rng(5)
+    n = 2000
+    pos = rng.random((n, 3)) * n_cells
+    vel = 0.2 * rng.standard_normal((n, 3))
+    vel = vel.copy()
+    vel[:, 0] += 1.2
+
+    n_steps = 12
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(n_steps)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling3D(tile=(4, 4, 4), block=128, margin=1)
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=128, tiling=tiling,
+                          resort_every=10 ** 6, repair=True)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(n_steps)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(sim.state.e),
+                               np.asarray(ref.state.e), rtol=2e-3, atol=2e-4)
+    p_sharded, _ = sim.gather_particles()
+    assert p_sharded.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sharded[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4,
+                               atol=2e-3)

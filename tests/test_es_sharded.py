@@ -373,3 +373,59 @@ def test_sharded_sorted_es_3d_repair_matches_single_device():
     match = d2.argmin(axis=1)
     assert len(np.unique(match)) == len(match)
     np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=5e-3)
+
+
+def test_sharded_repair_overflow_triggers_resort():
+    """Dropped migration arrivals (tile + spare stacks empty) warn and
+    schedule a full resort, which rebuilds stacks and stops the loss."""
+    import warnings
+
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 64
+    d = 2 * np.pi / n_cells
+    n = 2000
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(3)
+    # everyone clustered in shard 0, all drifting right fast: shard 1's
+    # minuscule stacks are overwhelmed within a couple of steps
+    pos = np.zeros((n, 2), np.float32)
+    pos[:, 0] = 6.0 + rng.random(n).astype(np.float32)
+    pos[:, 1] = (rng.random(n) * n_cells).astype(np.float32)
+    vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+    vel[:, 0] += 1.9
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+
+    # (a) pathologically tiny stacks: drops happen, but they WARN, schedule
+    # resorts, and the accounting is exact (live + dropped == n)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=2048,
+                          migration_buffer=2048, tiling=tiling,
+                          resort_every=10 ** 6, repair=True,
+                          repair_free_slots=4, spare_slots=4)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(10):
+            sim.step(1)
+        dropped_total = int(np.asarray(sim.state.overflow).sum())
+        drop_warns = [x for x in w if "dropped" in str(x.message)]
+    assert dropped_total > 0        # the scenario actually overwhelms them
+    assert drop_warns               # ...and the shell said so
+    p_sh, _ = sim.gather_particles()
+    assert p_sh.shape[0] + dropped_total == n   # exact accounting
+
+    # (b) DEFAULT sizing (spare >= 2*migration_buffer): the same flood
+    # seats every arrival — nothing lost, no warning
+    cfg2 = ShardedESConfig(base=base, n_shards=8, capacity=2048,
+                           migration_buffer=2048, tiling=tiling,
+                           resort_every=10 ** 6, repair=True)
+    sim2 = ShardedElectrostaticPIC(cfg2, mesh, pos, vel)
+    for _ in range(10):
+        sim2.step(1)
+    assert int(np.asarray(sim2.state.overflow).sum()) == 0
+    p_sh2, _ = sim2.gather_particles()
+    assert p_sh2.shape[0] == n

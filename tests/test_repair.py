@@ -296,3 +296,87 @@ def test_init_free_list_spare_row():
     # per-tile rows unchanged vs spare=False
     fidx0, fcnt0 = init_free_list(tid, valid, 4, tiling.block, 64)
     assert np.array_equal(np.asarray(fcnt0), fcnt[:4])
+
+
+def test_migrate_ring_stacked_seat_spare_drop():
+    """Unit test of the stack-coordinated migration merge: arrivals seat
+    tile-locally first, fall back to the spare stack, and are dropped (into
+    overflow) only when both are empty."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+    from fusion_sim_tpu.parallel.migration import migrate_ring_stacked
+
+    mesh = make_mesh(2, ("space",))
+    n, n_tiles, F, S, cap = 8, 2, 2, 1, 4
+
+    # shard 0 sends rows 2, 3, 4 right; shard 1 sends nothing.
+    # per-shard layout: tile_id [0,0,1,1,2,2,2,2] (rows 4..7 trailing)
+    pos = jnp.asarray(
+        [[1.0, 0], [2.0, 0], [3.0, 0], [4.0, 0], [0, 0], [0, 0], [0, 0],
+         [0, 0]] +
+        [[9.0, 0], [0, 0], [0, 0], [0, 0], [0, 0], [0, 0], [0, 0], [0, 0]],
+        jnp.float32)
+    alive = jnp.asarray([True, True, True, True, False, False, False, False,
+                         True, False, False, False, False, False, False,
+                         False])
+    go_r = jnp.asarray([False, False, True, True] + [False] * 12)
+    go_l = jnp.zeros((16,), bool)
+    tile_id = jnp.asarray([0, 0, 1, 1, 2, 2, 2, 2] * 2, jnp.int32)
+    # shard 1 stacks: tile 0 has ONE slot (row 1), tile 1 empty, spare has
+    # ONE slot (row 4) -> of 3 arrivals: 1 tile-seats, 1 spare-seats, 1 drops
+    free_idx = jnp.asarray([[[1, 8], [8, 8]], [[1, 8], [8, 8]]], jnp.int32)
+    free_cnt = jnp.asarray([[1, 0], [1, 0]], jnp.int32)
+    spare_idx = jnp.asarray([[[4]], [[4]]], jnp.int32)
+    spare_cnt = jnp.asarray([[1], [1]], jnp.int32)
+    # also send row 4 (alive) from shard 0 to make 3 arrivals
+    alive = alive.at[4].set(True)
+    go_r = go_r.at[4].set(True)
+    pos = pos.at[4].set(jnp.asarray([5.0, 0.0]))
+
+    def arrival_tiles(arrs):
+        # send everything to tile 0 on the receiver
+        return jnp.zeros((arrs[0].shape[0],), jnp.int32)
+
+    p2, p1 = P("space", None), P("space")
+    vel = jnp.zeros_like(pos)
+
+    def local2(pos, vel, alive, go_l_, go_r_, tid, fidx, fcnt, sidx, scnt):
+        res = migrate_ring_stacked(
+            (pos, vel), alive, go_l_, go_r_, "space", 4, tid, n_tiles,
+            arrival_tiles, fidx, fcnt, sidx, scnt)
+        return (res.arrays[0], res.alive,
+                jnp.broadcast_to(res.overflow, (1,)),
+                res.free_cnt, res.spare_cnt,
+                jnp.broadcast_to(res.placed_tile, (1,)),
+                jnp.broadcast_to(res.placed_spare, (1,)))
+
+    mapped = shard_map(
+        local2, mesh=mesh,
+        in_specs=(p2, p2, p1, p1, p1, p1, p2, p1, p2, p1),
+        out_specs=(p2, p1, p1, p1, p1, p1, p1))
+    pos_o, alive_o, ovf, fcnt_o, scnt_o, pt, ps = mapped(
+        pos, vel, alive, go_l, go_r, tile_id,
+        free_idx.reshape(2 * n_tiles, 2), free_cnt.reshape(-1),
+        spare_idx.reshape(2, 1 * S), spare_cnt.reshape(-1))
+    ovf = np.asarray(ovf)
+    assert ovf[0] == 0
+    assert ovf[1] == 1                      # one arrival dropped on shard 1
+    assert int(pt[1]) == 1 and int(ps[1]) == 1
+    # shard 1 seated one arrival in row 1 (tile 0 stack) + one in row 4
+    alive_o = np.asarray(alive_o)
+    assert alive_o[8 + 1] and alive_o[8 + 4]
+    seated = {float(np.asarray(pos_o)[8 + 1, 0]),
+              float(np.asarray(pos_o)[8 + 4, 0])}
+    assert seated < {3.0, 4.0, 5.0} or seated.issubset({3.0, 4.0, 5.0})
+    # shard 0's leaver slots were pushed: tiles 1 (rows 2,3) and 2->spare
+    fcnt_o = np.asarray(fcnt_o).reshape(2, n_tiles)
+    assert fcnt_o[0, 1] == 2                # rows 2,3 pushed onto tile 1
+    scnt_o = np.asarray(scnt_o)
+    # shard 0's trailing leaver (row 4) pushes onto the spare stack, but the
+    # stack was already at its capacity S=1 -> the push leaks (documented
+    # bounded-leak behavior; the resort recovers it)
+    assert scnt_o[0] == 1
+    assert scnt_o[1] == 0                   # shard 1 spare drained
