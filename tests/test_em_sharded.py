@@ -266,7 +266,7 @@ def test_sharded_sorted_single_shard():
 
 
 @pytest.mark.parametrize("gather_backend", [
-    "xla",
+    pytest.param("xla", marks=pytest.mark.slow),
     pytest.param("fused", marks=pytest.mark.slow),
 ])
 def test_sharded_sorted_em_repair_matches_single_device(gather_backend):

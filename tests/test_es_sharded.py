@@ -274,7 +274,7 @@ def test_sharded_sorted_es_single_shard():
 
 
 @pytest.mark.parametrize("backend", [
-    "xla",
+    pytest.param("xla", marks=pytest.mark.slow),
     pytest.param("pallas", marks=pytest.mark.slow),
 ])
 def test_sharded_sorted_es_repair_matches_single_device(backend):
@@ -375,6 +375,7 @@ def test_sharded_sorted_es_3d_repair_matches_single_device():
     np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_sharded_repair_overflow_triggers_resort():
     """Dropped migration arrivals (tile + spare stacks empty) warn and
     schedule a full resort, which rebuilds stacks and stops the loss."""

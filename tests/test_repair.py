@@ -186,7 +186,7 @@ def test_em_repair_matches_reference_without_resort(gather_backend):
 
 
 @pytest.mark.parametrize("backend", [
-    "xla",
+    pytest.param("xla", marks=pytest.mark.slow),
     pytest.param("fused", marks=pytest.mark.slow),
 ])
 def test_pusher_repair_tracks_plain_grid_path(backend):
