@@ -37,19 +37,41 @@ from .pallas_pic import accumulate_tile_2d
 def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_half_dt, inv_dx,
                  inv_dz, dt, coef_x, coef_z, inv_vol, c_light, relativistic,
-                 precision, dep_precision):
+                 precision, dep_precision, stream):
     three_term = precision == "exact_bf16"
-    if three_term:
-        ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
-        (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
-         inw_ref, acc_ref, acc_sem) = refs[2:]
-    else:
-        ewin_ref = refs[0]
-        (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
-         inw_ref, acc_ref, acc_sem) = refs[1:]
+    n_win = 2 if three_term else 1
+    wins = refs[:n_win]
+    (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
+     inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 9]
     s = pl.program_id(0)
     ns = pl.num_programs(0)
     p = lr_ref.shape[-1]
+
+    if stream:
+        # HBM window set, per-block DMA by prefetched tile index, double-
+        # buffered one grid step ahead (see _es2d_kernel / the 3D kernels)
+        scrs = refs[n_win + 9:n_win + 9 + n_win]
+        sems = refs[n_win + 9 + n_win:]
+
+        def window_dma(slot, step, g):
+            t = jnp.minimum(tile_ref[step * n_g + g], n_tiles - 1)
+            return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g],
+                                          sm.at[slot, g])
+                    for hbm, sc, sm in zip(wins, scrs, sems)]
+
+        @pl.when(s == 0)
+        def _():
+            for g in range(n_g):
+                for dma in window_dma(0, 0, g):
+                    dma.start()
+
+        @pl.when(s + 1 < ns)
+        def _():
+            for g in range(n_g):
+                for dma in window_dma((s + 1) % 2, s + 1, g):
+                    dma.start()
+
+        slot = s % 2
     # r tents on the sublane-padded range (rows >= wr are zero in-window)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
                                       0).astype(jnp.float32)
@@ -62,7 +84,13 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                                        0).astype(jnp.float32)
     outs = [[] for _ in range(6)]
     for g in range(n_g):
-        t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+        if stream:
+            for dma in window_dma(slot, s, g):
+                dma.wait()
+            win_ops = [sc[slot, g] for sc in scrs]
+        else:
+            t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+            win_ops = [w_ref_[t] for w_ref_ in wins]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         l0r, l0z = sl(lr_all), sl(lz_all)
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(l0r - iota_r))   # (wr, P)
@@ -80,10 +108,10 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
             # 3 bf16 passes instead of 'highest''s ~6 (ops/mxu.py);
             # windows were split once in XLA
             ar_hi, ar_lo = split_bf16(ar)
-            t_all = dot3(ewin_hi_ref[t], ewin_lo_ref[t], ar_hi, ar_lo, dn)
+            t_all = dot3(win_ops[0], win_ops[1], ar_hi, ar_lo, dn)
         else:
             t_all = jax.lax.dot_general(
-                ewin_ref[t], ar, dn,
+                win_ops[0], ar, dn,
                 precision=precision, preferred_element_type=jnp.float32)
         az_p = jnp.maximum(0.0, 1.0 - jnp.abs(l0z - iota_zp))
         pt = t_all * jnp.concatenate([az_p] * 6, axis=0)
@@ -186,7 +214,8 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_half_dt",
                                              "dt", "cell_size", "c_light",
                                              "relativistic", "charge",
-                                             "precision", "interpret"))
+                                             "precision", "stream",
+                                             "interpret"))
 def fused_em2d_substep(
     table: jax.Array,
     position: jax.Array,
@@ -202,6 +231,7 @@ def fused_em2d_substep(
     c_light: float = 1.0,
     relativistic: bool = False,
     precision: str = "highest",
+    stream: bool | None = None,
     interpret: bool = False,
 ):
     """One fused EM particle substep for the tile-sorted 2D3V layout.
@@ -271,6 +301,13 @@ def fused_em2d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
+    # stream=None: resident while the 6-channel window set fits VMEM
+    # comfortably, HBM-streamed by prefetched tile index otherwise
+    win_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
+                    for w in ewin_args)
+    win_bytes = win_bytes * (-(-wr_pad // 128) * 128) // wr_pad
+    if stream is None:
+        stream = win_bytes > 48 * 2 ** 20
     kernel = functools.partial(
         _em2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad, n_g=n_g, n_tiles=n_tiles,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
@@ -278,13 +315,26 @@ def fused_em2d_substep(
         coef_x=float(-dx / (vol * dt)), coef_z=float(-dz_cell / (vol * dt)),
         inv_vol=float(1.0 / vol), c_light=float(c_light),
         relativistic=relativistic, precision=precision,
-        dep_precision=dep_precision)
+        dep_precision=dep_precision, stream=stream)
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr_pad),
-                            lambda s, *_: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if stream:
+        win_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr_pad),
+                                lambda s, *_: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((3 * wr_pad, wz), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if stream:
+        wdtype = jnp.bfloat16 if three_term else jnp.float32
+        for _ in ewin_args:
+            scratch.append(pltpu.VMEM((2, n_g, 6 * wz_pad, wr_pad), wdtype))
+        for _ in ewin_args:
+            scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -297,10 +347,7 @@ def fused_em2d_substep(
             pl.BlockSpec(memory_space=pl.ANY),
             row_spec,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3 * wr_pad, wz), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,

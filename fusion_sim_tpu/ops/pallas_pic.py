@@ -82,19 +82,42 @@ def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
 
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
-                 precision, dep_precision):
+                 precision, dep_precision, stream):
     three_term = precision == "exact_bf16"
-    if three_term:
-        ewin_hi_ref, ewin_lo_ref = refs[0], refs[1]
-        (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
-         inw_ref, acc_ref, acc_sem) = refs[2:]
-    else:
-        ewin_ref = refs[0]
-        (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
-         inw_ref, acc_ref, acc_sem) = refs[1:]
+    n_win = 2 if three_term else 1
+    wins = refs[:n_win]
+    (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
+     inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 8]
     s = pl.program_id(0)
     ns = pl.num_programs(0)
     p = lr_ref.shape[-1]
+
+    if stream:
+        # windows live in HBM; DMA each block's window by its scalar-
+        # prefetched tile index, double-buffered one grid step ahead (the
+        # 3D kernels' recipe) — no VMEM-resident window-set size limit
+        scrs = refs[n_win + 8:n_win + 8 + n_win]
+        sems = refs[n_win + 8 + n_win:]
+
+        def window_dma(slot, step, g):
+            t = jnp.minimum(tile_ref[step * n_g + g], n_tiles - 1)
+            return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g],
+                                          sm.at[slot, g])
+                    for hbm, sc, sm in zip(wins, scrs, sems)]
+
+        @pl.when(s == 0)
+        def _():
+            for g in range(n_g):
+                for dma in window_dma(0, 0, g):
+                    dma.start()
+
+        @pl.when(s + 1 < ns)
+        def _():
+            for g in range(n_g):
+                for dma in window_dma((s + 1) % 2, s + 1, g):
+                    dma.start()
+
+        slot = s % 2
     # r tents on the sublane-padded range: rows wr..wr_pad-1 are zero for
     # every in-window coordinate, so the padded gather columns / deposit
     # rows they touch are inert
@@ -109,7 +132,13 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     iota_zp = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p),
                                        0).astype(jnp.float32)
     for g in range(n_g):
-        t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+        if stream:
+            for dma in window_dma(slot, s, g):
+                dma.wait()
+            win_ops = [sc[slot, g] for sc in scrs]
+        else:
+            t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+            win_ops = [w_ref_[t] for w_ref_ in wins]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lr, lz = sl(lr_all), sl(lz_all)
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr_pad, P)
@@ -125,9 +154,9 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
             # error — ops/mxu.py); the window set was split once in XLA,
             # only the tents split per block
             ar_hi, ar_lo = split_bf16(ar)
-            t_all = dot3(ewin_hi_ref[t], ewin_lo_ref[t], ar_hi, ar_lo, dn)
+            t_all = dot3(win_ops[0], win_ops[1], ar_hi, ar_lo, dn)
         else:
-            t_all = jax.lax.dot_general(ewin_ref[t], ar, dn,
+            t_all = jax.lax.dot_general(win_ops[0], ar, dn,
                                         precision=precision,
                                         preferred_element_type=jnp.float32)
         # z tents once on (wz_pad, P), tiled per channel by concat (cheap
@@ -185,7 +214,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_dt",
                                              "c_r", "c_z", "precision",
-                                             "n_g", "interpret"))
+                                             "n_g", "stream", "interpret"))
 def fused_es2d_substep(
     e_grid: jax.Array,
     position: jax.Array,
@@ -199,6 +228,7 @@ def fused_es2d_substep(
     c_z: float,
     precision: str = "highest",
     n_g: int = 32,
+    stream: bool | None = None,
     interpret: bool = False,
 ):
     """One fused particle substep for tile-sorted 2D ES PIC.
@@ -281,17 +311,39 @@ def fused_es2d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
+    # stream=None: keep the window set VMEM-resident while it fits
+    # comfortably (dynamic indexing is free); stream it from HBM by
+    # prefetched tile index once it would crowd the ~100 MB scoped VMEM
+    win_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
+                    for w in ewin_args)
+    # lane padding wr_pad -> 128 is what actually lands in VMEM
+    win_bytes = win_bytes * (-(-wr_pad // 128) * 128) // wr_pad
+    if stream is None:
+        stream = win_bytes > 48 * 2 ** 20
     kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad,
                                n_g=n_g, n_tiles=n_tiles,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
                                precision=precision,
-                               dep_precision=dep_precision)
+                               dep_precision=dep_precision, stream=stream)
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
-    win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr_pad),
-                            lambda s, *_: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if stream:
+        win_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr_pad),
+                                lambda s, *_: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((wr_pad, wz), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if stream:
+        wdtype = jnp.bfloat16 if three_term else jnp.float32
+        for _ in ewin_args:
+            scratch.append(pltpu.VMEM((2, n_g, 2 * wz_pad, wr_pad), wdtype))
+        for _ in ewin_args:
+            scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -307,10 +359,7 @@ def fused_es2d_substep(
             pl.BlockSpec(memory_space=pl.ANY),
             row_spec,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((wr_pad, wz), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,

@@ -220,3 +220,54 @@ def test_fused_es2d_substep_flags_out_of_window():
     assert spilled.any()
     # spilled mass is dropped by the kernel (callers patch it exactly)
     assert float(jnp.sum(rho)) < float(jnp.sum(w)) - 0.5
+
+
+def test_fused_es2d_substep_streamed_matches_resident():
+    """stream=True (HBM window set, per-block DMA by prefetched tile index)
+    produces identical results to the resident-window form."""
+    shape = (64, 128)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    rng = np.random.default_rng(7)
+    n = 1024
+    pos = jnp.asarray(rng.random((n, 2)) * np.asarray(shape), jnp.float32)
+    vel = jnp.asarray(0.1 * rng.standard_normal((n, 2)), jnp.float32)
+    e_grid = jnp.asarray(rng.standard_normal((*shape, 2)), jnp.float32)
+    tid, pos_p, v0, v1, w_p = build_padded_layout(
+        pos, shape, tiling, vel[:, 0], vel[:, 1],
+        jnp.ones((n,), jnp.float32))[:5]
+    vel_p = jnp.stack([v0, v1], axis=-1)
+    args = (e_grid, pos_p, vel_p, w_p, tid, shape, tiling,
+            0.1, 0.05, 0.05)
+    outs_r = fused_es2d_substep(*args, precision="highest", stream=False,
+                                interpret=True)
+    outs_s = fused_es2d_substep(*args, precision="highest", stream=True,
+                                interpret=True)
+    for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "rho", "inw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg=name)
+
+
+def test_fused_em2d_substep_streamed_matches_resident():
+    """EM: stream=True matches the resident-window form exactly."""
+    from fusion_sim_tpu.ops.pallas_em import fused_em2d_substep
+
+    shape = (64, 64)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    rng = np.random.default_rng(9)
+    n = 1024
+    pos = jnp.asarray(rng.random((n, 2)) * np.asarray(shape), jnp.float32)
+    vel = jnp.asarray(0.1 * rng.standard_normal((n, 3)), jnp.float32)
+    table = jnp.asarray(0.3 * rng.standard_normal((*shape, 6)), jnp.float32)
+    tid, pos_p, v0, v1, v2, w_p = build_padded_layout(
+        pos, shape, tiling, vel[:, 0], vel[:, 1], vel[:, 2],
+        jnp.ones((n,), jnp.float32))[:6]
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    args = (table, pos_p, vel_p, w_p > 0.5, tid, shape, tiling,
+            0.05, 0.1, (0.5, 0.5), -0.01)
+    outs_r = fused_em2d_substep(*args, precision="highest", stream=False,
+                                interpret=True)
+    outs_s = fused_em2d_substep(*args, precision="highest", stream=True,
+                                interpret=True)
+    for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "j", "inw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg=name)
