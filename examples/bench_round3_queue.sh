@@ -24,6 +24,8 @@ run() {
 run examples/bench_es_fused.py --skip-xla --precision highest
 run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --repair
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16
+run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin 4
+run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4
 run examples/bench_em_fused.py --backends fused --precision highest
 run examples/bench_em_fused.py --backends fused --precision exact_bf16 --repair
 run examples/bench_em_fused.py --backends fused --precision highest --tile 16
