@@ -13,11 +13,36 @@ target of 1e9 pushes/s/chip corresponds to vs_baseline ~= 52.
 """
 
 import json
+import os
+import socket
 import time
 
 import numpy as np
 
 BASELINE = 1.92e7  # reference at 60 fps (BASELINE.md)
+
+
+def _await_axon_relay(timeout_s: float = 1200.0) -> bool:
+    """If this process is configured for the tunneled axon TPU backend,
+    verify the relay is actually reachable before any JAX device use.
+
+    The relay (127.0.0.1:8083) is injected from outside the container and
+    can be down; in that state every device-touching call hangs forever
+    inside ``make_c_api_client`` with no output.  Poll for up to
+    ``timeout_s``; return False if the relay never appears so the caller
+    can emit an honest failure line instead of hanging the driver.
+    """
+    if "axon" not in os.environ.get("PYTHONPATH", "") and \
+            os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return True  # CPU/other backend: nothing to wait for
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+                return True
+        except OSError:
+            time.sleep(15)
+    return False
 
 
 def build_sim(nparticles: int):
@@ -104,6 +129,17 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
 
 
 def main() -> None:
+    if not _await_axon_relay():
+        print(json.dumps({
+            "metric": "particle_pushes_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pushes/s",
+            "vs_baseline": 0.0,
+            "error": "axon TPU relay unreachable (127.0.0.1:8083 refused "
+                     "for 20 min); hardware bench impossible this run",
+        }))
+        return
+
     sim = build_sim(nparticles=1024)  # ~1.05M particles
 
     grid_pushes = measure(sim, steps_per_batch=20, batches=2)
