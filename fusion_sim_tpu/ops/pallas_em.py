@@ -214,7 +214,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_half_dt",
                                              "dt", "cell_size", "c_light",
                                              "relativistic", "charge",
-                                             "precision", "stream",
+                                             "precision", "n_g", "stream",
                                              "interpret"))
 def fused_em2d_substep(
     table: jax.Array,
@@ -231,6 +231,7 @@ def fused_em2d_substep(
     c_light: float = 1.0,
     relativistic: bool = False,
     precision: str = "highest",
+    n_g: int = 32,
     stream: bool | None = None,
     interpret: bool = False,
 ):
@@ -245,6 +246,16 @@ def fused_em2d_substep(
     (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py,
     ~2x fewer MXU passes at ~2^-18 relative error), or 'default'
     (single-pass bf16).
+
+    ``stream`` selects the window-set memory strategy: False keeps all
+    tile windows VMEM-resident (indexed dynamically per block), True keeps
+    them in HBM and DMAs each block's window by its scalar-prefetched tile
+    index, double-buffered one grid step ahead.  None (default) resolves
+    statically at trace time: stream once the lane-padded resident set
+    would exceed ~48 MB of VMEM.  Both forms are bit-identical.  ``n_g`` is
+    the number of particle blocks per Pallas grid step (amortizes the
+    ~7 us/step pipeline overhead; tests shrink it to exercise multi-step
+    prefetching on small layouts).
     """
     from .pallas_gather import _local_coords
     from .sorted_deposit import extract_tile_windows, fold_tile_windows
@@ -262,7 +273,7 @@ def fused_em2d_substep(
     dx, dz_cell = cell_size
     n = position.shape[0]
     nb = n // p_blk
-    n_g = 32
+    # n_g = blocks per grid step (amortizes ~7us/step pipeline overhead)
     nb_pad = -(-nb // n_g) * n_g
     nsteps = nb_pad // n_g
     n_pad = nb_pad * p_blk

@@ -248,6 +248,16 @@ def fused_es2d_substep(
     With 'default'/'highest' the deposit matmul follows ``tiling.dtype``
     (charge conservation is more rounding-sensitive than the gathered
     field).
+
+    ``stream`` selects the window-set memory strategy: False keeps all
+    tile windows VMEM-resident (indexed dynamically per block), True keeps
+    them in HBM and DMAs each block's window by its scalar-prefetched tile
+    index, double-buffered one grid step ahead.  None (default) resolves
+    statically at trace time: stream once the lane-padded resident set
+    would exceed ~48 MB of VMEM.  Both forms are bit-identical.  ``n_g`` is
+    the number of particle blocks per Pallas grid step (amortizes the
+    ~7 us/step pipeline overhead; tests shrink it to exercise multi-step
+    prefetching on small layouts).
     """
     from .pallas_gather import _local_coords
     from .sorted_deposit import extract_tile_windows, fold_tile_windows

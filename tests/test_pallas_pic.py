@@ -238,10 +238,12 @@ def test_fused_es2d_substep_streamed_matches_resident():
     vel_p = jnp.stack([v0, v1], axis=-1)
     args = (e_grid, pos_p, vel_p, w_p, tid, shape, tiling,
             0.1, 0.05, 0.05)
+    # n_g=8 forces several grid steps so the double-buffered prefetch path
+    # (slot reuse at step >= 2) actually executes on this small layout
     outs_r = fused_es2d_substep(*args, precision="highest", stream=False,
-                                interpret=True)
+                                n_g=8, interpret=True)
     outs_s = fused_es2d_substep(*args, precision="highest", stream=True,
-                                interpret=True)
+                                n_g=8, interpret=True)
     for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "rho", "inw")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=0, err_msg=name)
@@ -264,10 +266,39 @@ def test_fused_em2d_substep_streamed_matches_resident():
     vel_p = jnp.stack([v0, v1, v2], axis=-1)
     args = (table, pos_p, vel_p, w_p > 0.5, tid, shape, tiling,
             0.05, 0.1, (0.5, 0.5), -0.01)
+    # n_g=8 -> 3 grid steps: the prefetch branch and slot reuse both run
     outs_r = fused_em2d_substep(*args, precision="highest", stream=False,
-                                interpret=True)
+                                n_g=8, interpret=True)
     outs_s = fused_em2d_substep(*args, precision="highest", stream=True,
-                                interpret=True)
+                                n_g=8, interpret=True)
+    for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "j", "inw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg=name)
+
+
+@pytest.mark.slow
+def test_fused_em2d_substep_streamed_exact_bf16():
+    """stream=True with the 3-term bf16 window split (two streamed window
+    refs instead of one) matches the resident exact_bf16 form exactly."""
+    from fusion_sim_tpu.ops.pallas_em import fused_em2d_substep
+
+    shape = (64, 64)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    rng = np.random.default_rng(11)
+    n = 1024
+    pos = jnp.asarray(rng.random((n, 2)) * np.asarray(shape), jnp.float32)
+    vel = jnp.asarray(0.1 * rng.standard_normal((n, 3)), jnp.float32)
+    table = jnp.asarray(0.3 * rng.standard_normal((*shape, 6)), jnp.float32)
+    tid, pos_p, v0, v1, v2, w_p = build_padded_layout(
+        pos, shape, tiling, vel[:, 0], vel[:, 1], vel[:, 2],
+        jnp.ones((n,), jnp.float32))[:6]
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    args = (table, pos_p, vel_p, w_p > 0.5, tid, shape, tiling,
+            0.05, 0.1, (0.5, 0.5), -0.01)
+    outs_r = fused_em2d_substep(*args, precision="exact_bf16", stream=False,
+                                n_g=8, interpret=True)
+    outs_s = fused_em2d_substep(*args, precision="exact_bf16", stream=True,
+                                n_g=8, interpret=True)
     for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "j", "inw")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=0, err_msg=name)
