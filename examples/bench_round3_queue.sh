@@ -21,22 +21,26 @@ run() {
   timeout 1500 python -u "$@" 2>&1 | tail -20
 }
 
-run examples/bench_es_fused.py --skip-xla --precision highest
+# priority order: the verdict-gating numbers first, in case the relay
+# drops again mid-queue
+run examples/bench_es_fused.py --skip-xla --precision highest --repair
 run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --repair
+run examples/bench_em_fused.py --backends fused --precision highest --repair
+run examples/bench_pusher.py --backend fused --rng rbg --repair
+run examples/bench_pusher.py --backend fused --rng rbg
+run examples/bench_es_fused.py --skip-xla --precision highest
+run examples/bench_em_fused.py --backends fused --precision highest
+run examples/bench_em_fused.py --backends fused --precision exact_bf16 --repair
+run examples/bench_sharded_1chip.py --model es --repair
+run examples/bench_sharded_1chip.py --model em --repair
+run examples/bench_sharded_1chip.py --model es
+run examples/bench_sharded_1chip.py --model em
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin 4
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4
-run examples/bench_em_fused.py --backends fused --precision highest
-run examples/bench_em_fused.py --backends fused --precision exact_bf16 --repair
 run examples/bench_em_fused.py --backends fused --precision highest --tile 16
-run examples/bench_pusher.py --backend fused --rng rbg
-run examples/bench_pusher.py --backend fused --rng rbg --repair
 run examples/profile_kernels.py --which pusher
 run examples/profile_kernels.py --which es2d --n 10002432
-run examples/bench_sharded_1chip.py --model es
-run examples/bench_sharded_1chip.py --model es --repair
-run examples/bench_sharded_1chip.py --model em
-run examples/bench_sharded_1chip.py --model em --repair
 echo "===== ALL DONE ROUND3 ====="
 run bench.py
 echo "===== ALL DONE ROUND3B ====="
