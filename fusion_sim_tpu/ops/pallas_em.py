@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot3, dot3_split, split_bf16
 from .pallas_pic import accumulate_tile_2d
+from .pallas_stream import (make_window_streamer, resolve_stream,
+                            stream_scratch_shapes)
 
 
 def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
@@ -49,29 +51,11 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 
     if stream:
         # HBM window set, per-block DMA by prefetched tile index, double-
-        # buffered one grid step ahead (see _es2d_kernel / the 3D kernels)
+        # buffered one grid step ahead (ops/pallas_stream.py)
         scrs = refs[n_win + 9:n_win + 9 + n_win]
         sems = refs[n_win + 9 + n_win:]
-
-        def window_dma(slot, step, g):
-            t = jnp.minimum(tile_ref[step * n_g + g], n_tiles - 1)
-            return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g],
-                                          sm.at[slot, g])
-                    for hbm, sc, sm in zip(wins, scrs, sems)]
-
-        @pl.when(s == 0)
-        def _():
-            for g in range(n_g):
-                for dma in window_dma(0, 0, g):
-                    dma.start()
-
-        @pl.when(s + 1 < ns)
-        def _():
-            for g in range(n_g):
-                for dma in window_dma((s + 1) % 2, s + 1, g):
-                    dma.start()
-
-        slot = s % 2
+        wait_get = make_window_streamer(
+            tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
     # r tents on the sublane-padded range (rows >= wr are zero in-window)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
                                       0).astype(jnp.float32)
@@ -85,9 +69,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
     outs = [[] for _ in range(6)]
     for g in range(n_g):
         if stream:
-            for dma in window_dma(slot, s, g):
-                dma.wait()
-            win_ops = [sc[slot, g] for sc in scrs]
+            win_ops = wait_get(g)
         else:
             t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
             win_ops = [w_ref_[t] for w_ref_ in wins]
@@ -314,11 +296,7 @@ def fused_em2d_substep(
                          == "bfloat16" else "highest")
     # stream=None: resident while the 6-channel window set fits VMEM
     # comfortably, HBM-streamed by prefetched tile index otherwise
-    win_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
-                    for w in ewin_args)
-    win_bytes = win_bytes * (-(-wr_pad // 128) * 128) // wr_pad
-    if stream is None:
-        stream = win_bytes > 48 * 2 ** 20
+    stream = resolve_stream(ewin_args, wr_pad, stream)
     kernel = functools.partial(
         _em2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad, n_g=n_g, n_tiles=n_tiles,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
@@ -341,11 +319,7 @@ def fused_em2d_substep(
         pltpu.SemaphoreType.DMA(()),
     ]
     if stream:
-        wdtype = jnp.bfloat16 if three_term else jnp.float32
-        for _ in ewin_args:
-            scratch.append(pltpu.VMEM((2, n_g, 6 * wz_pad, wr_pad), wdtype))
-        for _ in ewin_args:
-            scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
+        scratch += stream_scratch_shapes(ewin_args, n_g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),

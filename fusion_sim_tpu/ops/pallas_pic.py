@@ -38,6 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot3, dot3_split, split_bf16
+from .pallas_stream import (make_window_streamer, resolve_stream,
+                            stream_scratch_shapes)
 
 
 def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
@@ -94,30 +96,12 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
 
     if stream:
         # windows live in HBM; DMA each block's window by its scalar-
-        # prefetched tile index, double-buffered one grid step ahead (the
-        # 3D kernels' recipe) — no VMEM-resident window-set size limit
+        # prefetched tile index, double-buffered one grid step ahead
+        # (ops/pallas_stream.py) — no VMEM-resident window-set size limit
         scrs = refs[n_win + 8:n_win + 8 + n_win]
         sems = refs[n_win + 8 + n_win:]
-
-        def window_dma(slot, step, g):
-            t = jnp.minimum(tile_ref[step * n_g + g], n_tiles - 1)
-            return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g],
-                                          sm.at[slot, g])
-                    for hbm, sc, sm in zip(wins, scrs, sems)]
-
-        @pl.when(s == 0)
-        def _():
-            for g in range(n_g):
-                for dma in window_dma(0, 0, g):
-                    dma.start()
-
-        @pl.when(s + 1 < ns)
-        def _():
-            for g in range(n_g):
-                for dma in window_dma((s + 1) % 2, s + 1, g):
-                    dma.start()
-
-        slot = s % 2
+        wait_get = make_window_streamer(
+            tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
     # r tents on the sublane-padded range: rows wr..wr_pad-1 are zero for
     # every in-window coordinate, so the padded gather columns / deposit
     # rows they touch are inert
@@ -133,9 +117,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                                        0).astype(jnp.float32)
     for g in range(n_g):
         if stream:
-            for dma in window_dma(slot, s, g):
-                dma.wait()
-            win_ops = [sc[slot, g] for sc in scrs]
+            win_ops = wait_get(g)
         else:
             t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
             win_ops = [w_ref_[t] for w_ref_ in wins]
@@ -324,12 +306,7 @@ def fused_es2d_substep(
     # stream=None: keep the window set VMEM-resident while it fits
     # comfortably (dynamic indexing is free); stream it from HBM by
     # prefetched tile index once it would crowd the ~100 MB scoped VMEM
-    win_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
-                    for w in ewin_args)
-    # lane padding wr_pad -> 128 is what actually lands in VMEM
-    win_bytes = win_bytes * (-(-wr_pad // 128) * 128) // wr_pad
-    if stream is None:
-        stream = win_bytes > 48 * 2 ** 20
+    stream = resolve_stream(ewin_args, wr_pad, stream)
     kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad,
                                n_g=n_g, n_tiles=n_tiles,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
@@ -349,11 +326,7 @@ def fused_es2d_substep(
         pltpu.SemaphoreType.DMA(()),
     ]
     if stream:
-        wdtype = jnp.bfloat16 if three_term else jnp.float32
-        for _ in ewin_args:
-            scratch.append(pltpu.VMEM((2, n_g, 2 * wz_pad, wr_pad), wdtype))
-        for _ in ewin_args:
-            scratch.append(pltpu.SemaphoreType.DMA((2, n_g)))
+        scratch += stream_scratch_shapes(ewin_args, n_g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),

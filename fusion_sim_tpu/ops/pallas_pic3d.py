@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import dot3, dot3_split, split_bf16
+from .pallas_stream import make_window_streamer
 
 
 def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
@@ -62,25 +63,7 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
     ns = pl.num_programs(0)
     p = lx_ref.shape[-1]
 
-    def window_dma(slot, step, g):
-        t = jnp.minimum(bt_ref[step * n_g + g], n_tiles - 1)
-        return [pltpu.make_async_copy(hbm.at[t], sc.at[slot, g], sm.at[slot, g])
-                for hbm, sc, sm in hbm_scr_sem]
-
-    def start_fetch(slot, step):
-        for g in range(n_g):
-            for dma in window_dma(slot, step, g):
-                dma.start()
-
-    @pl.when(s == 0)
-    def _():
-        start_fetch(0, 0)
-
-    @pl.when(s + 1 < ns)
-    def _():
-        start_fetch((s + 1) % 2, s + 1)
-
-    slot = s % 2
+    wait_get = make_window_streamer(bt_ref, hbm_scr_sem, s, ns, n_g, n_tiles)
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx_pad, p), 0).astype(jnp.float32)
     i_yz = jax.lax.broadcasted_iota(jnp.int32, (wyz_pad, p), 0)
     iota_y = (i_yz // wz).astype(jnp.float32)
@@ -90,8 +73,7 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
     w_all = w_ref[0]
     o = {k: [] for k in ("lx", "ly", "lz", "vx", "vy", "vz", "inw")}
     for g in range(n_g):
-        for dma in window_dma(slot, s, g):
-            dma.wait()
+        win_ops = wait_get(g)
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lx, ly, lz = sl(lx_all), sl(ly_all), sl(lz_all)
         ayz = (jnp.maximum(0.0, 1.0 - jnp.abs(ly - iota_y))
@@ -106,11 +88,11 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
         dn_yz = (((1,), (0,)), ((), ()))
         if three_term:
             ayz_hi, ayz_lo = split_bf16(ayz)
-            t_all = dot3(scr_hi[slot, g], scr_lo[slot, g],
+            t_all = dot3(win_ops[0], win_ops[1],
                          ayz_hi, ayz_lo, dn_yz)            # (3*wx_pad, P)
         else:
             t_all = jax.lax.dot_general(
-                scr[slot, g], ayz, dn_yz,
+                win_ops[0], ayz, dn_yz,
                 precision=precision, preferred_element_type=jnp.float32)
         ax_p = jnp.maximum(0.0, 1.0 - jnp.abs(lx - iota_x))
         pt = t_all * jnp.concatenate([ax_p] * 3, axis=0)

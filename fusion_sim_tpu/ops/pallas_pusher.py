@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mxu import split_bf16_3_exact
+from .pallas_stream import make_window_streamer
 
 
 def _pusher_window_dims(tiling) -> tuple[int, int, int, int]:
@@ -104,22 +105,8 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
     p = lcr_ref.shape[-1]
     rows12 = 12 * wr_pad
 
-    def window_dma(slot, step, g):
-        t = jnp.minimum(bt_ref[step * n_g + g], n_tiles - 1)
-        return pltpu.make_async_copy(win_hbm.at[t], scr.at[slot, g],
-                                     sem.at[slot, g])
-
-    @pl.when(s == 0)
-    def _():
-        for g in range(n_g):
-            window_dma(0, 0, g).start()
-
-    @pl.when(s + 1 < ns)
-    def _():
-        for g in range(n_g):
-            window_dma((s + 1) % 2, s + 1, g).start()
-
-    slot = s % 2
+    wait_get = make_window_streamer(bt_ref, ((win_hbm, scr, sem),),
+                                    s, ns, n_g, n_tiles)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p), 0).astype(jnp.float32)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p), 0).astype(jnp.float32)
     lcr_all, lcz_all = lcr_ref[0], lcz_ref[0]
@@ -129,7 +116,7 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
     r0_all, r1_all, r2_all = r0_ref[0], r1_ref[0], r2_ref[0]
     outs = [[] for _ in range(8)]
     for g in range(n_g):
-        window_dma(slot, s, g).wait()
+        win = wait_get(g)[0]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
         lcr, lcz = sl(lcr_all), sl(lcz_all)
 
@@ -145,7 +132,7 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
         t12 = None
         for part in range(3):
             u = jax.lax.dot_general(
-                scr[slot, g, part, :rows12], az, dn,
+                win[part, :rows12], az, dn,
                 preferred_element_type=jnp.float32)
             t12 = u if t12 is None else t12 + u            # (rows12, P)
         dr1 = lcr - iota_r
@@ -192,7 +179,7 @@ def _pusher_kernel(bt_ref, lcr_ref, lcz_ref, x_ref, y_ref, z_ref,
         ts = None
         for part in range(3):
             u = jax.lax.dot_general(
-                scr[slot, g, part, rows12:], az2, dn,
+                win[part, rows12:], az2, dn,
                 preferred_element_type=jnp.float32)
             ts = u if ts is None else ts + u               # (wr_pad, P)
         dr2 = cu - iota_r
