@@ -249,8 +249,13 @@ def test_fused_es2d_substep_streamed_matches_resident():
                                    atol=0, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_em2d_substep_streamed_matches_resident():
-    """EM: stream=True matches the resident-window form exactly."""
+    """EM: stream=True matches the resident-window form exactly.
+
+    slow: the streaming machinery is shared (ops/pallas_stream.py) and the
+    default suite keeps the ES variant as its canary; this covers the
+    EM-specific ref slicing."""
     from fusion_sim_tpu.ops.pallas_em import fused_em2d_substep
 
     shape = (64, 64)
