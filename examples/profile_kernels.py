@@ -49,6 +49,29 @@ def prof_es2d(n, cells, precisions, n_gs):
                   f"({n / t:.2e} rows/s)")
 
 
+def prof_em2d(n, cells, precisions, n_gs, stream=None):
+    from fusion_sim_tpu.ops.pallas_em import fused_em2d_substep
+
+    shape = (cells, cells)
+    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 2)) * cells).astype(np.float32)
+    vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+    table = rng.standard_normal((*shape, 6)).astype(np.float32)
+    tid, pos_p, v0, v1, v2, w = build_padded_layout(
+        jnp.asarray(pos), shape, tiling, jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), jnp.float32))[:6]
+    vel_p = jnp.stack([v0, v1, v2], axis=-1)
+    for ng in n_gs:
+        for prec in precisions:
+            t = timeit(fused_em2d_substep, jnp.asarray(table), pos_p, vel_p,
+                       w > 0.5, tid, shape, tiling, 0.01, 0.1, (0.1, 0.1),
+                       -0.01, precision=prec, n_g=ng, stream=stream)
+            print(f"em2d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
+                  f"({n / t:.2e} rows/s)")
+
+
 def prof_3d(n, cells, precisions, n_gs, which):
     shape = (cells,) * 3
     tiling = Tiling3D(tile=(8, 8, 8), block=512, margin=2)
@@ -171,11 +194,14 @@ def prof_pusher(nparticles):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="es2d",
-                    choices=["es2d", "es3d", "em3d", "pusher"])
+                    choices=["es2d", "em2d", "es3d", "em3d", "pusher"])
     ap.add_argument("--n", type=int, default=0)
     ap.add_argument("--cells", type=int, default=0)
     ap.add_argument("--precisions", default="highest,exact_bf16,default")
     ap.add_argument("--n-gs", default="")
+    ap.add_argument("--stream", default=None,
+                    choices=[None, "on", "off"],
+                    help="em2d only: force window streaming on/off")
     args = ap.parse_args()
     precisions = args.precisions.split(",")
     print(f"dev={jax.devices()[0]}")
@@ -186,6 +212,11 @@ def main():
         n = args.n or 10_002_432
         n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [32]
         prof_es2d(n, args.cells or 512, precisions, n_gs)
+    elif args.which == "em2d":
+        n = args.n or 10_002_432
+        n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [32]
+        stream = None if args.stream is None else args.stream == "on"
+        prof_em2d(n, args.cells or 512, precisions, n_gs, stream)
     else:
         n = args.n or 9_998_336
         n_gs = [int(x) for x in args.n_gs.split(",")] if args.n_gs else [16]
