@@ -104,11 +104,21 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
 
     try:
         # incremental per-tile layout repair (ops/repair.py): spills are
-        # relocated each step, so the multi-payload resort never runs
+        # relocated each step, so the multi-payload resort never runs.
+        # Capacity sizing: the EQUILIBRIUM spill rate of this thermal config
+        # (0.2 cells/step/axis drift, tile 32 margin 6) is ~0.8%/step =
+        # ~80k rows/step at 10M (Monte-Carlo in the repo history), so the
+        # compacted patch buffer and per-tile stacks must absorb it —
+        # 16384 would drop ~4/5 of relocations once warm.  The extra 100
+        # warmup steps walk the layout from the zero-spill fresh state to
+        # that equilibrium so the measured windows are steady-state.
         sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                         resort_every=10 ** 9, repair=True,
-                                        backend=backend, check_spill=False)
-        sim.step(17)  # compile everything
+                                        backend=backend, check_spill=False,
+                                        spill_capacity=163840,
+                                        repair_free_slots=2048)
+        sim.step(17)   # compile everything
+        sim.step(100)  # reach spill equilibrium
         repair_mode = True
     except Exception as e:  # noqa: BLE001 — fall back to the resort cadence
         print(f"bench: ES repair config failed ({type(e).__name__}: {e}); "

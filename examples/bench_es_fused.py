@@ -17,8 +17,8 @@ def fence(sim):
     np.asarray(sim.state.position[:1])
 
 
-def bench(sim, label, n_steps=20, reps=3):
-    sim.step(1)  # compile
+def bench(sim, label, n_steps=20, reps=3, warmup=1):
+    sim.step(warmup)  # compile (and, for repair runs, reach equilibrium)
     fence(sim)
     best = []
     for _ in range(reps):
@@ -48,6 +48,8 @@ def main():
                     choices=["highest", "exact_bf16", "default"],
                     help="fused-kernel matmul strategy (None = auto)")
     ap.add_argument("--spill-capacity", type=int, default=16384)
+    ap.add_argument("--warmup", type=int, default=117,
+                    help="repair mode: steps to reach spill equilibrium")
     ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
@@ -68,15 +70,27 @@ def main():
 
     kw = dict(spill_capacity=args.spill_capacity)
     resort = args.resort
+    warmup = 1
     if args.repair:
-        kw = dict(repair=True, spill_capacity=args.spill_capacity)
+        # repair runs measure the spill EQUILIBRIUM, not the zero-spill
+        # fresh-layout transient: once warm, ~2*E|v_axis|/window_width of
+        # rows leave their window per step (Monte-Carlo for this thermal
+        # config: 0.8%/step at tile 32 margin 6, 1.6% tile 16 m4, 2.9%
+        # tile 8 m4 — see bench.py sizing note), so the patch buffer and
+        # per-tile stacks are sized ~2x that and the warmup walks there
+        eq_floor = int(args.n * 0.36 / (args.tile / 2 + args.margin))
+        eq_floor = -(-max(eq_floor, 131072) // 1024) * 1024
+        kw = dict(repair=True,
+                  spill_capacity=max(args.spill_capacity, eq_floor),
+                  repair_free_slots=2048)
         resort = 10 ** 9
+        warmup = args.warmup
     sim_p = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                       resort_every=resort,
                                       backend="pallas", check_spill=False,
                                       pallas_precision=args.precision,
                                       **kw)
-    t_p = bench(sim_p, "pallas fused", n_steps=args.steps)
+    t_p = bench(sim_p, "pallas fused", n_steps=args.steps, warmup=warmup)
     if args.repair:
         print(f"  unplaced={int(sim_p.state.unplaced)} "
               f"dropped={int(sim_p.state.spill_dropped)}")

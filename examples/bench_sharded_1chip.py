@@ -24,11 +24,11 @@ from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
 from fusion_sim_tpu.parallel.mesh import make_mesh
 
 
-def bench(sim, label, n, steps=10, reps=3):
+def bench(sim, label, n, steps=10, reps=3, warmup=0):
     def fence():
         np.asarray(jax.tree_util.tree_leaves(sim.state)[0].reshape(-1)[:1])
 
-    sim.step(max(steps, 7))
+    sim.step(max(steps, 7, warmup))
     fence()
     ts = []
     for _ in range(reps):
@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--repair", action="store_true",
                     help="incremental layout repair instead of resorts")
+    ap.add_argument("--spill-capacity", type=int, default=0,
+                    help="0 = auto (equilibrium-sized for repair runs)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="0 = auto (spill equilibrium for ES repair runs)")
     args = ap.parse_args()
 
     mesh = make_mesh(1, ("space",))
@@ -68,13 +72,21 @@ def main():
         base = es.ESConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.05,
                            charge=-vol / n, mass=vol / n)
         vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+        # repair runs measure the spill equilibrium (~0.8%/step relocating
+        # at tile 32 margin 6 for this thermal config) — size the patch
+        # buffer/stacks for it and warm up to it (see bench_es_fused.py)
+        spill_cap = args.spill_capacity or (163840 if args.repair else 16384)
+        warmup = args.warmup or (117 if args.repair else 0)
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
                               resort_every=10 ** 9 if args.repair else 16,
                               repair=args.repair, backend="pallas",
+                              spill_capacity=spill_cap,
+                              repair_free_slots=2048 if args.repair else 256,
                               pallas_precision=args.precision)
         sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-        bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps)
+        bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps,
+              warmup=warmup)
     else:
         d = 0.5
         base = em.EMConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.2 * d,
