@@ -85,7 +85,8 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     Returns ``(median steps/s of 3 windows, spill count, repair_mode)`` —
     the spill count makes the number self-auditing (spilled rows take the
     exact compacted patch; spill_fallback is ON, nothing is shed);
-    repair_mode records whether the repair configuration actually ran."""
+    repair_mode names which configuration rung actually ran
+    ('repair+eager' | 'repair' | 'resort-16')."""
     from fusion_sim_tpu.models import electrostatic as es
     from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
 
@@ -102,32 +103,40 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
     import sys
 
-    try:
-        # incremental per-tile layout repair (ops/repair.py): spills are
-        # relocated each step, so the multi-payload resort never runs.
-        # Capacity sizing: the EQUILIBRIUM spill rate of this thermal config
-        # (0.2 cells/step/axis drift, tile 32 margin 6) is ~0.8%/step =
-        # ~80k rows/step at 10M (Monte-Carlo in the repo history), so the
-        # compacted patch buffer and per-tile stacks must absorb it —
-        # 16384 would drop ~4/5 of relocations once warm.  The extra 100
-        # warmup steps walk the layout from the zero-spill fresh state to
-        # that equilibrium so the measured windows are steady-state.
-        sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
-                                        resort_every=10 ** 9, repair=True,
-                                        backend=backend, check_spill=False,
-                                        spill_capacity=163840,
-                                        repair_free_slots=2048)
-        sim.step(17)   # compile everything
-        sim.step(100)  # reach spill equilibrium
-        repair_mode = True
-    except Exception as e:  # noqa: BLE001 — fall back to the resort cadence
-        print(f"bench: ES repair config failed ({type(e).__name__}: {e}); "
-              f"falling back to resort-16", file=sys.stderr)
-        sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
-                                        resort_every=16, backend=backend,
-                                        check_spill=False)
-        sim.step(17)  # compile everything incl. one resort
-        repair_mode = False
+    # Configuration ladder, best first.  Repair mode must be sized for the
+    # spill EQUILIBRIUM of this thermal config (~0.8%/step = ~80k rows/step
+    # at 10M leave their tile window once warm — Monte-Carlo, PERFORMANCE.md
+    # "Repair-mode spill equilibrium"), and warmed ~100 extra steps so the
+    # measured windows are steady-state, not the zero-spill fresh-layout
+    # transient.  repair_eager=2 relocates band rows BEFORE they exit
+    # (payload move, no patch): the flux rides the cheap eager buffer and
+    # the expensive patch buffer only covers >2-cells/step outliers.
+    attempts = [
+        ("repair+eager", dict(resort_every=10 ** 9, repair=True,
+                              repair_eager=2, eager_capacity=163840,
+                              spill_capacity=16384,
+                              repair_free_slots=2048)),
+        ("repair", dict(resort_every=10 ** 9, repair=True,
+                        spill_capacity=163840, repair_free_slots=2048)),
+        ("resort-16", dict(resort_every=16)),
+    ]
+    sim = repair_mode = None
+    for name, kw in attempts:
+        try:
+            sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                            backend=backend,
+                                            check_spill=False, **kw)
+            sim.step(17)   # compile everything
+            if kw.get("repair"):
+                sim.step(100)  # walk to the spill equilibrium
+            repair_mode = name
+            break
+        except Exception as e:  # noqa: BLE001 — try the next rung
+            print(f"bench: ES config {name!r} failed "
+                  f"({type(e).__name__}: {e}); falling back", file=sys.stderr)
+            sim = None
+    if sim is None:
+        raise RuntimeError("every ES bench configuration failed")
     np.asarray(sim.state.position[:1])
     rates = []
     for _ in range(3):  # median of 3 windows (tunnel variance)

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--spill-capacity", type=int, default=16384)
     ap.add_argument("--warmup", type=int, default=117,
                     help="repair mode: steps to reach spill equilibrium")
+    ap.add_argument("--eager", type=int, default=0,
+                    help="repair_eager: relocate rows this many cells "
+                         "before they leave the window (no patch needed)")
     ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
@@ -83,6 +86,12 @@ def main():
         kw = dict(repair=True,
                   spill_capacity=max(args.spill_capacity, eq_floor),
                   repair_free_slots=2048)
+        if args.eager:
+            # eager relocation empties the true-spill path: the equilibrium
+            # flux rides the (cheap) eager buffer, the patch buffer only
+            # covers the post-resort transient
+            kw.update(repair_eager=args.eager, eager_capacity=eq_floor,
+                      spill_capacity=max(args.spill_capacity, 16384))
         resort = 10 ** 9
         warmup = args.warmup
     sim_p = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,

@@ -24,7 +24,9 @@ run() {
 # priority order: the verdict-gating numbers first, in case the relay
 # drops again mid-queue
 run examples/bench_es_fused.py --skip-xla --precision highest --repair
+run examples/bench_es_fused.py --skip-xla --precision highest --repair --eager 2
 run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --repair
+run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --repair --eager 2
 run examples/bench_em_fused.py --backends fused --precision highest --repair
 run examples/bench_pusher.py --backend fused --rng rbg --repair
 run examples/bench_pusher.py --backend fused --rng rbg

@@ -250,11 +250,18 @@ class SortedEMState(NamedTuple):
 
 
 def _repair_relocate(state, x1, velocity, idx, ok, pos_k, vel_k,
-                     shape, tiling, n_tiles: int, ndim: int):
+                     shape, tiling, n_tiles: int, ndim: int,
+                     in_win=None, eager_keep: int = 0, eager_cap: int = 0):
     """Shared repair wiring for the sorted EM steps: relocate the compacted
     spilled rows (exact values ``pos_k``/``vel_k``) into dead slots of their
-    new tile (ops/repair.py).  Returns ``(x1, velocity, valid, extra)``."""
-    from ..ops.repair import allocate_slots, relocate
+    new tile (ops/repair.py).  Returns ``(x1, velocity, valid, extra)``.
+
+    With ``eager_keep > 0`` (and ``in_win`` = the step's in-window mask),
+    rows within ``eager_keep`` cells of leaving their window are ALSO
+    relocated, carrying their own (exact) values — no patch involved; true
+    window exits then only occur for per-step displacements > eager_keep
+    cells (see SortedElectrostaticPIC's repair_eager)."""
+    from ..ops.repair import allocate_slots, near_band_mask, relocate
     from ..ops.sorted_deposit import tile_ids, tile_ids_3d
 
     n_tot = x1.shape[0]
@@ -266,6 +273,23 @@ def _repair_relocate(state, x1, velocity, idx, ok, pos_k, vel_k,
     (x1, velocity), valid = relocate(
         (x1, velocity), state.valid, idx, dest, placed,
         (pos_k, vel_k), n_tot)
+    if eager_keep:
+        from ..ops.interp import spill_rows_cond
+
+        grid_f = jnp.asarray(shape, jnp.float32)
+        mask_e = jnp.logical_and(
+            jnp.logical_and(in_win, valid),
+            near_band_mask(x1, state.tile_id, shape, tiling, eager_keep))
+        idx_e, ok_e = spill_rows_cond(mask_e, jnp.sum(mask_e), eager_cap,
+                                      n_tot)
+        new_te = tid_fn(jnp.mod(x1[idx_e], grid_f), shape, tiling)
+        dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
+            fidx, fcnt, idx_e, ok_e, new_te, state.tile_id[idx_e],
+            n_tot, n_tiles)
+        (x1, velocity), valid = relocate(
+            (x1, velocity), valid, idx_e, dest_e, placed_e,
+            (x1[idx_e], velocity[idx_e]), n_tot)
+        nun = nun + nun_e
     extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
                  unplaced=state.unplaced + nun)
     return x1, velocity, valid, extra
@@ -285,7 +309,8 @@ class SortedElectromagneticPIC:
                  check_spill: bool = True, spill_fallback: bool = True,
                  spill_capacity: int = 16384, gather_backend: str = "xla",
                  pallas_precision: str | None = None, repair: bool = False,
-                 repair_free_slots: int = 256):
+                 repair_free_slots: int = 256,
+                 repair_eager: int = 0, eager_capacity: int | None = None):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
 
@@ -326,8 +351,20 @@ class SortedElectromagneticPIC:
             raise ValueError("repair=True requires spill_fallback=True")
         self.repair = repair
         self.repair_free_slots = int(repair_free_slots)
+        # repair_eager=k: also relocate rows within k cells of leaving their
+        # window, carrying their own exact values (no patch) — see
+        # SortedElectrostaticPIC(repair_eager) / ops/repair.near_band_mask
+        self.repair_eager = int(repair_eager)
+        self.eager_capacity = int(eager_capacity or spill_capacity)
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
+        if self.repair_eager:
+            if not repair:
+                raise ValueError("repair_eager requires repair=True")
+            if not 0 < self.repair_eager <= self.tiling.margin:
+                raise ValueError(
+                    f"repair_eager={self.repair_eager} must be in "
+                    f"1..margin ({self.tiling.margin})")
         self.resort_every = resort_every
         n = np.asarray(position).shape[0]
         if n % self.tiling.block:
@@ -340,7 +377,7 @@ class SortedElectromagneticPIC:
         vel = jnp.asarray(velocity, jnp.float32).reshape(n, 3)
         tid, pos_p, v0, v1, v2, valid_p, _ = build_padded_layout(
             pos, shape, self.tiling, vel[:, 0], vel[:, 1], vel[:, 2],
-            jnp.ones((n,), jnp.float32), reserve=repair)
+            jnp.ones((n,), jnp.float32), reserve=repair, spread=repair)
         zero_f = jnp.zeros((*shape, 3), jnp.float32)
         self.state = SortedEMState(
             position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
@@ -418,6 +455,8 @@ class SortedElectromagneticPIC:
         b_off = fdtd.B_OFFSETS_2D if ndim == 2 else fdtd.B_OFFSETS_3D
         capacity = self.spill_capacity
         use_repair = self.repair
+        eager_keep = self.repair_eager
+        eager_cap = self.eager_capacity
         n_tiles = self._n_tiles
         interpret = jax.default_backend() != "tpu"
 
@@ -463,7 +502,9 @@ class SortedElectromagneticPIC:
             if use_repair:
                 x1, velocity, valid, extra = _repair_relocate(
                     state, x1, velocity, idx, ok, x1w_k, vel_k,
-                    shape, tiling, n_tiles, ndim)
+                    shape, tiling, n_tiles, ndim,
+                    in_win=~spill_mask, eager_keep=eager_keep,
+                    eager_cap=eager_cap)
             else:
                 x1 = x1.at[idx].set(x1w_k, mode="drop")
                 velocity = velocity.at[idx].set(vel_k, mode="drop")
@@ -505,6 +546,8 @@ class SortedElectromagneticPIC:
         use_fallback = self.spill_fallback
         capacity = self.spill_capacity
         use_repair = self.repair
+        eager_keep = self.repair_eager
+        eager_cap = self.eager_capacity
         n_tiles = self._n_tiles
         use_pallas_gather = self.gather_backend == "pallas" and ndim == 2
 
@@ -587,7 +630,9 @@ class SortedElectromagneticPIC:
                 # exact for every row <= capacity)
                 x1, velocity, valid, extra = _repair_relocate(
                     state, x1, velocity, idx, ok, x1[idx], velocity[idx],
-                    shape, tiling, n_tiles, ndim)
+                    shape, tiling, n_tiles, ndim,
+                    in_win=~spill_mask, eager_keep=eager_keep,
+                    eager_cap=eager_cap)
             x1 = jnp.where(valid[:, None], x1, 0.0)
             velocity = jnp.where(valid[:, None], velocity, 0.0)
             if use_fallback:
@@ -620,7 +665,7 @@ class SortedElectromagneticPIC:
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(3)],
                 state.valid.astype(jnp.float32), valid=state.valid,
-                reserve=reserve)
+                reserve=reserve, spread=reserve)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:5]
             validp = out[5]

@@ -234,6 +234,7 @@ class SortedElectrostaticPIC:
                  spill_capacity: int = 16384,
                  backend: str = "xla", repair: bool = False,
                  repair_free_slots: int = 256,
+                 repair_eager: int = 0, eager_capacity: int | None = None,
                  pallas_precision: str | None = None):
         from ..ops.sorted_deposit import (Tiling2D, Tiling3D,
                                           build_padded_layout)
@@ -262,6 +263,15 @@ class SortedElectrostaticPIC:
             raise ValueError("repair=True requires spill_fallback=True")
         self.repair = repair
         self.repair_free_slots = int(repair_free_slots)
+        # repair_eager=k (1..margin): ALSO relocate rows that are within k
+        # cells of leaving their window (ops/repair.near_band_mask) — their
+        # kernel outputs are still exact, so the move is a payload copy
+        # with no re-push patch, and true window exits (which DO need the
+        # patch) drop to zero while per-step displacement stays < k cells.
+        # ``eager_capacity`` sizes that relocation buffer (the equilibrium
+        # band flux; defaults to spill_capacity).
+        self.repair_eager = int(repair_eager)
+        self.eager_capacity = int(eager_capacity or spill_capacity)
         # pallas_precision overrides the fused kernel's matmul strategy:
         # 'highest' (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16,
         # ops/mxu.py), or 'default' (single-pass bf16).  None = follow
@@ -272,6 +282,13 @@ class SortedElectrostaticPIC:
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2
                                  else Tiling3D())
+        if self.repair_eager:
+            if not repair:
+                raise ValueError("repair_eager requires repair=True")
+            if not 0 < self.repair_eager <= self.tiling.margin:
+                raise ValueError(
+                    f"repair_eager={self.repair_eager} must be in "
+                    f"1..margin ({self.tiling.margin})")
         self.resort_every = resort_every
         n = np.asarray(position).shape[0]
         if n % self.tiling.block:
@@ -286,7 +303,7 @@ class SortedElectrostaticPIC:
         out = build_padded_layout(
             pos, config.grid_shape, self.tiling,
             *[vel[:, a] for a in range(ndim)], valid.astype(jnp.float32),
-            reserve=repair)
+            reserve=repair, spread=repair)
         tid, pos_p = out[0], out[1]
         vel_cols = out[2:2 + ndim]
         valid_p = out[2 + ndim]
@@ -365,6 +382,8 @@ class SortedElectrostaticPIC:
         use_repair = self.repair
         n_tiles = self._n_tiles
         capacity = self.spill_capacity
+        eager_keep = self.repair_eager
+        eager_cap = self.eager_capacity
 
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
@@ -403,7 +422,8 @@ class SortedElectrostaticPIC:
                 dropped = spill.astype(jnp.int32)
             extra = {}
             if use_repair:
-                from ..ops.repair import allocate_slots, relocate
+                from ..ops.repair import (allocate_slots, near_band_mask,
+                                          relocate)
                 from ..ops.sorted_deposit import tile_ids, tile_ids_3d
 
                 n_tot = position.shape[0]
@@ -416,6 +436,24 @@ class SortedElectrostaticPIC:
                 (position, velocity), valid = relocate(
                     (position, velocity), state.valid, idx, dest, placed,
                     (pos_k2, velocity[idx]), n_tot)
+                if eager_keep:
+                    # proactive relocation of in-window rows that are within
+                    # `eager_keep` cells of leaving their window — a payload
+                    # move of their own (exact) values, no patch needed
+                    mask_e = jnp.logical_and(
+                        jnp.logical_and(~spill_mask, valid),
+                        near_band_mask(position, state.tile_id, shape,
+                                       tiling, eager_keep))
+                    idx_e, ok_e = spill_rows_cond(
+                        mask_e, jnp.sum(mask_e), eager_cap, n_tot)
+                    new_te = tid_fn(position[idx_e], shape, tiling)
+                    dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
+                        fidx, fcnt, idx_e, ok_e, new_te,
+                        state.tile_id[idx_e], n_tot, n_tiles)
+                    (position, velocity), valid = relocate(
+                        (position, velocity), valid, idx_e, dest_e, placed_e,
+                        (position[idx_e], velocity[idx_e]), n_tot)
+                    nun = nun + nun_e
                 extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
                              unplaced=state.unplaced + nun)
             return state._replace(position=position, velocity=velocity,
@@ -463,6 +501,8 @@ class SortedElectrostaticPIC:
         use_repair = self.repair
         n_tiles = self._n_tiles
         capacity = self.spill_capacity
+        eager_keep = self.repair_eager
+        eager_cap = self.eager_capacity
         # Mosaic kernels need real TPU hardware; CPU (tests) interprets
         interpret = jax.default_backend() != "tpu"
 
@@ -505,7 +545,8 @@ class SortedElectrostaticPIC:
                 rho_new = rho_new + cic_deposit_packed(
                     pos_k, jnp.where(ok, w[idx], 0.0), shape)
                 if use_repair:
-                    from ..ops.repair import allocate_slots, relocate
+                    from ..ops.repair import (allocate_slots, near_band_mask,
+                                              relocate)
                     from ..ops.sorted_deposit import tile_ids, tile_ids_3d
 
                     n_tot = pos.shape[0]
@@ -517,6 +558,28 @@ class SortedElectrostaticPIC:
                     (pos, vel), valid = relocate(
                         (pos, vel), state.valid, idx, dest, placed,
                         (pos_k, vel_k), n_tot)
+                    if eager_keep:
+                        # proactive relocation: rows still in-window but
+                        # within `eager_keep` cells of leaving it move NOW,
+                        # carrying their (exact) kernel outputs — no patch.
+                        # Disjoint from the spill rows above by construction
+                        # (band rows are in_win), so pos/vel gathers below
+                        # see untouched values.
+                        mask_e = jnp.logical_and(
+                            jnp.logical_and(in_win, valid),
+                            near_band_mask(pos, state.tile_id, shape,
+                                           tiling, eager_keep))
+                        idx_e, ok_e = spill_rows_cond(
+                            mask_e, jnp.sum(mask_e), eager_cap, n_tot)
+                        new_te = tid_fn(jnp.mod(pos[idx_e], grid_f),
+                                        shape, tiling)
+                        dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
+                            fidx, fcnt, idx_e, ok_e, new_te,
+                            state.tile_id[idx_e], n_tot, n_tiles)
+                        (pos, vel), valid = relocate(
+                            (pos, vel), valid, idx_e, dest_e, placed_e,
+                            (pos[idx_e], vel[idx_e]), n_tot)
+                        nun = nun + nun_e
                     extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
                                  unplaced=state.unplaced + nun)
                 else:
@@ -556,7 +619,7 @@ class SortedElectrostaticPIC:
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(ndim)],
                 state.valid.astype(jnp.float32), valid=state.valid,
-                reserve=reserve)
+                reserve=reserve, spread=reserve)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:2 + ndim]
             validp = out[2 + ndim]

@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "block", "capacity",
@@ -74,6 +75,48 @@ def init_free_list(tile_id: jax.Array, valid: jax.Array, n_tiles: int,
     return free_idx, cnt
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "tiling", "keep"))
+def near_band_mask(position: jax.Array, tile_id: jax.Array,
+                   shape: tuple, tiling, keep: int) -> jax.Array:
+    """Rows that have consumed all but ``keep`` cells of their sort margin.
+
+    True where any axis of ``position`` lies more than ``margin - keep``
+    cells outside the row's ASSIGNED tile (periodic wrap) — still inside
+    the block window, but within ``keep`` cells of leaving it.  Eager
+    repair relocates these rows while their kernel outputs are still exact,
+    so no out-of-window patch is ever needed for them; with per-step
+    displacement < ``keep`` cells, true window exits drop to zero and the
+    (expensive) patch buffer only has to cover respawns/migrants.
+
+    The equilibrium relocation flux is ~2·E|v_axis|/(tile + 2(margin-keep))
+    of rows per step per axis — the same order as the window-exit flux the
+    plain repair pays, but each row costs a payload move instead of a
+    packed re-push + deposit patch.
+    """
+    nd = len(shape)
+    nts = tiling.n_tiles(shape)
+    if nd == 2:
+        tiles = (tiling.tile_r, tiling.tile_z)
+        tid_c = jnp.minimum(tile_id, int(np.prod(nts)) - 1)
+        axes = (tid_c // nts[1], tid_c % nts[1])
+    else:
+        tiles = tiling.tile
+        tid_c = jnp.minimum(tile_id, int(np.prod(nts)) - 1)
+        t0 = tid_c // (nts[1] * nts[2])
+        rem = tid_c % (nts[1] * nts[2])
+        axes = (t0, rem // nts[2], rem % nts[2])
+    slack = tiling.margin - keep
+    if slack < 0:
+        raise ValueError(f"keep={keep} exceeds margin={tiling.margin}")
+    out = None
+    for a in range(nd):
+        lo = axes[a].astype(jnp.float32) * tiles[a] - slack
+        rel = jnp.mod(position[:, a] - lo, shape[a])
+        o = rel >= tiles[a] + 2 * slack
+        out = o if out is None else jnp.logical_or(out, o)
+    return out
+
+
 def _segment_ranks(keys: jax.Array) -> jax.Array:
     """Rank of each element within its run of equal (sorted) keys."""
     k = keys.shape[0]
@@ -81,10 +124,11 @@ def _segment_ranks(keys: jax.Array) -> jax.Array:
     return jnp.arange(k, dtype=jnp.int32) - first.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles",))
+@functools.partial(jax.jit, static_argnames=("n_tiles", "rounds"))
 def allocate_slots(free_idx: jax.Array, free_cnt: jax.Array,
                    src: jax.Array, ok: jax.Array, new_tile: jax.Array,
-                   old_tile: jax.Array, n_total: int, n_tiles: int):
+                   old_tile: jax.Array, n_total: int, n_tiles: int,
+                   rounds: int = 2):
     """Assign each spilled row a dead slot in its new tile (pop), and free
     the source slots of relocated rows for future arrivals (push).
 
@@ -92,52 +136,28 @@ def allocate_slots(free_idx: jax.Array, free_cnt: jax.Array,
     unused entries); ``ok``: (K,) validity; ``new_tile``/``old_tile``: (K,)
     tile of the row's new position / of its current block.
 
+    ``rounds`` pop/push passes run per call: with ``rounds >= 2`` an
+    arrival can take a slot freed by a departure in the SAME call (later
+    pops see earlier pushes), which removes the one-step lag that otherwise
+    shows up as persistent ``unplaced`` churn in drift-dominated flows
+    where a tile's arrivals and departures balance each step.
+
     Returns ``(dest (K,), placed (K,) bool, free_idx', free_cnt',
     n_unplaced)`` — ``dest[i] == src[i]`` where no slot was available (the
     row stays in place, remains spilled, and is retried next step).
     """
-    k = src.shape[0]
-    cap = free_idx.shape[1]
-    sent_t = jnp.int32(n_tiles)
-
-    # ---- pop: group arrivals by destination tile --------------------------
-    key = jnp.where(ok, new_tile, sent_t).astype(jnp.int32)
-    order = jnp.argsort(key)
-    key_s = key[order]
-    src_s = src[order]
-    ok_s = key_s < sent_t
-    r = _segment_ranks(key_s)
-    t_c = jnp.minimum(key_s, n_tiles - 1)
-    cnt_t = free_cnt[t_c]
-    place = jnp.logical_and(ok_s, r < cnt_t)
-    slot = free_idx[t_c, jnp.clip(cnt_t - 1 - r, 0, cap - 1)]
-    dest_s = jnp.where(place, slot, src_s)
-    used = jax.ops.segment_sum(place.astype(jnp.int32), key_s,
-                               num_segments=n_tiles)
-    free_cnt = free_cnt - used
-
-    # ---- push: freed source slots onto their old tile's stack -------------
-    old_s = old_tile[order]
-    key2 = jnp.where(place, old_s, sent_t).astype(jnp.int32)
-    order2 = jnp.argsort(key2)
-    key2_s = key2[order2]
-    src2_s = src_s[order2]
-    ok2 = key2_s < sent_t
-    r2 = _segment_ranks(key2_s)
-    t2 = jnp.minimum(key2_s, n_tiles - 1)
-    pos2 = free_cnt[t2] + r2
-    write_ok = jnp.logical_and(ok2, pos2 < cap)
-    free_idx = free_idx.at[
-        jnp.where(write_ok, t2, n_tiles),
-        jnp.clip(pos2, 0, cap - 1)].set(src2_s, mode="drop")
-    pushed = jax.ops.segment_sum(write_ok.astype(jnp.int32), key2_s,
-                                 num_segments=n_tiles)
-    free_cnt = free_cnt + pushed
-
-    # ---- back to caller order ---------------------------------------------
-    inv = jnp.argsort(order)
-    dest = dest_s[inv]
-    placed = place[inv]
+    dest = src
+    placed = jnp.zeros(src.shape, bool)
+    for _ in range(rounds):
+        want = jnp.logical_and(ok, jnp.logical_not(placed))
+        slot, got, free_idx, free_cnt = pop_slots(
+            free_idx, free_cnt, new_tile, want, n_total)
+        dest = jnp.where(got, slot, dest)
+        placed = jnp.logical_or(placed, got)
+        # freed source slots (old_tile >= n_tiles rows are trailing-region
+        # slots — the sharded callers push those onto the spare stack)
+        free_idx, free_cnt = push_slots(free_idx, free_cnt, src,
+                                        old_tile, got)
     n_unplaced = jnp.sum(jnp.logical_and(ok, ~placed).astype(jnp.int32))
     return dest, placed, free_idx, free_cnt, n_unplaced
 

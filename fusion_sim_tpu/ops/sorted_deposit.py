@@ -104,7 +104,8 @@ def sort_by_tile(position: jax.Array, shape: tuple[int, int],
 def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
                         tiling, *payloads: jax.Array,
                         valid: jax.Array | None = None,
-                        reserve: bool = False):
+                        reserve: bool = False,
+                        spread: bool = False):
     """Sort particles by tile AND pad every tile's segment to a multiple of
     ``tiling.block`` with dead filler rows (weight handling is the caller's:
     fillers carry position 0 and payload 0 — give weights as a payload and
@@ -129,6 +130,12 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     like the pusher's source-concentrated default scenario).  The total
     layout length is unchanged — the per-tile reserve consumes the same
     ``n_tiles * block`` budget the trailing dead region otherwise absorbs.
+
+    ``spread``: additionally distribute ALL surplus dead blocks round-robin
+    over the tile segments instead of leaving them in the trailing region —
+    maximizes the repair stacks' per-tile inventory at zero extra cost for
+    the single-chip models (the sharded models keep the trailing region:
+    migration spare slots live there).
 
     Returns ``(tile_id, position, *payloads, n_valid)`` arrays of fixed
     length ``N + n_tiles*block`` (fillers sorted to the end of their tile's
@@ -158,6 +165,22 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
         # every tile keeps >= 1 filler block of free slots (see docstring);
         # per-tile pad <= p_blk so the n_tiles*p_blk budget always covers it
         pads = jnp.where(pads == 0, p_blk, pads)
+    if spread:
+        # distribute the surplus (would-be trailing) dead blocks round-robin
+        # over the tile segments: identical layout length and block count —
+        # trailing blocks are processed (and skipped as dead) either way —
+        # but every dead slot now sits where the repair free stacks
+        # (ops/repair.py) can hand it to an arrival.  Without this, tiles
+        # whose count lands just under a block multiple start with almost
+        # no inventory and relocation fails into `unplaced` churn.
+        extra_blocks = (total_pad - jnp.sum(pads)) // p_blk
+        base_e = extra_blocks // n_tiles
+        rem_e = extra_blocks % n_tiles
+        # the remainder blocks go to the thinnest tiles (smallest pad), not
+        # the lowest indices — otherwise high-index tiles with counts just
+        # under a block multiple keep near-zero inventory
+        rank = jnp.argsort(jnp.argsort(pads))
+        pads = pads + (base_e + (rank < rem_e)) * p_blk
     cum_pads = jnp.cumsum(pads)
     # filler j gets the tile whose cumulative pad range contains j; the
     # surplus beyond cum_pads[-1] sorts to the global end (tile = n_tiles)

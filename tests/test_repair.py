@@ -380,3 +380,153 @@ def test_migrate_ring_stacked_seat_spare_drop():
     # bounded-leak behavior; the resort recovers it)
     assert scnt_o[0] == 1
     assert scnt_o[1] == 0                   # shard 1 spare drained
+
+
+def test_near_band_mask_geometry():
+    """Rows flagged iff any axis is more than (margin - keep) cells outside
+    their assigned tile, with periodic wrap."""
+    from fusion_sim_tpu.ops.repair import near_band_mask
+
+    cells = 32
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=3)
+    ntz = 4
+    # tile (1, 1): spans cells [8, 16) in each axis
+    t11 = 1 * ntz + 1
+    pos = jnp.asarray([
+        [12.0, 12.0],   # deep inside -> False
+        [8.0 - 0.5, 12.0],   # 0.5 outside, slack (3-1)=2 -> False
+        [8.0 - 2.5, 12.0],   # 2.5 outside -> True
+        [16.0 + 1.9, 12.0],  # 1.9 outside high side -> False
+        [16.0 + 2.1, 12.0],  # 2.1 outside -> True
+        [12.0, 16.0 + 2.1],  # other axis -> True
+    ], jnp.float32)
+    tid = jnp.full((pos.shape[0],), t11, jnp.int32)
+    m = near_band_mask(pos, tid, (cells, cells), tiling, keep=1)
+    np.testing.assert_array_equal(
+        np.asarray(m), [False, False, True, False, True, True])
+    # periodic wrap: tile (0, 0) low side wraps to the top of the grid
+    pos_w = jnp.asarray([[cells - 2.5, 4.0], [cells - 0.5, 4.0]], jnp.float32)
+    tid_w = jnp.zeros((2,), jnp.int32)
+    m_w = near_band_mask(pos_w, tid_w, (cells, cells), tiling, keep=1)
+    np.testing.assert_array_equal(np.asarray(m_w), [True, False])
+
+
+def test_eager_repair_value_equivalent_before_any_spill():
+    """While nothing has exited a window yet, eager relocation only MOVES
+    rows (carrying their own kernel outputs) — the particle value multiset
+    matches the plain sorted model's to deposit-summation rounding (rho
+    accumulates relocated rows in a different order, so E and trajectories
+    differ by ulps, exactly like a resort does)."""
+    config, pos, vel = _setup()
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=2)
+    plain = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=10 ** 6,
+                                      check_spill=False)
+    eager = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=10 ** 6, repair=True,
+                                      repair_eager=1, check_spill=False)
+    n_steps = 4   # band (>1 cell out) is reached, window exit (>2) is not
+    plain.step(n_steps)
+    eager.step(n_steps)
+    assert int(plain.state.spill) == 0
+    assert int(eager.state.spill) == 0
+    moved = int(jnp.sum(eager.state.tile_id != plain.state.tile_id))
+    vp = np.asarray(plain.state.valid)
+    ve = np.asarray(eager.state.valid)
+    assert vp.sum() == ve.sum() == pos.shape[0]
+    pp = np.asarray(plain.state.position)[vp]
+    pe = np.asarray(eager.state.position)[ve]
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pp[:, ax]), np.sort(pe[:, ax]),
+                                   rtol=0, atol=1e-4)
+    # and rows actually moved (the test exercises the eager path)
+    order_p = np.lexsort(pp.T)
+    order_e = np.lexsort(pe.T)
+    idx_p = np.where(vp)[0][order_p]
+    idx_e = np.where(ve)[0][order_e]
+    assert (idx_p != idx_e).any() or moved
+
+
+def test_eager_repair_tracks_reference_with_zero_true_spills(backend="xla"):
+    """Long resort-free run: eager relocation keeps every row in-window
+    (zero patched spills after the fresh-layout settle) while tracking the
+    reference model."""
+    config, pos, vel = _setup()
+    ref = es.ElectrostaticPIC(config, pos, vel)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=2)
+    sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                    resort_every=10 ** 6, backend=backend,
+                                    repair=True, repair_eager=1,
+                                    check_spill=False)
+    n_steps = 24
+    ref.step(n_steps)
+    sim.step(n_steps)
+    # per-step displacement (~0.46 cells) < keep (1): no window exits
+    assert int(sim.state.spill) == 0
+    assert int(sim.state.spill_dropped) == 0
+    assert int(jnp.sum(sim.state.valid)) == pos.shape[0]
+    e_ref, e_sim = ref.energies(), sim.energies()
+    np.testing.assert_allclose(e_sim["kinetic"], e_ref["kinetic"], rtol=2e-3)
+    pos_s = np.asarray(sim.state.position)[np.asarray(sim.state.valid)]
+    pos_r = np.asarray(ref.state.position)
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pos_s[:, ax]),
+                                   np.sort(pos_r[:, ax]), atol=0.05)
+
+
+@pytest.mark.slow
+def test_eager_repair_pallas_matches_xla():
+    """Fused-kernel backend with eager repair matches the XLA backend
+    row-for-row (same relocation decisions, same values)."""
+    config, pos, vel = _setup(n=1024)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    sims = {}
+    for backend in ("xla", "pallas"):
+        s = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=10 ** 6, backend=backend,
+                                      repair=True, repair_eager=1,
+                                      check_spill=False)
+        s.step(12)
+        sims[backend] = s
+    a, b = sims["xla"].state, sims["pallas"].state
+    assert int(a.spill) == int(b.spill) == 0
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    assert va.sum() == vb.sum() == pos.shape[0]
+    pa = np.asarray(a.position)[va]
+    pb = np.asarray(b.position)[vb]
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pa[:, ax]), np.sort(pb[:, ax]),
+                                   atol=5e-4)
+
+
+def test_eager_repair_em_zero_spills():
+    """Sorted EM model with repair_eager: band rows relocate before exiting
+    their window, so the (patch-requiring) spill count stays at zero while
+    the model tracks the reference."""
+    from fusion_sim_tpu.models import electromagnetic as em
+
+    n, cells = 4096, 64
+    d = 0.5
+    config = em.EMConfig(grid_shape=(cells, cells), cell_size=(d, d),
+                         dt=0.2 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered")
+    rng = np.random.default_rng(3)
+    pos = (rng.random((n, 2)) * cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    vel[:, 0] += 2.0   # ~0.4 cells/step drift: tiles churn
+    ref = em.ElectromagneticPIC(config, pos, vel)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=2)
+    sim = em.SortedElectromagneticPIC(config, pos, vel, tiling=tiling,
+                                      resort_every=10 ** 6, repair=True,
+                                      repair_eager=1, check_spill=False)
+    n_steps = 24
+    ref.step(n_steps)
+    sim.step(n_steps)
+    assert int(sim.state.spill) == 0
+    assert int(sim.state.unplaced) == 0
+    assert int(jnp.sum(sim.state.valid)) == n
+    pos_s = np.asarray(sim.state.position)[np.asarray(sim.state.valid)]
+    pos_r = np.asarray(ref.state.position)
+    for ax in range(2):
+        np.testing.assert_allclose(np.sort(pos_s[:, ax]) % cells,
+                                   np.sort(pos_r[:, ax] % cells), atol=0.05)
