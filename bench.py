@@ -113,7 +113,9 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     # the expensive patch buffer only covers >2-cells/step outliers.
     attempts = [
         ("repair+eager", dict(resort_every=10 ** 9, repair=True,
-                              repair_eager=2, eager_capacity=163840,
+                              # band flux denominator is tile/2 + margin -
+                              # keep = 20 cells: ~0.9%/step at 10M, x2
+                              repair_eager=2, eager_capacity=196608,
                               spill_capacity=16384,
                               repair_free_slots=2048)),
         ("repair", dict(resort_every=10 ** 9, repair=True,

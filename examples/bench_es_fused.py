@@ -89,8 +89,14 @@ def main():
         if args.eager:
             # eager relocation empties the true-spill path: the equilibrium
             # flux rides the (cheap) eager buffer, the patch buffer only
-            # covers the post-resort transient
-            kw.update(repair_eager=args.eager, eager_capacity=eq_floor,
+            # covers the post-resort transient.  The band boundary sits at
+            # margin - eager cells, so its flux denominator is narrower
+            # than the window's.
+            band_floor = int(args.n * 0.36
+                             / max(args.tile / 2 + args.margin - args.eager,
+                                   1))
+            band_floor = -(-max(band_floor, 131072) // 1024) * 1024
+            kw.update(repair_eager=args.eager, eager_capacity=band_floor,
                       spill_capacity=max(args.spill_capacity, 16384))
         resort = 10 ** 9
         warmup = args.warmup

@@ -26,6 +26,7 @@ import numpy as np
 from ..ops import fdtd
 from ..ops.esirkepov import esirkepov_deposit_2d, esirkepov_deposit_3d
 from ..ops.interp import cic_deposit
+from ..ops.repair import repair_relocate as _repair_relocate
 
 
 class EMState(NamedTuple):
@@ -249,50 +250,6 @@ class SortedEMState(NamedTuple):
                                        # free slot in their new tile yet)
 
 
-def _repair_relocate(state, x1, velocity, idx, ok, pos_k, vel_k,
-                     shape, tiling, n_tiles: int, ndim: int,
-                     in_win=None, eager_keep: int = 0, eager_cap: int = 0):
-    """Shared repair wiring for the sorted EM steps: relocate the compacted
-    spilled rows (exact values ``pos_k``/``vel_k``) into dead slots of their
-    new tile (ops/repair.py).  Returns ``(x1, velocity, valid, extra)``.
-
-    With ``eager_keep > 0`` (and ``in_win`` = the step's in-window mask),
-    rows within ``eager_keep`` cells of leaving their window are ALSO
-    relocated, carrying their own (exact) values — no patch involved; true
-    window exits then only occur for per-step displacements > eager_keep
-    cells (see SortedElectrostaticPIC's repair_eager)."""
-    from ..ops.repair import allocate_slots, near_band_mask, relocate
-    from ..ops.sorted_deposit import tile_ids, tile_ids_3d
-
-    n_tot = x1.shape[0]
-    tid_fn = tile_ids if ndim == 2 else tile_ids_3d
-    new_t = tid_fn(pos_k, shape, tiling)
-    dest, placed, fidx, fcnt, nun = allocate_slots(
-        state.free_idx, state.free_cnt, idx, ok, new_t,
-        state.tile_id[idx], n_tot, n_tiles)
-    (x1, velocity), valid = relocate(
-        (x1, velocity), state.valid, idx, dest, placed,
-        (pos_k, vel_k), n_tot)
-    if eager_keep:
-        from ..ops.interp import spill_rows_cond
-
-        grid_f = jnp.asarray(shape, jnp.float32)
-        mask_e = jnp.logical_and(
-            jnp.logical_and(in_win, valid),
-            near_band_mask(x1, state.tile_id, shape, tiling, eager_keep))
-        idx_e, ok_e = spill_rows_cond(mask_e, jnp.sum(mask_e), eager_cap,
-                                      n_tot)
-        new_te = tid_fn(jnp.mod(x1[idx_e], grid_f), shape, tiling)
-        dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
-            fidx, fcnt, idx_e, ok_e, new_te, state.tile_id[idx_e],
-            n_tot, n_tiles)
-        (x1, velocity), valid = relocate(
-            (x1, velocity), valid, idx_e, dest_e, placed_e,
-            (x1[idx_e], velocity[idx_e]), n_tot)
-        nun = nun + nun_e
-    extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
-                 unplaced=state.unplaced + nun)
-    return x1, velocity, valid, extra
 
 
 class SortedElectromagneticPIC:
@@ -355,7 +312,10 @@ class SortedElectromagneticPIC:
         # window, carrying their own exact values (no patch) — see
         # SortedElectrostaticPIC(repair_eager) / ops/repair.near_band_mask
         self.repair_eager = int(repair_eager)
-        self.eager_capacity = int(eager_capacity or spill_capacity)
+        self.eager_capacity = (int(spill_capacity) if eager_capacity is None
+                               else int(eager_capacity))
+        if self.repair_eager and self.eager_capacity <= 0:
+            raise ValueError(f"eager_capacity={eager_capacity} must be > 0")
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2 else Tiling3D())
         if self.repair_eager:
@@ -695,8 +655,12 @@ class SortedElectromagneticPIC:
             unplaced = int(self.state.unplaced)
             delta = unplaced - self._unplaced_seen
             self._unplaced_seen = unplaced
-            if delta > max(64, min(self.spill_capacity,
-                                   self.n_real) // 8) * max(1, n):
+            # scale to whichever relocation buffer carries the flux —
+            # eager configs intentionally shrink spill_capacity while the
+            # equilibrium volume rides eager_capacity
+            cap = max(self.spill_capacity,
+                      self.eager_capacity if self.repair_eager else 0)
+            if delta > max(64, min(cap, self.n_real) // 8) * max(1, n):
                 self._need_resort = True
         if self.check_spill:
             self._check_spill()

@@ -271,7 +271,10 @@ class SortedElectrostaticPIC:
         # ``eager_capacity`` sizes that relocation buffer (the equilibrium
         # band flux; defaults to spill_capacity).
         self.repair_eager = int(repair_eager)
-        self.eager_capacity = int(eager_capacity or spill_capacity)
+        self.eager_capacity = (int(spill_capacity) if eager_capacity is None
+                               else int(eager_capacity))
+        if self.repair_eager and self.eager_capacity <= 0:
+            raise ValueError(f"eager_capacity={eager_capacity} must be > 0")
         # pallas_precision overrides the fused kernel's matmul strategy:
         # 'highest' (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16,
         # ops/mxu.py), or 'default' (single-pass bf16).  None = follow
@@ -422,40 +425,13 @@ class SortedElectrostaticPIC:
                 dropped = spill.astype(jnp.int32)
             extra = {}
             if use_repair:
-                from ..ops.repair import (allocate_slots, near_band_mask,
-                                          relocate)
-                from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+                from ..ops.repair import repair_relocate
 
-                n_tot = position.shape[0]
-                pos_k2 = position[idx]
-                tid_fn = tile_ids if config.n_dim == 2 else tile_ids_3d
-                new_t = tid_fn(pos_k2, shape, tiling)
-                dest, placed, fidx, fcnt, nun = allocate_slots(
-                    state.free_idx, state.free_cnt, idx, ok, new_t,
-                    state.tile_id[idx], n_tot, n_tiles)
-                (position, velocity), valid = relocate(
-                    (position, velocity), state.valid, idx, dest, placed,
-                    (pos_k2, velocity[idx]), n_tot)
-                if eager_keep:
-                    # proactive relocation of in-window rows that are within
-                    # `eager_keep` cells of leaving their window — a payload
-                    # move of their own (exact) values, no patch needed
-                    mask_e = jnp.logical_and(
-                        jnp.logical_and(~spill_mask, valid),
-                        near_band_mask(position, state.tile_id, shape,
-                                       tiling, eager_keep))
-                    idx_e, ok_e = spill_rows_cond(
-                        mask_e, jnp.sum(mask_e), eager_cap, n_tot)
-                    new_te = tid_fn(position[idx_e], shape, tiling)
-                    dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
-                        fidx, fcnt, idx_e, ok_e, new_te,
-                        state.tile_id[idx_e], n_tot, n_tiles)
-                    (position, velocity), valid = relocate(
-                        (position, velocity), valid, idx_e, dest_e, placed_e,
-                        (position[idx_e], velocity[idx_e]), n_tot)
-                    nun = nun + nun_e
-                extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
-                             unplaced=state.unplaced + nun)
+                position, velocity, _, extra = repair_relocate(
+                    state, position, velocity, idx, ok,
+                    position[idx], velocity[idx], shape, tiling, n_tiles,
+                    config.n_dim, in_win=~spill_mask,
+                    eager_keep=eager_keep, eager_cap=eager_cap)
             return state._replace(position=position, velocity=velocity,
                                   step=state.step + 1,
                                   spill=state.spill + spill.astype(jnp.int32),
@@ -545,43 +521,15 @@ class SortedElectrostaticPIC:
                 rho_new = rho_new + cic_deposit_packed(
                     pos_k, jnp.where(ok, w[idx], 0.0), shape)
                 if use_repair:
-                    from ..ops.repair import (allocate_slots, near_band_mask,
-                                              relocate)
-                    from ..ops.sorted_deposit import tile_ids, tile_ids_3d
+                    from ..ops.repair import repair_relocate
 
-                    n_tot = pos.shape[0]
-                    tid_fn = tile_ids if config.n_dim == 2 else tile_ids_3d
-                    new_t = tid_fn(pos_k, shape, tiling)
-                    dest, placed, fidx, fcnt, nun = allocate_slots(
-                        state.free_idx, state.free_cnt, idx, ok, new_t,
-                        state.tile_id[idx], n_tot, n_tiles)
-                    (pos, vel), valid = relocate(
-                        (pos, vel), state.valid, idx, dest, placed,
-                        (pos_k, vel_k), n_tot)
-                    if eager_keep:
-                        # proactive relocation: rows still in-window but
-                        # within `eager_keep` cells of leaving it move NOW,
-                        # carrying their (exact) kernel outputs — no patch.
-                        # Disjoint from the spill rows above by construction
-                        # (band rows are in_win), so pos/vel gathers below
-                        # see untouched values.
-                        mask_e = jnp.logical_and(
-                            jnp.logical_and(in_win, valid),
-                            near_band_mask(pos, state.tile_id, shape,
-                                           tiling, eager_keep))
-                        idx_e, ok_e = spill_rows_cond(
-                            mask_e, jnp.sum(mask_e), eager_cap, n_tot)
-                        new_te = tid_fn(jnp.mod(pos[idx_e], grid_f),
-                                        shape, tiling)
-                        dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
-                            fidx, fcnt, idx_e, ok_e, new_te,
-                            state.tile_id[idx_e], n_tot, n_tiles)
-                        (pos, vel), valid = relocate(
-                            (pos, vel), valid, idx_e, dest_e, placed_e,
-                            (pos[idx_e], vel[idx_e]), n_tot)
-                        nun = nun + nun_e
-                    extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
-                                 unplaced=state.unplaced + nun)
+                    # spill rows get the recomputed exact patch values;
+                    # band rows (eager) carry their own kernel outputs
+                    pos, vel, _, extra = repair_relocate(
+                        state, pos, vel, idx, ok, pos_k, vel_k,
+                        shape, tiling, n_tiles, config.n_dim,
+                        in_win=in_win, eager_keep=eager_keep,
+                        eager_cap=eager_cap)
                 else:
                     pos = pos.at[idx].set(pos_k, mode="drop")
                     vel = vel.at[idx].set(vel_k, mode="drop")
@@ -657,8 +605,12 @@ class SortedElectrostaticPIC:
             unplaced = int(self.state.unplaced)
             delta = unplaced - self._unplaced_seen
             self._unplaced_seen = unplaced
-            if delta > max(64, min(self.spill_capacity,
-                                   self.n_real) // 8) * max(1, n):
+            # scale to whichever relocation buffer carries the flux —
+            # eager configs intentionally shrink spill_capacity while the
+            # equilibrium volume rides eager_capacity
+            cap = max(self.spill_capacity,
+                      self.eager_capacity if self.repair_eager else 0)
+            if delta > max(64, min(cap, self.n_real) // 8) * max(1, n):
                 self._need_resort = True
         if self.check_spill:
             self._check_spill()

@@ -241,6 +241,57 @@ def relocate(arrays, valid: jax.Array, src: jax.Array, dest: jax.Array,
     return tuple(out), valid
 
 
+def repair_relocate(state, x1, velocity, idx, ok, pos_k, vel_k,
+                    shape, tiling, n_tiles: int, ndim: int,
+                    in_win=None, eager_keep: int = 0, eager_cap: int = 0):
+    """Shared repair wiring for the single-chip sorted steps (ES and EM):
+    relocate the compacted spilled rows (exact values ``pos_k``/``vel_k``)
+    into dead slots of their new tile, then — with ``eager_keep > 0`` and
+    ``in_win`` = the step's in-window mask — ALSO relocate rows within
+    ``eager_keep`` cells of leaving their window, carrying their own
+    (exact) values: no patch involved, and true window exits then only
+    occur for per-step displacements > ``eager_keep`` cells.
+
+    ``state`` needs ``.free_idx/.free_cnt/.valid/.tile_id/.unplaced``.
+    Band rows beyond ``eager_cap`` are deferred to the next step and
+    counted into ``unplaced`` (they are NOT lossy — still in-window — but
+    persistent deferral means the buffer is undersized and feeds the
+    shell's resort-on-drain heuristic).  Returns
+    ``(x1, velocity, valid, extra)`` with ``extra`` the state updates."""
+    from .interp import spill_rows_cond
+    from .sorted_deposit import tile_ids, tile_ids_3d
+
+    n_tot = x1.shape[0]
+    tid_fn = tile_ids if ndim == 2 else tile_ids_3d
+    new_t = tid_fn(pos_k, shape, tiling)
+    dest, placed, fidx, fcnt, nun = allocate_slots(
+        state.free_idx, state.free_cnt, idx, ok, new_t,
+        state.tile_id[idx], n_tot, n_tiles)
+    (x1, velocity), valid = relocate(
+        (x1, velocity), state.valid, idx, dest, placed,
+        (pos_k, vel_k), n_tot)
+    if eager_keep:
+        grid_f = jnp.asarray(shape, jnp.float32)
+        mask_e = jnp.logical_and(
+            jnp.logical_and(in_win, valid),
+            near_band_mask(x1, state.tile_id, shape, tiling, eager_keep))
+        n_band = jnp.sum(mask_e).astype(jnp.int32)
+        idx_e, ok_e = spill_rows_cond(mask_e, n_band, eager_cap, n_tot)
+        new_te = tid_fn(jnp.mod(x1[idx_e], grid_f), shape, tiling)
+        dest_e, placed_e, fidx, fcnt, nun_e = allocate_slots(
+            fidx, fcnt, idx_e, ok_e, new_te, state.tile_id[idx_e],
+            n_tot, n_tiles)
+        (x1, velocity), valid = relocate(
+            (x1, velocity), valid, idx_e, dest_e, placed_e,
+            (x1[idx_e], velocity[idx_e]), n_tot)
+        # deferred band rows (beyond eager_cap) retry next step; surface
+        # them so an undersized buffer is observable
+        nun = nun + nun_e + jnp.maximum(n_band - eager_cap, 0)
+    extra = dict(free_idx=fidx, free_cnt=fcnt, valid=valid,
+                 unplaced=state.unplaced + nun)
+    return x1, velocity, valid, extra
+
+
 def sharded_repair_migrate(
     x1: jax.Array,
     velocity: jax.Array,
