@@ -34,6 +34,7 @@ run examples/bench_es_fused.py --skip-xla --precision highest
 run examples/bench_em_fused.py --backends fused --precision highest
 run examples/bench_em_fused.py --backends fused --precision exact_bf16 --repair
 run examples/bench_sharded_1chip.py --model es --repair
+run examples/bench_sharded_1chip.py --model es --repair --eager 2
 run examples/bench_sharded_1chip.py --model em --repair
 run examples/bench_sharded_1chip.py --model es
 run examples/bench_sharded_1chip.py --model em

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--repair", action="store_true",
                     help="incremental layout repair instead of resorts")
+    ap.add_argument("--eager", type=int, default=0,
+                    help="repair_eager: relocate this many cells before "
+                         "window exit (no patch needed)")
     ap.add_argument("--spill-capacity", type=int, default=0,
                     help="0 = auto (equilibrium-sized for repair runs)")
     ap.add_argument("--warmup", type=int, default=0,
@@ -77,13 +80,19 @@ def main():
         # buffer/stacks for it and warm up to it (see bench_es_fused.py)
         spill_cap = args.spill_capacity or (163840 if args.repair else 16384)
         warmup = args.warmup or (117 if args.repair else 0)
+        eager_kw = {}
+        if args.eager:
+            # band flux rides the eager buffer; patch buffer -> outliers
+            eager_kw = dict(repair_eager=args.eager,
+                            eager_capacity=196608, )
+            spill_cap = args.spill_capacity or 16384
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
                               resort_every=10 ** 9 if args.repair else 16,
                               repair=args.repair, backend="pallas",
                               spill_capacity=spill_cap,
                               repair_free_slots=2048 if args.repair else 256,
-                              pallas_precision=args.precision)
+                              pallas_precision=args.precision, **eager_kw)
         sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
         bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps,
               warmup=warmup)

@@ -89,6 +89,9 @@ class ShardedEMConfig:
     # coordinated migration (see electrostatic_sharded.ShardedESConfig)
     repair: bool = False
     repair_free_slots: int = 256
+    # eager relocation (see ShardedESConfig.repair_eager); 0 = off
+    repair_eager: int = 0
+    eager_capacity: int | None = None
     spare_slots: int | None = None
     # True: the shell verifies after every step() call that the observed max
     # per-step displacement respects the migration/apron invariant (raises
@@ -514,7 +517,10 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
                 arrival_tiles, axis=axis, n_shards=config.n_shards,
                 migration_buffer=config.migration_buffer,
                 pseudo_shape=pseudo_shape, tiling=tiling,
-                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H,
+                in_win=jnp.logical_not(d_mask),
+                eager_keep=config.repair_eager,
+                eager_cap=config.eager_capacity or config.spill_capacity)
             repair_out = (fidx, fcnt, sidx, scnt, unpl)
         elif config.n_shards > 1:
             res = migration.migrate_ring(
@@ -665,6 +671,14 @@ class ShardedElectromagneticPIC:
     def __init__(self, config: ShardedEMConfig, mesh: Mesh, position,
                  velocity, e=None, b=None, axis: str = "space"):
         self.config = config
+        if config.repair_eager:
+            if not config.repair:
+                raise ValueError("repair_eager requires repair=True")
+            if config.tiling is None or not (
+                    0 < config.repair_eager <= config.tiling.margin):
+                raise ValueError(
+                    f"repair_eager={config.repair_eager} needs a tiling and "
+                    f"must be in 1..margin")
         self.mesh = mesh
         self.sorted = config.tiling is not None
         shape = config.base.grid_shape

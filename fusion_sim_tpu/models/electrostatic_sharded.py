@@ -90,6 +90,11 @@ class ShardedESConfig:
     # the per-shard resort runs only when stacks drain.
     repair: bool = False
     repair_free_slots: int = 256
+    # eager relocation: also move rows this many cells BEFORE they leave
+    # their window (their values are exact — no patch; see
+    # SortedElectrostaticPIC.repair_eager); 0 = off
+    repair_eager: int = 0
+    eager_capacity: int | None = None  # band buffer; None = spill_capacity
     # spare-stack capacity; None = max(repair_free_slots,
     # 2*migration_buffer) so one step's worth of arrivals always seats
     spare_slots: int | None = None
@@ -386,7 +391,10 @@ def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
                 arrival_tiles, axis=axis, n_shards=config.n_shards,
                 migration_buffer=config.migration_buffer,
                 pseudo_shape=pseudo_shape, tiling=tiling,
-                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H,
+                in_win=jnp.logical_not(d_mask),
+                eager_keep=config.repair_eager,
+                eager_cap=config.eager_capacity or config.spill_capacity)
             repair_out = (fidx, fcnt, sidx, scnt, unpl)
         elif config.n_shards > 1:
             res = migration.migrate_ring((x1, velocity), alive, go_left,
@@ -555,7 +563,10 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
                 arrival_tiles, axis=axis, n_shards=config.n_shards,
                 migration_buffer=config.migration_buffer,
                 pseudo_shape=pseudo_shape, tiling=tiling,
-                n_tiles=n_tiles_ps, slab=slab, halo_w=H)
+                n_tiles=n_tiles_ps, slab=slab, halo_w=H,
+                in_win=jnp.logical_not(d_mask),
+                eager_keep=config.repair_eager,
+                eager_cap=config.eager_capacity or config.spill_capacity)
             repair_out = (fidx, fcnt, sidx, scnt, unpl)
         elif config.n_shards > 1:
             res = migration.migrate_ring((x1, velocity), alive, go_left,
@@ -739,6 +750,14 @@ class ShardedElectrostaticPIC:
     def __init__(self, config: ShardedESConfig, mesh: Mesh, position,
                  velocity, axis: str = "space"):
         self.config = config
+        if config.repair_eager:
+            if not config.repair:
+                raise ValueError("repair_eager requires repair=True")
+            if config.tiling is None or not (
+                    0 < config.repair_eager <= config.tiling.margin):
+                raise ValueError(
+                    f"repair_eager={config.repair_eager} needs a tiling and "
+                    f"must be in 1..margin")
         self.mesh = mesh
         self.sorted = config.tiling is not None
         dist_cfg = (dataclasses.replace(config, capacity=config.cap_padded)

@@ -319,6 +319,9 @@ def sharded_repair_migrate(
     n_tiles: int,
     slab: int,
     halo_w: int,
+    in_win=None,
+    eager_keep: int = 0,
+    eager_cap: int = 0,
 ):
     """The repair-enabled tail of a sorted-sharded local step: relocate the
     compacted spilled rows (``idx``/``ok``, already exact-patched in
@@ -331,10 +334,18 @@ def sharded_repair_migrate(
     wrapped.  Rows about to migrate are excluded from relocation (their
     slot frees on the other side of the exchange).
 
+    With ``eager_keep > 0`` (``in_win`` = this step's in-window mask),
+    staying non-migrant rows within ``eager_keep`` cells of leaving their
+    window are ALSO relocated, carrying their own exact values — the
+    sharded form of the single-chip eager repair (no patch for them next
+    step).  Staying rows sit inside the owned slab, so the pseudo-grid's
+    non-periodic x axis never wraps under the band test.
+
     Returns ``(x1, velocity, alive, free_idx, free_cnt, spare_idx,
     spare_cnt, unplaced, overflow)``.
     """
     from ..parallel import migration
+    from .interp import spill_rows_cond
     from .sorted_deposit import tile_ids, tile_ids_3d
 
     n_tot = x1.shape[0]
@@ -347,6 +358,23 @@ def sharded_repair_migrate(
     tid_fn = tile_ids if len(pseudo_shape) == 2 else tile_ids_3d
     new_t = tid_fn(loc_k, pseudo_shape, tiling)
     old_t = tile_id[idx]
+    if eager_keep:
+        # mask computed on the PRE-relocation view (spill rows and freshly
+        # seated dest slots are excluded by in_win/staying/band); the
+        # relocation itself runs after the spill round below
+        stay_all = jnp.logical_and(lx1 >= float(halo_w),
+                                   lx1 < float(halo_w + slab))
+        loc_all = jnp.concatenate([lx1[:, None], ly1_wrapped], axis=1)
+        mask_e = jnp.logical_and(
+            jnp.logical_and(in_win, alive),
+            jnp.logical_and(
+                jnp.logical_and(stay_all, jnp.logical_not(
+                    jnp.logical_or(go_left, go_right))),
+                near_band_mask(loc_all, tile_id, pseudo_shape, tiling,
+                               eager_keep)))
+        n_band = jnp.sum(mask_e).astype(jnp.int32)
+        idx_e, ok_e = spill_rows_cond(mask_e, n_band, eager_cap, n_tot)
+        new_te = tid_fn(loc_all[idx_e], pseudo_shape, tiling)
     dest, placed, free_idx, free_cnt, nun = allocate_slots(
         free_idx, free_cnt, idx, req, new_t, old_t, n_tot, n_tiles)
     (x1, velocity), alive_b = relocate(
@@ -359,6 +387,16 @@ def sharded_repair_migrate(
     spare_idx, spare_cnt = push_slots(
         spare_idx, spare_cnt, idx, jnp.zeros_like(old_t), spare_free)
     unplaced = unplaced + nun
+    if eager_keep:
+        # eager rows are in-window (never bad-block), so their freed slots
+        # all push back through the tile stacks — no spare handling
+        dest_e, placed_e, free_idx, free_cnt, nun_e = allocate_slots(
+            free_idx, free_cnt, idx_e, ok_e, new_te, tile_id[idx_e],
+            n_tot, n_tiles)
+        (x1, velocity), alive = relocate(
+            (x1, velocity), alive, idx_e, dest_e, placed_e,
+            (x1[idx_e], velocity[idx_e]), n_tot)
+        unplaced = unplaced + nun_e + jnp.maximum(n_band - eager_cap, 0)
 
     if n_shards > 1:
         res = migration.migrate_ring_stacked(

@@ -350,3 +350,45 @@ def test_sharded_sorted_em_3d_repair_matches_single_device():
     assert len(np.unique(match)) == len(match)
     np.testing.assert_allclose(p_sharded, ref_pos[match], rtol=1e-4,
                                atol=2e-3)
+
+
+def test_sharded_em_eager_repair_matches_single_device():
+    """Sorted-sharded EM with eager relocation reproduces the single-device
+    EM model with the resort disabled."""
+    from fusion_sim_tpu.models import electromagnetic as em
+    from fusion_sim_tpu.models.electromagnetic_sharded import (
+        ShardedEMConfig, ShardedElectromagneticPIC)
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 64
+    d = 0.5
+    n = 4000
+    base = em.EMConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.2 * d, charge=-0.01, mass=0.01,
+                       field_gather="centered")
+    rng = np.random.default_rng(2)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    vel[:, 0] += 2.0
+
+    ref = em.ElectromagneticPIC(base, pos, vel)
+    ref.step(12)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedEMConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=64, tiling=tiling,
+                          resort_every=10 ** 6, repair=True, repair_eager=1)
+    sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
+    sim.step(12)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position) % n_cells
+    p_sh = p_sh % n_cells
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=5e-3)

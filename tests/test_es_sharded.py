@@ -430,3 +430,46 @@ def test_sharded_repair_overflow_triggers_resort():
     assert int(np.asarray(sim2.state.overflow).sum()) == 0
     p_sh2, _ = sim2.gather_particles()
     assert p_sh2.shape[0] == n
+
+
+def test_sharded_eager_repair_matches_single_device():
+    """Sorted-sharded ES with eager relocation (repair_eager) reproduces the
+    single-device model with the resort disabled and zero window exits for
+    in-slab rows (migrants still take their exchange path)."""
+    from fusion_sim_tpu.models import electrostatic as es
+    from fusion_sim_tpu.models.electrostatic_sharded import (
+        ShardedESConfig, ShardedElectrostaticPIC)
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+    from fusion_sim_tpu.parallel.mesh import make_mesh
+
+    n_cells = 64
+    d = 2 * np.pi / n_cells
+    n = 4000
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(1)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+    vel[:, 0] += 0.6  # drift: tiles churn and shards exchange particles
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(16)
+
+    mesh = make_mesh(8, ("space",))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
+                          migration_buffer=64, tiling=tiling,
+                          resort_every=10 ** 6, repair=True, repair_eager=1)
+    sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
+    sim.step(16)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == n
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(v_sh, np.asarray(ref.state.velocity)[match],
+                               rtol=1e-4, atol=2e-3)
