@@ -530,3 +530,35 @@ def test_eager_repair_em_zero_spills():
     for ax in range(2):
         np.testing.assert_allclose(np.sort(pos_s[:, ax]) % cells,
                                    np.sort(pos_r[:, ax] % cells), atol=0.05)
+
+
+def test_eager_repair_3d_tracks_reference():
+    """3D sorted ES with eager relocation: near_band_mask's 3-axis tile
+    decomposition and the relocation round work in 3D too."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n, cells = 4096, 16
+    length = 2 * np.pi
+    d = length / cells
+    vol = length ** 3
+    config = es.ESConfig(grid_shape=(cells,) * 3, cell_size=(d,) * 3,
+                         dt=0.05, charge=-vol / n, mass=vol / n)
+    rng = np.random.default_rng(5)
+    pos = (rng.random((n, 3)) * cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    vel[:, 0] += 0.6
+    ref = es.ElectrostaticPIC(config, pos, vel)
+    tiling = Tiling3D(tile=(8, 8, 8), block=512, margin=2)
+    sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                    resort_every=10 ** 6, repair=True,
+                                    repair_eager=1, check_spill=False)
+    n_steps = 16
+    ref.step(n_steps)
+    sim.step(n_steps)
+    assert int(sim.state.spill) == 0           # eager caught every drifter
+    assert int(jnp.sum(sim.state.valid)) == n
+    pos_s = np.asarray(sim.state.position)[np.asarray(sim.state.valid)]
+    pos_r = np.asarray(ref.state.position)
+    for ax in range(3):
+        np.testing.assert_allclose(np.sort(pos_s[:, ax]),
+                                   np.sort(pos_r[:, ax]), atol=0.05)
