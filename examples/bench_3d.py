@@ -46,6 +46,14 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--margin", type=int, default=2)
     ap.add_argument("--resort", type=int, default=6)
+    ap.add_argument("--repair", action="store_true",
+                    help="incremental layout repair instead of resorts "
+                         "(cheap for the EM config: ~0.01 cells/step drift "
+                         "-> ~40k relocations/step at 3e7)")
+    ap.add_argument("--eager", type=int, default=0,
+                    help="repair_eager cells (needs --repair)")
+    ap.add_argument("--spill-capacity", type=int, default=0,
+                    help="0 = auto")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default=None,
                     choices=["highest", "exact_bf16", "default"])
@@ -64,6 +72,20 @@ def main():
           f"model={args.model} backend={args.backend} "
           f"precision={args.precision} dev={jax.devices()[0]}")
 
+    kw = {}
+    resort = args.resort
+    if args.repair:
+        # EM 3D flux ~40k/step at 3e7 (0.01 cells/step drift); ES 3D is
+        # ~20x hotter (0.05 cells/step over 3 axes) — size accordingly
+        default_cap = 98304 if args.model == "em" else 786432
+        kw = dict(repair=True,
+                  spill_capacity=args.spill_capacity or default_cap,
+                  repair_free_slots=512)
+        if args.eager:
+            kw.update(repair_eager=args.eager,
+                      eager_capacity=args.spill_capacity or default_cap,
+                      spill_capacity=16384)
+        resort = 10 ** 9
     if args.model == "em":
         d = 0.5
         config = em.EMConfig(grid_shape=(nc,) * 3, cell_size=(d,) * 3,
@@ -71,9 +93,9 @@ def main():
                              field_gather="centered")
         vel = (0.05 * rng.standard_normal((args.n, 3))).astype(np.float32)
         sim = em.SortedElectromagneticPIC(
-            config, pos, vel, tiling=tiling, resort_every=args.resort,
+            config, pos, vel, tiling=tiling, resort_every=resort,
             check_spill=False, gather_backend=args.backend,
-            pallas_precision=args.precision)
+            pallas_precision=args.precision, **kw)
     else:
         length = 2 * np.pi
         d = length / nc
@@ -83,9 +105,9 @@ def main():
                              mass=vol / args.n)
         vel = (0.05 * rng.standard_normal((args.n, 3))).astype(np.float32)
         sim = es.SortedElectrostaticPIC(
-            config, pos, vel, tiling=tiling, resort_every=args.resort,
+            config, pos, vel, tiling=tiling, resort_every=resort,
             check_spill=False, backend=args.backend,
-            pallas_precision=args.precision)
+            pallas_precision=args.precision, **kw)
     bench(sim, f"{args.model}-{args.backend}", n_steps=args.steps)
 
 

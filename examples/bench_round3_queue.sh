@@ -46,6 +46,8 @@ run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4
 run examples/bench_em_fused.py --backends fused --precision highest --tile 16 --margin 4 --repair
 run examples/bench_em_fused.py --backends fused --precision highest --tile 16
+run examples/bench_3d.py --model em --backend fused --repair --eager 1
+run examples/bench_3d.py --model es --backend pallas --repair --eager 1
 run examples/profile_kernels.py --which pusher
 run examples/profile_kernels.py --which es2d --n 10002432
 echo "===== ALL DONE ROUND3 ====="
