@@ -562,3 +562,36 @@ def test_eager_repair_3d_tracks_reference():
     for ax in range(3):
         np.testing.assert_allclose(np.sort(pos_s[:, ax]),
                                    np.sort(pos_r[:, ax]), atol=0.05)
+
+
+def test_eager_repair_em_3d_tracks_reference():
+    """3D EM sorted model with repair_eager (the config[3] bench
+    composition, xla backend here) tracks the packed reference with zero
+    window exits."""
+    from fusion_sim_tpu.models import electromagnetic as em
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n, cells = 4096, 16
+    d = 0.5
+    config = em.EMConfig(grid_shape=(cells,) * 3, cell_size=(d,) * 3,
+                         dt=0.2 * d, charge=-0.01, mass=0.01,
+                         field_gather="centered")
+    rng = np.random.default_rng(0)
+    pos = (rng.random((n, 3)) * cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    vel[:, 0] += 1.5
+    ref = em.ElectromagneticPIC(config, pos, vel)
+    sim = em.SortedElectromagneticPIC(
+        config, pos, vel, tiling=Tiling3D(tile=(8, 8, 8), block=512,
+                                          margin=2),
+        resort_every=10 ** 6, repair=True, repair_eager=1, check_spill=False)
+    ref.step(10)
+    sim.step(10)
+    assert int(sim.state.spill) == 0
+    assert int(sim.state.unplaced) == 0
+    assert int(jnp.sum(sim.state.valid)) == n
+    ps = np.asarray(sim.state.position)[np.asarray(sim.state.valid)] % cells
+    pr = np.asarray(ref.state.position) % cells
+    for ax in range(3):
+        np.testing.assert_allclose(np.sort(ps[:, ax]), np.sort(pr[:, ax]),
+                                   atol=0.05)
