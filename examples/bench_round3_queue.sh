@@ -39,8 +39,11 @@ run examples/bench_sharded_1chip.py --model em --repair
 run examples/bench_sharded_1chip.py --model es
 run examples/bench_sharded_1chip.py --model em
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin 4 --repair
+run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin 4 --repair --eager 2
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4 --repair
+run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4 --repair --eager 2
 run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --tile 16 --margin 4 --repair
+run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --tile 16 --margin 4 --repair --eager 2
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 16 --margin 4
 run examples/bench_es_fused.py --skip-xla --precision highest --tile 8 --margin 4

@@ -130,7 +130,7 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D, reserve: bool = False):
             *[state.position[:, a] for a in range(3)],
             *[state.velocity[:, a] for a in range(3)],
             state.alive, state.valid.astype(jnp.float32),
-            valid=state.valid, reserve=reserve)
+            valid=state.valid, reserve=reserve, spread=reserve)
         tid = out[0]
         pos_cols = out[2:5]
         vel_cols = out[5:8]
