@@ -51,11 +51,18 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 
     if stream:
         # HBM window set, per-block DMA by prefetched tile index, double-
-        # buffered one grid step ahead (ops/pallas_stream.py)
+        # buffered one grid step ahead (ops/pallas_stream.py).  Streamed
+        # storage is lane-padded to 128 (Mosaic HBM slices must align to
+        # the (8, 128) tiling); slice the view back to wr_pad so the gather
+        # matmul K stays small (the pad was physical anyway).
         scrs = refs[n_win + 9:n_win + 9 + n_win]
         sems = refs[n_win + 9 + n_win:]
-        wait_get = make_window_streamer(
+        _wait_get = make_window_streamer(
             tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
+
+        def wait_get(g):
+            return [jax.lax.slice(w, (0, 0), (w.shape[0], wr_pad))
+                    for w in _wait_get(g)]
     # r tents on the sublane-padded range (rows >= wr are zero in-window)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
                                       0).astype(jnp.float32)
@@ -177,6 +184,10 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                              qvz * (0.5 * ar + dsr / 3.0)], axis=1),
             jnp.concatenate([az, dsz], axis=1))
         j_g = jnp.concatenate([j0, j1, j2], axis=0)   # (3*wr_pad, wz)
+        # lane-pad to the accumulator width (the flush DMA target must be
+        # 128-aligned; (3*wr_pad, wz) already occupies these lanes)
+        wz_lane = -(-wz // 128) * 128
+        j_g = jnp.pad(j_g, ((0, 0), (0, wz_lane - wz)))
 
         # per-tile J accumulation in VMEM, flushed once per tile
         accumulate_tile_2d(tile_ref, acc_ref, j_ref, acc_sem, j_g,
@@ -280,6 +291,15 @@ def fused_em2d_substep(
                               (0, wr_pad - wr)))
     ewin_t = ewin_t.reshape(ntr * ntz, 6 * wz_pad, wr_pad)
     three_term = precision == "exact_bf16"
+    # stream=None: resident while the 6-channel window set fits VMEM
+    # comfortably, HBM-streamed by prefetched tile index otherwise
+    stream = resolve_stream((ewin_t,), wr_pad, stream)
+    wr_lane = -(-wr_pad // 128) * 128
+    if stream and wr_lane != wr_pad:
+        # Mosaic HBM slices must align to the (8, 128) tiling: pre-pad the
+        # streamed storage lanes (physically present anyway); the kernel
+        # slices the view back to wr_pad
+        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wr_lane - wr_pad)))
     ewin_args = split_bf16(ewin_t) if three_term else (ewin_t,)
 
     def rows(v):
@@ -294,9 +314,6 @@ def fused_em2d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
-    # stream=None: resident while the 6-channel window set fits VMEM
-    # comfortably, HBM-streamed by prefetched tile index otherwise
-    stream = resolve_stream(ewin_args, wr_pad, stream)
     kernel = functools.partial(
         _em2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad, n_g=n_g, n_tiles=n_tiles,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
@@ -314,8 +331,9 @@ def fused_em2d_substep(
         win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr_pad),
                                 lambda s, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    wz_lane = -(-wz // 128) * 128
     scratch = [
-        pltpu.VMEM((3 * wr_pad, wz), jnp.float32),
+        pltpu.VMEM((3 * wr_pad, wz_lane), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     if stream:
@@ -339,7 +357,8 @@ def fused_em2d_substep(
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((n_tiles + 1, 3 * wr_pad, wz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, 3 * wr_pad, wz_lane),
+                                 jnp.float32),
             row_shape,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
@@ -361,6 +380,7 @@ def fused_em2d_substep(
     present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
         True, mode="drop")
     tw = jnp.where(present[:n_tiles, None, None], j_tiles[:n_tiles], 0.0)
-    tw = tw.reshape(n_tiles, 3, wr_pad, wz)[:, :, :wr].transpose(0, 2, 3, 1)
+    tw = tw.reshape(n_tiles, 3, wr_pad, wz_lane)[:, :, :wr, :wz]
+    tw = tw.transpose(0, 2, 3, 1)
     j = fold_tile_windows(tw, shape, tiling, wr, wz)
     return position_out, velocity_out, j, inw.reshape(n_pad)[:n] > 0.5

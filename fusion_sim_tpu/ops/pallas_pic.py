@@ -97,11 +97,18 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     if stream:
         # windows live in HBM; DMA each block's window by its scalar-
         # prefetched tile index, double-buffered one grid step ahead
-        # (ops/pallas_stream.py) — no VMEM-resident window-set size limit
+        # (ops/pallas_stream.py) — no VMEM-resident window-set size limit.
+        # Streamed storage is lane-padded to 128 (Mosaic HBM slices must
+        # align to the (8, 128) tiling); slice the view back to wr_pad so
+        # the gather matmul K stays small (the pad was physical anyway).
         scrs = refs[n_win + 8:n_win + 8 + n_win]
         sems = refs[n_win + 8 + n_win:]
-        wait_get = make_window_streamer(
+        _wait_get = make_window_streamer(
             tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
+
+        def wait_get(g):
+            return [jax.lax.slice(w, (0, 0), (w.shape[0], wr_pad))
+                    for w in _wait_get(g)]
     # r tents on the sublane-padded range: rows wr..wr_pad-1 are zero for
     # every in-window coordinate, so the padded gather columns / deposit
     # rows they touch are inert
@@ -177,6 +184,10 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
             rho_g = jax.lax.dot_general(
                 arn, azn * wm, dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=dep_precision, preferred_element_type=jnp.float32)
+        # lane-pad to the accumulator width (the flush DMA target must be
+        # 128-aligned; (wr_pad, wz) already occupies these lanes physically)
+        wz_lane = -(-wz // 128) * 128
+        rho_g = jnp.pad(rho_g, ((0, 0), (0, wz_lane - wz)))
 
         # per-tile rho accumulation in VMEM, flushed once per tile
         accumulate_tile_2d(tile_ref, acc_ref, rho_ref, acc_sem, rho_g,
@@ -283,6 +294,16 @@ def fused_es2d_substep(
                               (0, wr_pad - wr)))
     ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr_pad)
     three_term = precision == "exact_bf16"
+    # stream=None: keep the window set VMEM-resident while it fits
+    # comfortably (dynamic indexing is free); stream it from HBM by
+    # prefetched tile index once it would crowd the ~100 MB scoped VMEM
+    stream = resolve_stream((ewin_t,), wr_pad, stream)
+    wr_lane = -(-wr_pad // 128) * 128
+    if stream and wr_lane != wr_pad:
+        # Mosaic HBM slices must align to the (8, 128) tiling: pre-pad the
+        # streamed storage lanes (physically present anyway); the kernel
+        # slices the view back to wr_pad
+        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wr_lane - wr_pad)))
     if three_term:
         # split the resident window set ONCE in XLA; the kernel only splits
         # the per-block tents (same total window VMEM: 2 x bf16 = 1 x f32)
@@ -303,10 +324,6 @@ def fused_es2d_substep(
     else:
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
-    # stream=None: keep the window set VMEM-resident while it fits
-    # comfortably (dynamic indexing is free); stream it from HBM by
-    # prefetched tile index once it would crowd the ~100 MB scoped VMEM
-    stream = resolve_stream(ewin_args, wr_pad, stream)
     kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad,
                                n_g=n_g, n_tiles=n_tiles,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
@@ -321,8 +338,9 @@ def fused_es2d_substep(
         win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr_pad),
                                 lambda s, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    wz_lane = -(-wz // 128) * 128
     scratch = [
-        pltpu.VMEM((wr_pad, wz), jnp.float32),
+        pltpu.VMEM((wr_pad, wz_lane), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     if stream:
@@ -349,7 +367,7 @@ def fused_es2d_substep(
         grid_spec=grid_spec,
         out_shape=(
             row_shape, row_shape, row_shape, row_shape,
-            jax.ShapeDtypeStruct((n_tiles + 1, wr_pad, wz), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles + 1, wr_pad, wz_lane), jnp.float32),
             row_shape,
         ),
         # the resident window set lane-pads each (wz, wr) window to
@@ -374,5 +392,5 @@ def fused_es2d_substep(
     present = jnp.zeros((n_tiles + 1,), jnp.bool_).at[blk_tile].set(
         True, mode="drop")
     tw = jnp.where(present[:n_tiles, None, None], rho_tiles[:n_tiles], 0.0)
-    rho = fold_tile_windows(tw[:, :wr], shape, tiling, wr, wz)
+    rho = fold_tile_windows(tw[:, :wr, :wz], shape, tiling, wr, wz)
     return position_out, velocity_out, rho, inw.reshape(n_pad)[:n] > 0.5
