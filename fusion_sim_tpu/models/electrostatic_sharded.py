@@ -39,6 +39,45 @@ from .electrostatic import ESConfig
 HALO_W = 2   # gather halo: CIC corner +1, plus 1 cell of slack
 APRON_W = 2  # deposition apron: CIC corner +1, plus 1 cell of slack
 
+# 2D grids up to this size solve via all_gather + replicated DFT matmuls
+# instead of the pencil FFT: the gather is ~1 MB at 512^2 (one ICI hop)
+# and the dense-DFT solve rides the MXU (~0.5 ms) where XLA's emulated
+# TPU FFT in the pencil path costs ~5 ms + two all_to_all transposes.
+# Larger 2D grids and all 3D grids keep the pencil decomposition.
+GATHERED_DFT_MAX = 1024
+
+
+def _use_gathered_dft(base: ESConfig) -> bool:
+    return base.n_dim == 2 and max(base.grid_shape) <= GATHERED_DFT_MAX
+
+
+def _phi_full_gathered(rho_local: jax.Array, base: ESConfig,
+                       axis: str) -> jax.Array:
+    """Full-domain phi on every shard: all_gather the x-slabs of rho and
+    run the dense-DFT solve replicated (ops/solvers.poisson_dft2d)."""
+    from ..ops.solvers import poisson_dft2d
+
+    rho_full = jax.lax.all_gather(rho_local, axis, axis=0, tiled=True)
+    return poisson_dft2d(rho_full, base.cell_size, eps0=base.eps0)
+
+
+def _e_pad_from_full_phi(phi_full: jax.Array, x_lo: jax.Array, width: int,
+                         slab: int, base: ESConfig) -> jax.Array:
+    """E = -grad(phi) on the halo-padded local window, sliced straight from
+    the replicated phi — replaces _grad + halo.with_halo (no exchange)."""
+    nx = base.grid_shape[0]
+    rows = jnp.mod(jnp.arange(slab + 2 * width, dtype=jnp.int32)
+                   - width + x_lo.astype(jnp.int32), nx)
+    up = jnp.take(phi_full, jnp.mod(rows + 1, nx), axis=0)
+    dn = jnp.take(phi_full, jnp.mod(rows - 1, nx), axis=0)
+    grads = [(up - dn) / (2.0 * base.cell_size[0])]
+    phi_win = jnp.take(phi_full, rows, axis=0)
+    for a in range(1, base.n_dim):
+        u = jnp.roll(phi_win, -1, axis=a)
+        d = jnp.roll(phi_win, 1, axis=a)
+        grads.append((u - d) / (2.0 * base.cell_size[a]))
+    return jnp.stack([-g for g in grads], axis=-1)
+
 
 class ShardedESState(NamedTuple):
     position: jax.Array   # (n_shards*cap, d) global grid units (dead: 0)
@@ -214,12 +253,16 @@ def make_sharded_es_step_fn(config: ShardedESConfig, mesh: Mesh,
             rho_local = rho_local - total / n_cells
 
         # ---- distributed spectral solve + gradient -------------------------
-        phi_local = poisson_fft_sharded(rho_local, grid_shape, base.cell_size,
-                                        axis, eps0=base.eps0)
-        e_local = _grad(phi_local)
+        if _use_gathered_dft(base):
+            phi_full = _phi_full_gathered(rho_local, base, axis)
+            e_pad = _e_pad_from_full_phi(phi_full, x_lo, HALO_W, slab, base)
+        else:
+            phi_local = poisson_fft_sharded(rho_local, grid_shape,
+                                            base.cell_size, axis,
+                                            eps0=base.eps0)
+            e_pad = halo.with_halo(_grad(phi_local), axis, HALO_W)
 
         # ---- gather + push --------------------------------------------------
-        e_pad = halo.with_halo(e_local, axis, HALO_W)
         local_pos = _shift_x(position, HALO_W - x_lo)
         e_at_p = cic_gather_packed(e_pad, local_pos, halo_shape)
         velocity = jnp.where(alive[:, None], velocity + qm_dt * e_at_p, 0.0)
@@ -344,12 +387,16 @@ def make_sharded_sorted_es_step_fn(config: ShardedESConfig, mesh: Mesh,
             rho_local = rho_local - total / n_cells
 
         # ---- distributed spectral solve ----------------------------------
-        phi_local = poisson_fft_sharded(rho_local, base.grid_shape,
-                                        base.cell_size, axis, eps0=base.eps0)
-        e_local = _grad(phi_local)
+        if _use_gathered_dft(base):
+            phi_full = _phi_full_gathered(rho_local, base, axis)
+            e_pad = _e_pad_from_full_phi(phi_full, x_lo, H, slab, base)
+        else:
+            phi_local = poisson_fft_sharded(rho_local, base.grid_shape,
+                                            base.cell_size, axis,
+                                            eps0=base.eps0)
+            e_pad = halo.with_halo(_grad(phi_local), axis, H)
 
         # ---- sorted gather on the halo-padded field ----------------------
-        e_pad = halo.with_halo(e_local, axis, H)
         eb, g_inw = gather_fn(e_pad, lp0, tile_id, pseudo_shape, tiling)
         g_mask = jnp.logical_and(
             jnp.logical_or(jnp.logical_not(g_inw), bad_block), alive)
@@ -500,9 +547,14 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
         if base.neutralizing_background:
             total = jax.lax.psum(jnp.sum(rho), axis)
             rho = rho - total / n_cells
-        phi_local = poisson_fft_sharded(rho, base.grid_shape,
-                                        base.cell_size, axis, eps0=base.eps0)
-        e_pad = halo.with_halo(_grad(phi_local), axis, H)
+        if _use_gathered_dft(base):
+            phi_full = _phi_full_gathered(rho, base, axis)
+            e_pad = _e_pad_from_full_phi(phi_full, x_lo, H, slab, base)
+        else:
+            phi_local = poisson_fft_sharded(rho, base.grid_shape,
+                                            base.cell_size, axis,
+                                            eps0=base.eps0)
+            e_pad = halo.with_halo(_grad(phi_local), axis, H)
 
         # ---- fused substep on this shard's pseudo-grid windows ------------
         w = jnp.where(jnp.logical_and(alive, jnp.logical_not(bad_block)),
