@@ -28,3 +28,9 @@ run examples/profile_kernels.py --which em2d --n 10002432
 echo "===== ALL DONE ROUND3D ====="
 run examples/profile_pusher.py
 echo "===== ALL DONE ROUND3D2 ====="
+run examples/bench_em_fused.py --backends fused --precision exact_bf16 --tile 16 --margin 8 --repair
+run examples/bench_em_fused.py --backends fused --precision exact_bf16 --tile 16 --margin 6 --repair
+echo "===== ALL DONE ROUND3D3 ====="
+run examples/profile_es_step.py --tile 32 --margin 6
+run examples/profile_es_step.py --tile 16 --margin 6
+echo "===== ALL DONE ROUND3D4 ====="
