@@ -162,6 +162,11 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
         sim.step(16)
         np.asarray(sim.state.position[:1])
         rates.append(16 / (time.perf_counter() - t0))
+    if int(sim.state.spill_dropped):
+        import sys
+        print(f"bench: WARNING {int(sim.state.spill_dropped)} rows exceeded "
+              f"spill_capacity (deposits lost — number not exact)",
+              file=sys.stderr)
     return sorted(rates)[1], int(sim.state.spill), repair_mode
 
 

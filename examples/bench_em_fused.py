@@ -79,6 +79,9 @@ def main():
         if args.repair:
             print(f"  unplaced={int(sim.state.unplaced)} "
                   f"dropped={int(sim.state.spill_dropped)}")
+        elif int(sim.state.spill_dropped):
+            print(f"  WARNING dropped={int(sim.state.spill_dropped)} "
+                  f"(deposits lost past spill_capacity — number not exact)")
         del sim
 
 

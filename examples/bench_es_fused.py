@@ -109,6 +109,11 @@ def main():
     if args.repair:
         print(f"  unplaced={int(sim_p.state.unplaced)} "
               f"dropped={int(sim_p.state.spill_dropped)}")
+    elif int(sim_p.state.spill_dropped):
+        # rows past spill_capacity lose their deposit — a "fast" number
+        # with a nonzero dropped count is NOT exact; raise --spill-capacity
+        print(f"  WARNING dropped={int(sim_p.state.spill_dropped)} "
+              f"(deposits lost past spill_capacity — number not exact)")
     del sim_p
 
     if not args.skip_xla:
