@@ -34,3 +34,5 @@ echo "===== ALL DONE ROUND3D3 ====="
 run examples/profile_es_step.py --tile 32 --margin 6
 run examples/profile_es_step.py --tile 16 --margin 6
 echo "===== ALL DONE ROUND3D4 ====="
+run examples/mxu_experiment.py
+echo "===== ALL DONE ROUND3D5 ====="
