@@ -14,20 +14,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proftools import loop_timeit
+
 from fusion_sim_tpu.models import electrostatic as es
 from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
 
 
 def timeit(fn, *args, reps=7, **kw):
-    out = fn(*args, **kw)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    # loop-amortized: single dispatches over the tunneled backend measure
+    # ~30 ms of round-trip latency regardless of the op (see proftools)
+    return loop_timeit(lambda *a: fn(*a, **kw), *args, reps=reps)
 
 
 def main():

@@ -16,15 +16,11 @@ from fusion_sim_tpu.ops.sorted_deposit import (Tiling2D, Tiling3D,
 
 
 def timeit(fn, *args, reps=5, **kw):
-    out = fn(*args, **kw)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])  # fence
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    # loop-amortized: single dispatches over the tunneled backend measure
+    # ~30 ms of round-trip latency regardless of the op (see proftools)
+    from proftools import loop_timeit
+
+    return loop_timeit(lambda *a: fn(*a, **kw), *args, reps=reps)
 
 
 def prof_es2d(n, cells, precisions, n_gs):

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proftools import loop_timeit
+
 from fusion_sim_tpu.ops.interp import (cic_deposit_packed, cic_gather_packed,
                                        spill_rows_cond)
 from fusion_sim_tpu.ops.repair import (allocate_slots, init_free_list,
@@ -25,15 +27,9 @@ from fusion_sim_tpu.ops.sorted_deposit import (Tiling2D, build_padded_layout,
 
 
 def timeit(fn, *args, reps=5, **kw):
-    out = fn(*args, **kw)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    # loop-amortized: single dispatches over the tunneled backend measure
+    # ~30 ms of round-trip latency regardless of the op (see proftools)
+    return loop_timeit(lambda *a: fn(*a, **kw), *args, reps=reps)
 
 
 def main():
