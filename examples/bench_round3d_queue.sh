@@ -40,3 +40,5 @@ run examples/bench_es_fused.py --skip-xla --precision highest --tile 32 --margin
 run examples/bench_es_fused.py --skip-xla --precision exact_bf16 --tile 32 --margin 7 --resort 24 --spill-capacity 32768
 run examples/bench_em_fused.py --backends fused --precision exact_bf16 --tile 16 --margin 7 --repair
 echo "===== ALL DONE ROUND3D6 ====="
+run examples/profile_es_step.py --tile 32 --margin 6 --precision exact_bf16
+echo "===== ALL DONE ROUND3D7 ====="
