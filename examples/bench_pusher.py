@@ -52,6 +52,10 @@ def main():
                     help="incremental layout repair instead of resorts")
     ap.add_argument("--nparticles", type=int, default=1024)  # x1024
     ap.add_argument("--resort", type=int, default=12)
+    ap.add_argument("--capacity", type=int, default=16384,
+                    help="spill/respawn patch capacity (measured steady-"
+                         "state flux on the default scenario is ~650 rows/"
+                         "substep at 1M — examples/probe_pusher_flux.py)")
     ap.add_argument("--tile", default="")
     ap.add_argument("--margin", type=int, default=6)
     ap.add_argument("--steps", type=int, default=20)
@@ -72,12 +76,12 @@ def main():
         kw = dict(repair=True)
         resort = 10 ** 9
     sim.enable_sorted_path(tiling=tiling, resort_every=resort,
-                           backend=args.backend, rng_impl=args.rng, **kw)
+                           backend=args.backend, rng_impl=args.rng,
+                           spill_capacity=args.capacity, **kw)
     measure(sim, f"sorted-{args.backend}", steps=args.steps)
-    if args.repair:
-        st = sim._sorted_state
-        print(f"  unplaced={int(st.unplaced)} spill={int(st.spill)} "
-              f"dropped={int(st.dropped)}")
+    st = sim._sorted_state
+    extra = (f" unplaced={int(st.unplaced)}" if args.repair else "")
+    print(f"  spill={int(st.spill)} dropped={int(st.dropped)}{extra}")
 
 
 if __name__ == "__main__":

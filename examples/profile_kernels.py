@@ -38,9 +38,11 @@ def prof_es2d(n, cells, precisions, n_gs):
     vel_p = jnp.stack([v0, v1], axis=-1)
     for ng in n_gs:
         for prec in precisions:
+            # static params ride **kw (closed over) — positional args pass
+            # through loop_timeit's outer jit and would be traced
             t = timeit(fused_es2d_substep, jnp.asarray(e), pos_p, vel_p, w,
-                       tid, shape, tiling, 0.01, 0.1, 0.1, precision=prec,
-                       n_g=ng)
+                       tid, shape=shape, tiling=tiling, qm_dt=0.01, c_r=0.1,
+                       c_z=0.1, precision=prec, n_g=ng)
             print(f"es2d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
                   f"({n / t:.2e} rows/s)")
 
@@ -62,8 +64,9 @@ def prof_em2d(n, cells, precisions, n_gs, stream=None):
     for ng in n_gs:
         for prec in precisions:
             t = timeit(fused_em2d_substep, jnp.asarray(table), pos_p, vel_p,
-                       w > 0.5, tid, shape, tiling, 0.01, 0.1, (0.1, 0.1),
-                       -0.01, precision=prec, n_g=ng, stream=stream)
+                       w > 0.5, tid, shape=shape, tiling=tiling,
+                       qm_half_dt=0.01, dt=0.1, cell_size=(0.1, 0.1),
+                       charge=-0.01, precision=prec, n_g=ng, stream=stream)
             print(f"em2d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
                   f"({n / t:.2e} rows/s)")
 
@@ -86,8 +89,8 @@ def prof_3d(n, cells, precisions, n_gs, which):
         for ng in n_gs:
             for prec in precisions:
                 t = timeit(fused_es3d_substep, jnp.asarray(e), pos_p, vel_p,
-                           w, tid, shape, tiling, 0.01, 0.1, 0.1, 0.1,
-                           precision=prec, n_g=ng)
+                           w, tid, shape=shape, tiling=tiling, qm_dt=0.01,
+                           c_x=0.1, c_y=0.1, c_z=0.1, precision=prec, n_g=ng)
                 print(f"es3d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
                       f"({n / t:.2e} rows/s)")
     else:
@@ -129,8 +132,10 @@ def prof_3d(n, cells, precisions, n_gs, which):
         for ng in n_gs:
             for prec in precisions:
                 t = timeit(fused_em3d_substep, jnp.asarray(table), pos_p,
-                           vel_p, valid, tid, shape, tiling, 0.01, 0.1,
-                           (0.5, 0.5, 0.5), -0.01, precision=prec, n_g=ng)
+                           vel_p, valid, tid, shape=shape, tiling=tiling,
+                           qm_half_dt=0.01, dt=0.1,
+                           cell_size=(0.5, 0.5, 0.5), charge=-0.01,
+                           precision=prec, n_g=ng)
                 print(f"em3d n_g={ng:3d} {prec:11s}: {1e3 * t:7.2f} ms "
                       f"({n / t:.2e} rows/s)")
 

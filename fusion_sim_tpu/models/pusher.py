@@ -400,7 +400,8 @@ class CylindricalParticlePusher:
                            backend: str = "xla",
                            rng_impl: str | None = None,
                            repair: bool = False,
-                           repair_free_slots: int = 256) -> None:
+                           repair_free_slots: int = 256,
+                           respawn_capacity: int | None = None) -> None:
         """Switch grid-parity stepping to the tile-sorted windowed-gather
         layout (models/pusher_sorted.py): the reference's per-particle
         texture fetches (empic.js:749-773, :712-720) become MXU window
@@ -455,8 +456,9 @@ class CylindricalParticlePusher:
                 n_tiles, tiling.block, self._sorted_free_slots)
             self._sorted_state = self._sorted_state._replace(
                 free_idx=fidx, free_cnt=fcnt, unplaced=jnp.int32(0))
-        self._sorted_step = make_sorted_step_fn(spec, tiling, spill_capacity,
-                                                backend, repair=repair)
+        self._sorted_step = make_sorted_step_fn(
+            spec, tiling, spill_capacity, backend, repair=repair,
+            respawn_capacity=respawn_capacity)
         self._sorted_density = make_sorted_density_fn(spec)
         self._sorted_resort = make_sorted_resort_fn(spec, tiling,
                                                     reserve=repair)

@@ -149,14 +149,25 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D, reserve: bool = False):
 
 
 def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
-                        backend: str = "xla", repair: bool = False):
+                        backend: str = "xla", repair: bool = False,
+                        respawn_capacity: int | None = None):
     """Jitted full step (two half-steps) on the padded sorted layout.
 
     ``backend``: 'xla' (windowed MXU gathers), 'pallas' (Mosaic gather
     kernel), or 'fused' (ONE Mosaic kernel per half-step covering gather +
     rotation + drift + sink sample — ops/pallas_pusher.py).  ``repair``
     relocates margin out-drifters/respawns into their new tile each substep
-    (ops/repair.py) so the full resort never runs."""
+    (ops/repair.py) so the full resort never runs.
+
+    ``respawn_capacity`` sizes the per-substep respawn compaction
+    separately from the out-of-window patch: the respawn flux is the
+    scenario's absorption RATE (~50 rows/substep at 1M on the default
+    scenario — examples/probe_pusher_flux.py) while the patch flux is the
+    accumulated out-of-window population (~650); ``None`` uses
+    ``min(spill_capacity, 2048)``.  Overflow surfaces in ``state.dropped``
+    (rows retry next substep)."""
+    if respawn_capacity is None:
+        respawn_capacity = min(spill_capacity, 2048)
     nr, nz = spec.nr, spec.nz
     shape = (nr, nz)
     step_factor = spec.step_factor
@@ -164,7 +175,8 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
     if use_pallas:
         from ..ops.pallas_gather import gather_sorted_2d_pallas
     if backend == "fused":
-        return _make_fused_step_fn(spec, tiling, spill_capacity, repair)
+        return _make_fused_step_fn(spec, tiling, spill_capacity, repair,
+                                   respawn_capacity)
     interpret = jax.default_backend() != "tpu"
 
     def window_gather(grid, cell, tile_id):
@@ -210,7 +222,7 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         sink = jnp.where(v_mask, sink, 1.0)  # fillers never absorb/respawn
         position, alive, n_drop = sink_respawn(
             next_pos, sink, rand, fields.inv_cdf,
-            respawn_capacity=spill_capacity)
+            respawn_capacity=respawn_capacity)
 
         # --- repair + freeze fillers (inert, no NaNs, zero weight) --------
         extra = {}
@@ -241,7 +253,8 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
 
 
 def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
-                        repair: bool = False):
+                        repair: bool = False,
+                        respawn_capacity: int | None = None):
     """Full step via the fused Mosaic substep kernel (ops/pallas_pusher.py);
     RNG, respawn replacement, and the exact spill patch stay in XLA.
 
@@ -251,6 +264,8 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
     from ..ops.pallas_pusher import (build_pusher_windows,
                                      fused_pusher_substep)
 
+    if respawn_capacity is None:
+        respawn_capacity = min(spill_capacity, 2048)
     nr, nz = spec.nr, spec.nz
     step_factor = spec.step_factor
     interpret = jax.default_backend() != "tpu"
@@ -287,7 +302,7 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
         sink = jnp.where(state.valid, sink, 1.0)
         position, alive, n_drop = sink_respawn(
             pos1, sink, rand, fields.inv_cdf,
-            respawn_capacity=spill_capacity)
+            respawn_capacity=respawn_capacity)
 
         extra = {}
         v = state.valid

@@ -220,30 +220,35 @@ def _gather_compact(spill_mask: jax.Array, capacity: int,
     inside blocks).  This form inverts the problem — find the k-th spilled
     row for each OUTPUT slot k — so all heavy ops are gathers:
 
-      1. inclusive cumsum of the mask (bandwidth-bound);
-      2. per-slot chunk via ``searchsorted`` on the 1024-stride cumsum
-         subsample (capacity queries over N/1024 entries);
-      3. gather each slot's chunk of cumsum values (capacity x 1024) and
-         count entries <= k to get the in-chunk position.
+      1. per-chunk spill counts (one bandwidth pass over the bool mask —
+         no full-length int32 cumsum is ever materialized) and their
+         (N/1024,) prefix sum;
+      2. per-slot chunk via ``searchsorted`` on that prefix
+         (capacity queries over N/1024 entries);
+      3. gather each slot's BOOL mask chunk (capacity x 1024 bytes — 4x
+         less traffic than gathering int32 cumsum chunks), cumsum it
+         in-register, and count entries <= the slot's in-chunk rank.
 
     Cost is independent of the spill distribution.  All temporaries are 1-D
     or (capacity, chunk) — no T(8,128) layout hazard.
     """
-    c = jnp.cumsum(spill_mask.astype(jnp.int32))
-    total = c[-1]
     nb = -(-n_total // _CHUNK)
     if nb * _CHUNK != n_total:
-        c_pad = jnp.concatenate(
-            [c, jnp.broadcast_to(total, (nb * _CHUNK - n_total,))])
+        m_pad = jnp.concatenate(
+            [spill_mask, jnp.zeros((nb * _CHUNK - n_total,), bool)])
     else:
-        c_pad = c
-    c2 = c_pad.reshape(nb, _CHUNK)
-    bc = c2[:, -1]  # (nb,) inclusive spill count at each chunk's end
+        m_pad = spill_mask
+    m2 = m_pad.reshape(nb, _CHUNK)
+    s = jnp.sum(m2, axis=1, dtype=jnp.int32)   # (nb,) per-chunk counts
+    bc = jnp.cumsum(s)                          # (nb,) inclusive prefix
+    total = bc[-1]
     k = jnp.arange(capacity, dtype=jnp.int32)
     ch = jnp.searchsorted(bc, k, side="right").astype(jnp.int32)
     ch_c = jnp.minimum(ch, nb - 1)
-    rows_c = c2[ch_c]  # (capacity, _CHUNK)
-    j = jnp.sum((rows_c <= k[:, None]).astype(jnp.int32), axis=1)
+    rows_m = m2[ch_c]                           # (capacity, _CHUNK) bool
+    rc = jnp.cumsum(rows_m.astype(jnp.int32), axis=1)  # in-chunk inclusive
+    k_local = k - (bc[ch_c] - s[ch_c])          # slot rank within its chunk
+    j = jnp.sum((rc <= k_local[:, None]).astype(jnp.int32), axis=1)
     idx = ch_c * _CHUNK + j
     return jnp.where(k < total, idx, n_total).astype(jnp.int32)
 

@@ -50,6 +50,16 @@ class Tiling2D:
     # weight rounding (visible as slow numerical heating in long runs).
     dtype: str = "float32"
 
+    def __post_init__(self):
+        # the window extract/fold machinery reaches at most ONE neighboring
+        # tile per side: the window [-margin, tile + margin + 1) must stay
+        # within [-tile, 2*tile)
+        if self.margin + 1 > min(self.tile_r, self.tile_z):
+            raise ValueError(
+                f"margin {self.margin} needs margin + 1 <= tile "
+                f"({self.tile_r}, {self.tile_z}) — windows may overhang at "
+                f"most one neighboring tile per side")
+
     def n_tiles(self, shape: tuple[int, int]) -> tuple[int, int]:
         nr, nz = shape
         if nr % self.tile_r or nz % self.tile_z:
@@ -301,6 +311,13 @@ class Tiling3D:
     block: int = 512
     margin: int = 1
     dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.margin + 1 > min(self.tile):  # see Tiling2D.__post_init__
+            raise ValueError(
+                f"margin {self.margin} needs margin + 1 <= tile "
+                f"{self.tile} — windows may overhang at most one "
+                f"neighboring tile per side")
 
     def n_tiles(self, shape: tuple[int, int, int]) -> tuple[int, int, int]:
         out = []
