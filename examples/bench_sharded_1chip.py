@@ -49,6 +49,14 @@ def main():
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "exact_bf16", "default"])
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--slack", type=float, default=1.05,
+                    help="per-shard slot capacity as a multiple of the "
+                         "initial load.  The fused kernel's cost scales "
+                         "with TOTAL layout rows (dead slots run as filler "
+                         "blocks), so capacity slack is a direct per-step "
+                         "tax; at n_shards=1 nothing migrates and ~1.05 "
+                         "covers it.  Multi-shard runs need headroom for "
+                         "migration imbalance (1.3-1.5 typical).")
     ap.add_argument("--repair", action="store_true",
                     help="incremental layout repair instead of resorts")
     ap.add_argument("--eager", type=int, default=0,
@@ -65,7 +73,7 @@ def main():
     rng = np.random.default_rng(0)
     pos = (rng.random((n, 2)) * nc).astype(np.float32)
     tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
-    cap = (int(n * 1.5) // 1024) * 1024 + 1024
+    cap = (int(n * args.slack) // 1024) * 1024 + 1024
     print(f"n={n:.2e} cells={nc}^2 dev={jax.devices()[0]}")
 
     if args.model == "es":
