@@ -326,6 +326,7 @@ class SortedElectrostaticPIC:
         else:
             self._step = self._make_step()
         self._resort = self._make_resort()
+        self._multi_cache: dict[int, object] = {}
         self._since_sort = 0
         self.check_spill = check_spill
         self._spill_seen = 0
@@ -587,15 +588,43 @@ class SortedElectrostaticPIC:
         return resort
 
     def step(self, n: int = 1) -> None:
-        for _ in range(n):
+        from ..utils.stepping import (make_multi_step, make_window_step,
+                                      pow2_chunk)
+
+        done = 0
+        while done < n:
             if self._since_sort >= self.resort_every or self._need_resort:
                 self.state = self._resort(self.state)
                 if self.repair:
                     self._rebuild_free_list()
                 self._since_sort = 0
                 self._need_resort = False
-            self.state = self._step(self.state)
-            self._since_sort += 1
+            if (not self.repair and self._since_sort == 0
+                    and n - done >= self.resort_every
+                    and self.resort_every <= 128):
+                # a full resort window in ONE dispatch (scan + resort)
+                key = ("w", self.resort_every)
+                if key not in self._multi_cache:
+                    self._multi_cache[key] = make_window_step(
+                        self._step, self._resort, self.resort_every)
+                self.state = self._multi_cache[key](self.state)
+                done += self.resort_every
+                continue
+            # batch steps until the next resort into ONE dispatch (lax.scan
+            # over the jitted step): per-step dispatch costs ~19 ms of host
+            # round-trip on the tunneled backend — more than the fused step
+            # itself (utils/stepping.py).  Power-of-two chunks bound the
+            # number of compiled scan lengths.
+            k = pow2_chunk(min(n - done, self.resort_every - self._since_sort))
+            if k <= 1:
+                self.state = self._step(self.state)
+                k = 1
+            else:
+                if k not in self._multi_cache:
+                    self._multi_cache[k] = make_multi_step(self._step, k)
+                self.state = self._multi_cache[k](self.state)
+            self._since_sort += k
+            done += k
         if self.repair:
             # a small unplaced trickle is normal (a row whose target tile is
             # momentarily full stays exactly-patched and retries next step);

@@ -476,7 +476,10 @@ class CylindricalParticlePusher:
             self._sorted_state = None
 
     def _step_sorted(self, n: int) -> None:
-        for _ in range(n):
+        from ..utils.stepping import pow2_chunk
+
+        done = 0
+        while done < n:
             if (self._sorted_since >= self._sorted_resort_every
                     or self._sorted_need_resort):
                 self._sorted_state = self._sorted_resort(self._sorted_state)
@@ -491,9 +494,30 @@ class CylindricalParticlePusher:
                                                      free_cnt=fcnt)
                 self._sorted_since = 0
                 self._sorted_need_resort = False
-            self._sorted_state = self._sorted_step(self.fields,
-                                                   self._sorted_state)
-            self._sorted_since += 1
+            cadence = self._sorted_resort_every
+            if (not self._sorted_repair and self._sorted_since == 0
+                    and n - done >= cadence and cadence <= 128):
+                # a full resort window in ONE dispatch: scan(cadence steps)
+                # + the relayout resort inside the same jit
+                self._sorted_state = self._sorted_step.window(
+                    self.fields, self._sorted_state, cadence,
+                    self._sorted_resort)
+                done += cadence
+                continue
+            # batch steps until the next resort into ONE dispatch (scan over
+            # the jitted step — utils/stepping.py: a per-step dispatch costs
+            # ~19 ms of tunnel round-trip vs 2.7 ms for the fused step)
+            k = pow2_chunk(min(n - done,
+                               self._sorted_resort_every - self._sorted_since))
+            if k <= 1:
+                self._sorted_state = self._sorted_step(self.fields,
+                                                       self._sorted_state)
+                k = 1
+            else:
+                self._sorted_state = self._sorted_step.multi(
+                    self.fields, self._sorted_state, k)
+            self._sorted_since += k
+            done += k
         if self._sorted_repair:
             # schedule a full resort only when free stacks drain (large
             # unplaced delta); one host sync per step() call, not per step

@@ -249,6 +249,43 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         state = substep(fields, state, packed)
         return state
 
+    # multi-step: scan k steps in ONE dispatch (utils/stepping.py — the
+    # per-step dispatch round-trip otherwise dominates cheap steps);
+    # window = k steps + the resort, one dispatch per resort window
+    multi_cache: dict = {}
+
+    def _scan_fn(k: int, resort=None):
+        @jax.jit
+        def fn(fields, state):
+            packed = jnp.concatenate(
+                [fields.coeffs.r1, fields.coeffs.r2, fields.coeffs.r3,
+                 fields.coeffs.a], axis=-1)
+
+            def body(s, _):
+                s = substep(fields, s, packed)
+                s = substep(fields, s, packed)
+                return s, None
+
+            out, _ = jax.lax.scan(body, state, None, length=k)
+            return out if resort is None else resort(out)
+
+        return fn
+
+    def multi(fields, state: SortedPusherState, k: int) -> SortedPusherState:
+        fn = multi_cache.get(k)
+        if fn is None:
+            fn = multi_cache[k] = _scan_fn(k)
+        return fn(fields, state)
+
+    def window(fields, state: SortedPusherState, k: int,
+               resort) -> SortedPusherState:
+        fn = multi_cache.get(("w", k))
+        if fn is None:
+            fn = multi_cache[("w", k)] = _scan_fn(k, resort)
+        return fn(fields, state)
+
+    step.multi = multi
+    step.window = window
     return step
 
 
@@ -326,7 +363,7 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
         state = substep(fields, state, packed13, windows)
         return state
 
-    def step(fields, state: SortedPusherState) -> SortedPusherState:
+    def _windows(fields):
         ck = (id(fields.coeffs.r1), id(fields.sink_mask))
         if win_cache.get("key") != ck:
             packed13 = jnp.concatenate(
@@ -335,9 +372,47 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
             win_cache.update(
                 key=ck, packed13=packed13,
                 windows=build_pusher_windows(packed13, nr, nz, tiling))
-        return _step_inner(fields, state, win_cache["packed13"],
-                           win_cache["windows"])
+        return win_cache["packed13"], win_cache["windows"]
 
+    def step(fields, state: SortedPusherState) -> SortedPusherState:
+        packed13, windows = _windows(fields)
+        return _step_inner(fields, state, packed13, windows)
+
+    # multi-step: scan k steps in ONE dispatch (utils/stepping.py — the
+    # per-step dispatch round-trip otherwise dominates the fused kernel);
+    # window = k steps + the resort, one dispatch per resort window
+    multi_cache: dict = {}
+
+    def _scan_fn(k: int, resort=None):
+        @jax.jit
+        def fn(fields, state, packed13, windows):
+            def body(s, _):
+                s = substep(fields, s, packed13, windows)
+                s = substep(fields, s, packed13, windows)
+                return s, None
+
+            out, _ = jax.lax.scan(body, state, None, length=k)
+            return out if resort is None else resort(out)
+
+        return fn
+
+    def multi(fields, state: SortedPusherState, k: int) -> SortedPusherState:
+        packed13, windows = _windows(fields)
+        fn = multi_cache.get(k)
+        if fn is None:
+            fn = multi_cache[k] = _scan_fn(k)
+        return fn(fields, state, packed13, windows)
+
+    def window(fields, state: SortedPusherState, k: int,
+               resort) -> SortedPusherState:
+        packed13, windows = _windows(fields)
+        fn = multi_cache.get(("w", k))
+        if fn is None:
+            fn = multi_cache[("w", k)] = _scan_fn(k, resort)
+        return fn(fields, state, packed13, windows)
+
+    step.multi = multi
+    step.window = window
     return step
 
 
