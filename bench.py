@@ -100,7 +100,14 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     rng = np.random.default_rng(0)
     pos = rng.random((n, 2)).astype(np.float32) * cells
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
-    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    # tile 32 margin 6 resort 16 is the fastest EXACT configuration: the
+    # round-3 sweep's smaller-window rungs (tile 16 margin 8, resort 32)
+    # looked ~15% faster but DROPPED deposits past spill_capacity — spill
+    # flux grows ballistically through the resort window (sawtooth) and the
+    # late-window per-step spill at 10M exceeds any affordable patch
+    # capacity (PERFORMANCE.md sweep table).  Every rung below is
+    # drop-audited after its probe; a rung that sheds deposits is rejected.
+    t32m6 = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
     import sys
 
     # Candidate configurations, selected by a MEASURED short window (not by
@@ -113,21 +120,23 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
     # probe window is steady-state, not the zero-spill fresh-layout
     # transient.
     attempts = [
-        ("resort-16", dict(resort_every=16)),
+        ("resort-16", t32m6, dict(resort_every=16)),
     ]
     if backend == "pallas":  # secondary XLA metric: resort rung only
         attempts += [
-        ("repair+eager", dict(resort_every=10 ** 9, repair=True,
-                              # band flux denominator is tile/2 + margin -
-                              # keep = 20 cells: ~0.9%/step at 10M, x2
-                              repair_eager=2, eager_capacity=196608,
-                              spill_capacity=16384,
-                              repair_free_slots=2048)),
-        ("repair", dict(resort_every=10 ** 9, repair=True,
-                        spill_capacity=163840, repair_free_slots=2048)),
+        ("repair+eager", t32m6,
+         dict(resort_every=10 ** 9, repair=True,
+              # band flux denominator is tile/2 + margin -
+              # keep = 20 cells: ~0.9%/step at 10M, x2
+              repair_eager=2, eager_capacity=196608,
+              spill_capacity=16384,
+              repair_free_slots=2048)),
+        ("repair", t32m6,
+         dict(resort_every=10 ** 9, repair=True,
+              spill_capacity=163840, repair_free_slots=2048)),
         ]
-    best = None  # (rate, name, kw)
-    for name, kw in attempts:
+    best = None  # (rate, name, tiling, kw)
+    for name, tiling, kw in attempts:
         try:
             sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                             backend=backend,
@@ -136,12 +145,21 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
             if kw.get("repair"):
                 sim.step(100)  # walk to the spill equilibrium
             np.asarray(sim.state.position[:1])
+            # probe spans one full resort cadence so long-cadence rungs
+            # cannot dodge their amortized relayout cost in the comparison
+            wp = min(kw.get("resort_every", 16), 32)
             t0 = time.perf_counter()
-            sim.step(8)    # probe window
+            sim.step(wp)   # probe window
             np.asarray(sim.state.position[:1])
-            rate = 8 / (time.perf_counter() - t0)
+            rate = wp / (time.perf_counter() - t0)
+            if int(sim.state.spill_dropped):
+                # rung sheds deposits at this capacity — not exact, reject
+                print(f"bench: ES config {name!r} dropped "
+                      f"{int(sim.state.spill_dropped)} deposits; rejected",
+                      file=sys.stderr)
+                continue
             if best is None or rate > best[0]:
-                best = (rate, name, kw)
+                best = (rate, name, tiling, kw)
         except Exception as e:  # noqa: BLE001 — try the next rung
             print(f"bench: ES config {name!r} failed "
                   f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
@@ -149,19 +167,23 @@ def bench_es_10m(backend: str = "pallas") -> tuple[float, int]:
             sim = None
     if best is None:
         raise RuntimeError("every ES bench configuration failed")
-    _, repair_mode, kw = best
+    _, repair_mode, tiling, kw = best
     sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                     backend=backend, check_spill=False, **kw)
     sim.step(17)
     if kw.get("repair"):
         sim.step(100)
     np.asarray(sim.state.position[:1])
+    # timed windows span exactly one resort cadence (resort rungs) so each
+    # window pays its full share of relayout cost — a shorter window would
+    # let the median dodge the resort step entirely
+    w = min(kw.get("resort_every", 16), 32)
     rates = []
     for _ in range(3):  # median of 3 windows (tunnel variance)
         t0 = time.perf_counter()
-        sim.step(16)
+        sim.step(w)
         np.asarray(sim.state.position[:1])
-        rates.append(16 / (time.perf_counter() - t0))
+        rates.append(w / (time.perf_counter() - t0))
     if int(sim.state.spill_dropped):
         import sys
         print(f"bench: WARNING {int(sim.state.spill_dropped)} rows exceeded "
@@ -199,6 +221,19 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         grid_sorted = f"failed: {type(e).__name__}"
 
+    # same scenario at 4.2M particles: the sorted step's respawn/spill
+    # machinery is a fixed latency chain (~13 ms), so throughput keeps
+    # climbing past 1M — this is the capability number for production
+    # runs (the reference caps at 160k; N is its nparticles knob)
+    try:
+        sim4 = build_sim(nparticles=4100)  # ~4.2M particles
+        sim4.enable_sorted_path(resort_every=12, backend="fused",
+                                rng_impl="rbg")
+        grid_sorted_4m = measure(sim4, steps_per_batch=24, batches=2)
+        sim4 = None
+    except Exception as e:  # noqa: BLE001
+        grid_sorted_4m = f"failed: {type(e).__name__}"
+
     sim.enable_fast_path()
     fast_pushes = measure(sim, steps_per_batch=50, batches=4)
 
@@ -223,6 +258,7 @@ def main() -> None:
         "vs_baseline": fast_pushes / BASELINE,
         "grid_mode_value": grid_pushes,
         "grid_mode_sorted_value": grid_sorted,
+        "grid_mode_sorted_value_at_4m": grid_sorted_4m,
         # the north star as written: push+deposit+solve in one jit, fused
         # Pallas substep kernel (median of 3 windows, spill patched exactly)
         "fused_pic_updates_per_sec_at_10m": fused_updates,

@@ -862,18 +862,47 @@ class ShardedElectrostaticPIC:
             self._step = make_sharded_es_step_fn(config, mesh, axis)
 
     def step(self, n: int = 1) -> None:
-        for _ in range(n):
+        from ..utils.stepping import (make_multi_step, make_window_step,
+                                      pow2_chunk)
+
+        if not hasattr(self, "_multi_cache"):
+            self._multi_cache: dict = {}
+        cadence = self.config.resort_every if self.sorted else 10 ** 9
+        done = 0
+        while done < n:
             if self.sorted and (
-                    self._since_sort >= self.config.resort_every
+                    self._since_sort >= cadence
                     or getattr(self, "_need_resort", False)):
                 self.state = self._resort(self.state)
                 if self.config.repair:
                     self.state = self._free_init(self.state)
                     self._need_resort = False
                 self._since_sort = 0
-            self.state = self._step(self.state)
+            since = self._since_sort if self.sorted else 0
+            if (self.sorted and not self.config.repair and since == 0
+                    and n - done >= cadence and cadence <= 128):
+                # one dispatch per resort window (scan + resort in one jit —
+                # utils/stepping.py: per-step dispatch is tunnel round-trip)
+                key = ("w", cadence)
+                if key not in self._multi_cache:
+                    self._multi_cache[key] = make_window_step(
+                        self._step, self._resort, cadence)
+                self.state = self._multi_cache[key](self.state)
+                done += cadence
+                continue
+            k = pow2_chunk(min(n - done, min(cadence - since, 32)))
+            if k <= 1 or self.config.repair:
+                # repair mode stays per-step: drain_check samples unplaced
+                # deltas and the free stacks evolve inside the step itself
+                self.state = self._step(self.state)
+                k = 1
+            else:
+                if k not in self._multi_cache:
+                    self._multi_cache[k] = make_multi_step(self._step, k)
+                self.state = self._multi_cache[k](self.state)
             if self.sorted:
-                self._since_sort += 1
+                self._since_sort += k
+            done += k
         if self.config.repair:
             from ..ops.repair import drain_check
 
