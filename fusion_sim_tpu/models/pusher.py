@@ -396,7 +396,7 @@ class CylindricalParticlePusher:
 
     # -------------------------------------------------------- sorted fast path
     def enable_sorted_path(self, tiling=None, resort_every: int = 8,
-                           spill_capacity: int = 16384,
+                           spill_capacity: int | None = None,
                            backend: str = "xla",
                            rng_impl: str | None = None,
                            repair: bool = False,
@@ -407,7 +407,18 @@ class CylindricalParticlePusher:
         texture fetches (empic.js:749-773, :712-720) become MXU window
         matmuls.  Identical per-particle math; particle ORDER is not
         preserved.  ``backend='pallas'`` uses the fused Pallas gather
-        kernel on TPU."""
+        kernel on TPU.
+
+        ``spill_capacity=None`` auto-sizes the per-substep exact-patch
+        buffer to the population: the compaction/patch chain's cost scales
+        with the CAPACITY (static shapes), and the measured steady-state
+        out-of-window flux on the default scenario is ~0.05% of N per
+        substep (examples/probe_pusher_flux.py) — a flat 16384 rows is
+        ~25x oversized at 1M and was costing ~10 ms/step of dead patch
+        work.  The default gives ~6x headroom over that flux; overflow is
+        counted in ``state.dropped`` (those rows freeze for one substep
+        and retry), so an unusually absorptive scenario surfaces rather
+        than corrupts — pass an explicit capacity for such scenarios."""
         from .pusher_sorted import (Tiling2D, make_sorted_density_fn,
                                     make_sorted_resort_fn,
                                     make_sorted_step_fn, to_sorted_state)
@@ -444,6 +455,12 @@ class CylindricalParticlePusher:
         # each substep (ops/repair.py) — the full resort then runs only when
         # per-tile free stacks drain (same contract as the ES/EM models)
         self._sorted_repair = repair
+        if spill_capacity is None:
+            # ~6x headroom over the measured ~0.05%-of-N/substep flux,
+            # pow2-rounded for stable compiled shapes, capped at the old
+            # flat default (the flux is respawn-driven and scenario-bound)
+            spill_capacity = int(min(16384, max(
+                4096, 1 << int(np.ceil(np.log2(max(1, spec.n_total // 512)))))))
         self._sorted_capacity = spill_capacity
         if repair:
             from ..ops.repair import init_free_list

@@ -235,10 +235,16 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         position = jnp.where(v[:, None], position, FILLER)
         velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
+        # patch-capacity overflow: rows past `spill_capacity` keep their
+        # stale gather/sink this substep (they retry until the next resort)
+        # — count them so capacity under-sizing is observable, like the
+        # respawn backlog
+        n_over = (jnp.maximum(n_g.astype(jnp.int32) - spill_capacity, 0)
+                  + jnp.maximum(n_s.astype(jnp.int32) - spill_capacity, 0))
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + (n_g + n_s).astype(jnp.int32),
-            dropped=state.dropped + n_drop, **extra)
+            dropped=state.dropped + n_drop + n_over, **extra)
 
     @jax.jit
     def step(fields, state: SortedPusherState) -> SortedPusherState:
@@ -352,10 +358,14 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
         position = jnp.where(v[:, None], position, FILLER)
         velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
+        # patch-capacity overflow: rows past `spill_capacity` come back
+        # frozen from the kernel and retry until the next resort — count
+        # them like the respawn backlog so under-sizing is observable
+        n_over = jnp.maximum(n_sp.astype(jnp.int32) - spill_capacity, 0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + n_sp.astype(jnp.int32),
-            dropped=state.dropped + n_drop, **extra)
+            dropped=state.dropped + n_drop + n_over, **extra)
 
     @jax.jit
     def _step_inner(fields, state, packed13, windows):
