@@ -410,15 +410,21 @@ class CylindricalParticlePusher:
         kernel on TPU.
 
         ``spill_capacity=None`` auto-sizes the per-substep exact-patch
-        buffer to the population: the compaction/patch chain's cost scales
-        with the CAPACITY (static shapes), and the measured steady-state
-        out-of-window flux on the default scenario is ~0.05% of N per
-        substep (examples/probe_pusher_flux.py) — a flat 16384 rows is
-        ~25x oversized at 1M and was costing ~10 ms/step of dead patch
-        work.  The default gives ~6x headroom over that flux; overflow is
-        counted in ``state.dropped`` (those rows freeze for one substep
-        and retry), so an unusually absorptive scenario surfaces rather
-        than corrupts — pass an explicit capacity for such scenarios."""
+        buffer to the LATE-WINDOW PEAK flux, not the mean: out-of-window
+        flux through a resort window is a sawtooth — near zero for the
+        first ~margin/drift substeps after a resort, then ballistic growth
+        (PERFORMANCE.md "spill discipline") — so the last substeps before
+        a resort see ~`2 * resort_every / margin`x the mean flux.  The
+        default budgets ~0.4% of N per substep scaled by
+        ``resort_every/12``, floored at 4096 (the compaction/patch chain's
+        cost scales with the CAPACITY, so gross oversizing costs ~ms/step
+        of dead patch work at 1M).  Patch overflow is counted in
+        ``state.dropped_over`` and those rows FREEZE for the substep
+        (position/velocity restored, sink skipped — all backends) and
+        retry, so an under-sized buffer surfaces as retry latency rather
+        than corrupting physics; respawn backlog is counted separately in
+        ``state.dropped``.  Pass an explicit capacity for unusually
+        absorptive or fast-drift scenarios."""
         from .pusher_sorted import (Tiling2D, make_sorted_density_fn,
                                     make_sorted_resort_fn,
                                     make_sorted_step_fn, to_sorted_state)
@@ -456,11 +462,15 @@ class CylindricalParticlePusher:
         # per-tile free stacks drain (same contract as the ES/EM models)
         self._sorted_repair = repair
         if spill_capacity is None:
-            # ~6x headroom over the measured ~0.05%-of-N/substep flux,
-            # pow2-rounded for stable compiled shapes, capped at the old
-            # flat default (the flux is respawn-driven and scenario-bound)
-            spill_capacity = int(min(16384, max(
-                4096, 1 << int(np.ceil(np.log2(max(1, spec.n_total // 512)))))))
+            # size to the late-window PEAK of the spill sawtooth (flux is
+            # ~zero for the first ~margin/drift substeps after a resort,
+            # then ballistic — BENCH_r03 showed the mean-sized buffer
+            # dropping 9k rows at 1M): ~0.4% of N per substep at the
+            # default cadence, scaled linearly with the cadence,
+            # pow2-rounded for stable compiled shapes
+            frac = max(1, int(128 * 12 / max(1, resort_every)))
+            spill_capacity = int(max(
+                4096, 1 << int(np.ceil(np.log2(max(1, spec.n_total // frac))))))
         self._sorted_capacity = spill_capacity
         if repair:
             from ..ops.repair import init_free_list

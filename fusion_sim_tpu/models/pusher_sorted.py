@@ -48,8 +48,12 @@ class SortedPusherState(NamedTuple):
     key: jax.Array
     moments_avg: jax.Array  # (nr, nz, 4)
     spill: jax.Array        # cumulative exact-patched rows (diagnostic)
-    dropped: jax.Array      # cumulative respawns past capacity (backlog;
-                            # rows retry next substep — should stay 0)
+    dropped: jax.Array      # cumulative respawns past respawn_capacity
+                            # (backlog; rows retry next substep — should
+                            # stay 0; raise respawn_capacity if not)
+    dropped_over: jax.Array = None  # cumulative out-of-window rows past
+                            # spill_capacity (frozen this substep, retry;
+                            # raise spill_capacity / shorten resort_every)
     # incremental layout repair (repair=True) only:
     free_idx: jax.Array | None = None  # (n_tiles, F) per-tile dead-slot stacks
     free_cnt: jax.Array | None = None  # (n_tiles,)
@@ -164,8 +168,12 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
     scenario's absorption RATE (~50 rows/substep at 1M on the default
     scenario — examples/probe_pusher_flux.py) while the patch flux is the
     accumulated out-of-window population (~650); ``None`` uses
-    ``min(spill_capacity, 2048)``.  Overflow surfaces in ``state.dropped``
-    (rows retry next substep)."""
+    ``min(spill_capacity, 2048)``.  Respawn overflow surfaces in
+    ``state.dropped`` (rows stay absorbed one more substep and retry);
+    patch overflow surfaces in ``state.dropped_over`` — those rows FREEZE
+    for the substep (position/velocity restored, no absorb/respawn) on
+    every backend and retry, so under-capacity costs latency, never silent
+    corruption."""
     if respawn_capacity is None:
         respawn_capacity = min(spill_capacity, 2048)
     nr, nz = spec.nr, spec.nz
@@ -220,9 +228,30 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
                                 pk2[:, 2])[..., 0]
         sink = sink.at[idx2].set(sink_k, mode="drop")
         sink = jnp.where(v_mask, sink, 1.0)  # fillers never absorb/respawn
+
+        # patch-capacity overflow: out-of-window rows past `spill_capacity`
+        # were NOT patched — their gather rows / sink samples came from the
+        # clamped window edge and are wrong.  FREEZE them for this substep
+        # (no move, no absorb/respawn — same semantics as the fused
+        # kernel's frozen lanes) so under-capacity surfaces as retry
+        # latency in ``dropped_over``, never as silent physics corruption.
+        frozen = jnp.zeros((n_tot,), bool)
+        n_over = (jnp.maximum(n_g.astype(jnp.int32) - spill_capacity, 0)
+                  + jnp.maximum(n_s.astype(jnp.int32) - spill_capacity, 0))
+        if spill_capacity < n_tot:  # capacity >= N can never overflow
+            patched_g = frozen.at[idx].set(True, mode="drop")
+            patched_s = frozen.at[idx2].set(True, mode="drop")
+            frozen = jnp.logical_or(
+                jnp.logical_and(g_mask, jnp.logical_not(patched_g)),
+                jnp.logical_and(s_mask, jnp.logical_not(patched_s)))
+            sink = jnp.where(frozen, 1.0, sink)
         position, alive, n_drop = sink_respawn(
             next_pos, sink, rand, fields.inv_cdf,
             respawn_capacity=respawn_capacity)
+        if spill_capacity < n_tot:
+            position = jnp.where(frozen[:, None], state.position, position)
+            velocity = jnp.where(frozen[:, None], state.velocity, velocity)
+            alive = jnp.where(frozen, state.alive, alive)
 
         # --- repair + freeze fillers (inert, no NaNs, zero weight) --------
         extra = {}
@@ -235,16 +264,11 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         position = jnp.where(v[:, None], position, FILLER)
         velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
-        # patch-capacity overflow: rows past `spill_capacity` keep their
-        # stale gather/sink this substep (they retry until the next resort)
-        # — count them so capacity under-sizing is observable, like the
-        # respawn backlog
-        n_over = (jnp.maximum(n_g.astype(jnp.int32) - spill_capacity, 0)
-                  + jnp.maximum(n_s.astype(jnp.int32) - spill_capacity, 0))
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + (n_g + n_s).astype(jnp.int32),
-            dropped=state.dropped + n_drop + n_over, **extra)
+            dropped=state.dropped + n_drop,
+            dropped_over=state.dropped_over + n_over, **extra)
 
     @jax.jit
     def step(fields, state: SortedPusherState) -> SortedPusherState:
@@ -360,12 +384,14 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
         alive = jnp.where(v, alive, 1.0)
         # patch-capacity overflow: rows past `spill_capacity` come back
         # frozen from the kernel and retry until the next resort — count
-        # them like the respawn backlog so under-sizing is observable
+        # them separately from the respawn backlog so the under-sized
+        # buffer (spill_capacity vs respawn_capacity) is identifiable
         n_over = jnp.maximum(n_sp.astype(jnp.int32) - spill_capacity, 0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
             spill=state.spill + n_sp.astype(jnp.int32),
-            dropped=state.dropped + n_drop + n_over, **extra)
+            dropped=state.dropped + n_drop,
+            dropped_over=state.dropped_over + n_over, **extra)
 
     @jax.jit
     def _step_inner(fields, state, packed13, windows):
@@ -470,6 +496,7 @@ def to_sorted_state(state, spec, tiling: Tiling2D,
         moments_avg=state.moments_avg,
         spill=jnp.int32(0),
         dropped=jnp.int32(0),
+        dropped_over=jnp.int32(0),
     )
     return make_sorted_resort_fn(spec, tiling, reserve=reserve)(base)
 

@@ -77,6 +77,57 @@ def test_sorted_path_default_scenario_respawns():
     assert bool(jnp.all(jnp.isfinite(sim.state.position)))
 
 
+def test_spill_capacity_overflow_freezes_not_corrupts():
+    """Rows past ``spill_capacity`` FREEZE for the substep and retry
+    (ADVICE r3: the xla backend previously pushed them with clamped-window
+    gathers — silent corruption).  With zero fields the velocity is exactly
+    constant, so after k steps every row's displacement must be an integer
+    number 0..2k of substep drifts — never a fractional/corrupted move —
+    and the overflow must surface in ``dropped_over`` (separate from the
+    respawn backlog in ``dropped``)."""
+    sim = _make(nr=64, nz=128, nparticles=32)  # 1024 particles
+    rng = np.random.default_rng(7)
+    n = sim.spec.n_total
+    r = 0.2 + 0.5 * rng.random(n)
+    th = 2 * np.pi * rng.random(n)
+    pos = np.stack([r * np.cos(th), r * np.sin(th),
+                    0.4 + 1.0 * rng.random(n)], axis=-1)
+    vel = 0.004 * rng.standard_normal((n, 3))  # fast drift -> window exits
+    sim.set({"position": pos, "velocity": vel})
+    # the set() API applies the reference's per-axis normalization
+    # (factor_r, factor_r, factor_z and /c) — compare in internal units
+    pos0 = np.asarray(sim.state.position)
+    vel0 = np.asarray(sim.state.velocity)
+    sim.precalc()  # zero E/B: rotation = identity, A = 0
+    sim.enable_sorted_path(
+        tiling=Tiling2D(tile_r=8, tile_z=8, block=128, margin=1),
+        resort_every=10_000,  # never resort: out-of-window rows accumulate
+        spill_capacity=32)    # far below the out-of-window flux
+    k = 6
+    sim.step(k)
+    st = sim._sorted_state
+    assert int(st.dropped_over) > 0      # overflow happened and was counted
+    assert int(st.dropped) == 0          # no respawns in this scenario
+    valid = np.asarray(st.valid)
+    p1 = np.asarray(st.position)[valid]
+    v1 = np.asarray(st.velocity)[valid]
+    # velocities unchanged up to the Cartesian<->cylindrical frame
+    # round-trip rounding (zero fields, no respawn)
+    order1 = np.lexsort(v1.T)
+    order0 = np.lexsort(vel0.T)
+    v_sorted = v1[order1]
+    v_ref = vel0[order0]
+    np.testing.assert_allclose(v_sorted, v_ref, rtol=1e-4, atol=1e-8)
+    # displacement = m * step_factor * v for integer m in [0, 2k]
+    d = (p1[order1] - pos0[order0])
+    step_vec = np.float32(sim.spec.step_factor) * v_ref
+    comp = np.argmax(np.abs(step_vec), axis=1)
+    m = d[np.arange(len(d)), comp] / step_vec[np.arange(len(d)), comp]
+    np.testing.assert_allclose(m, np.round(m), atol=2e-2)
+    assert (np.round(m) >= 0).all() and (np.round(m) <= 2 * k).all()
+    assert (np.round(m) < 2 * k).any()   # some rows actually froze
+
+
 @pytest.mark.slow
 def test_fused_backend_matches_xla_backend():
     """backend='fused' (one Mosaic kernel per half-step, interpret mode on
