@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--warm", type=int, default=0,
                     help="extra warm steps before profiling (beyond compile)")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--precision", default=None,
+                    help="pallas_precision: highest | exact_bf16 | default")
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the per-step walk; just time 3 windows + audit")
     args = ap.parse_args()
 
     from fusion_sim_tpu.models import electrostatic as es
@@ -51,6 +55,7 @@ def main():
                                     backend=args.backend,
                                     resort_every=args.resort,
                                     spill_capacity=args.capacity,
+                                    pallas_precision=args.precision,
                                     check_spill=False)
     import jax
     print(f"n={n} tile={args.tile} margin={args.margin} "
@@ -70,6 +75,21 @@ def main():
         sim.step(to_boundary)
         done += to_boundary
     np.asarray(sim.state.position[:1])
+
+    if args.quick:
+        sim.step(args.resort)  # one more warm window past the boundary walk
+        np.asarray(sim.state.position[:1])
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sim.step(args.resort)
+            np.asarray(sim.state.position[:1])
+            rates.append(args.resort / (time.perf_counter() - t0))
+        dr = int(sim.state.spill_dropped)
+        print(f"median steps/s over 3 windows: {sorted(rates)[1]:.2f} "
+              f"({1e3 / sorted(rates)[1]:.1f} ms/step), dropped_total={dr}"
+              f"{'  ** NOT EXACT **' if dr else ''}")
+        return
 
     prev_spill = int(sim.state.spill)
     prev_drop = int(sim.state.spill_dropped)

@@ -79,7 +79,8 @@ class ShardedEMConfig:
     spill_capacity: int = 16384
     # sorted composition only: 'fused' runs each shard's gather + Boris +
     # drift + Esirkepov in ONE Mosaic kernel on the local pseudo-grid
-    # windows (ops/pallas_em.py, 2D3V) — the single-chip fused substep
+    # windows (ops/pallas_em.py in 2D3V, ops/pallas_em3d.py in 3D) — the
+    # single-chip fused substep
     # composed with halo/apron/migration (VERDICT r2 next-step #3).
     gather_backend: str = "xla"
     # fused-kernel matmul strategy override ('highest' | 'exact_bf16' |
@@ -344,8 +345,6 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
     if config.gather_backend not in ("xla", "fused"):
         raise ValueError(f"gather_backend {config.gather_backend!r} "
                          "(xla|fused)")
-    if use_fused and ndim != 2:
-        raise ValueError("gather_backend='fused' is 2D3V only")
     interpret = jax.default_backend() != "tpu"
     pseudo_f = jnp.asarray(pseudo_shape, jnp.float32)
 
@@ -388,12 +387,15 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
         if use_fused:
             # ONE Mosaic kernel: gather + Boris + drift + Esirkepov on this
             # shard's pseudo-grid windows (same kernel as the single-chip
-            # fused backend — ops/pallas_em.py)
+            # fused backend — ops/pallas_em.py in 2D, ops/pallas_em3d.py
+            # in 3D; both share a signature)
             from ..ops.pallas_em import fused_em2d_substep
+            from ..ops.pallas_em3d import fused_em3d_substep
 
+            substep = fused_em2d_substep if ndim == 2 else fused_em3d_substep
             valid_k = jnp.logical_and(alive, jnp.logical_not(bad_block))
             vel0 = velocity
-            lp1, velocity, j_pad, in_win = fused_em2d_substep(
+            lp1, velocity, j_pad, in_win = substep(
                 table, lp0, velocity, valid_k, tile_id, pseudo_shape,
                 tiling, qm_half_dt, dt, base.cell_size, base.charge,
                 c_light=base.c, relativistic=base.relativistic,
@@ -415,11 +417,15 @@ def make_sharded_sorted_step_fn(config: ShardedEMConfig, mesh: Mesh,
                 cv_k = vel_k / gam_k
             else:
                 cv_k = vel_k
-            lp1_k = lp0_k + dt * cv_k[:, :2] / dxv
+            lp1_k = lp0_k + dt * cv_k[:, :ndim] / dxv
             q_k = jnp.where(d_ok, charge[d_idx], 0.0)
-            j_pad = j_pad + esirkepov_deposit_2d(
-                lp0_k, lp1_k, cv_k[:, 2], q_k, dt, pseudo_shape,
-                base.cell_size)
+            if ndim == 2:
+                j_pad = j_pad + esirkepov_deposit_2d(
+                    lp0_k, lp1_k, cv_k[:, 2], q_k, dt, pseudo_shape,
+                    base.cell_size)
+            else:
+                j_pad = j_pad + esirkepov_deposit_3d(
+                    lp0_k, lp1_k, q_k, dt, pseudo_shape, base.cell_size)
             lp1 = lp1.at[d_idx].set(lp1_k, mode="drop")
             velocity = velocity.at[d_idx].set(vel_k, mode="drop")
             velocity = jnp.where(alive[:, None], velocity, 0.0)

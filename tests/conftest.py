@@ -18,3 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: the suite is compile-dominated on 1 CPU (most
+# equivalence tests spend 10-30 s in XLA), so re-runs in the same checkout
+# skip straight to execution.  Safe: entries are keyed on the HLO hash.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -204,6 +204,45 @@ def test_sharded_sorted_fused_matches_xla():
 
 
 @pytest.mark.slow
+def test_sharded_sorted_fused_3d_matches_xla():
+    """gather_backend='fused' in THREE dimensions inside the sharded sorted
+    composition (VERDICT r3 #4): the per-shard fused_em3d_substep matches
+    the XLA sorted sharded route on the mesh."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    d = 0.5
+    n_cells, n = 16, 1024
+    base = em.EMConfig(grid_shape=(n_cells,) * 3, cell_size=(d,) * 3,
+                       dt=0.15 * d, charge=-0.01, mass=0.01,
+                       field_gather="centered")
+    rng = np.random.default_rng(9)
+    pos = (rng.random((n, 3)) * n_cells).astype(np.float32)
+    vel = (0.2 * rng.standard_normal((n, 3))).astype(np.float32)
+    mesh = make_mesh(2, ("space",))
+    tiling = Tiling3D(tile=(4, 4, 4), block=128, margin=1)
+
+    kw = dict(base=base, n_shards=2, capacity=1024, migration_buffer=64,
+              tiling=tiling, resort_every=3)
+    a = ShardedElectromagneticPIC(ShardedEMConfig(**kw), mesh, pos, vel)
+    b = ShardedElectromagneticPIC(
+        ShardedEMConfig(gather_backend="fused", **kw), mesh, pos, vel)
+    a.step(6)
+    b.step(6)
+    assert int(np.asarray(b.state.overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(b.state.e), np.asarray(a.state.e),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state.b), np.asarray(a.state.b),
+                               rtol=1e-4, atol=1e-6)
+    pa, va = a.gather_particles()
+    pb, vb = b.gather_particles()
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_sharded_sorted_matches_packed_3d():
     """3D sorted x sharded composition (the config[4] stretch structure)."""
     from fusion_sim_tpu.ops.sorted_deposit import Tiling3D

@@ -236,6 +236,46 @@ def test_sharded_sorted_es_3d_matches_single_device():
                                rtol=1e-4, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_sharded_sorted_es_pallas_3d_matches_xla():
+    """backend='pallas' in THREE dimensions inside the sharded composition
+    (VERDICT r3 #4: the config[4] stretch shape is 3D sharded fused): the
+    per-shard fused_es3d_substep + carried-rho structure tracks the XLA
+    sorted sharded route on the mesh."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
+
+    n_cells, n = 16, 1024
+    d = 2 * np.pi / n_cells
+    base = es.ESConfig(grid_shape=(n_cells,) * 3, cell_size=(d,) * 3,
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(6)
+    pos = (rng.random((n, 3)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 3))).astype(np.float32)
+    mesh = make_mesh(2, ("space",))
+    tiling = Tiling3D(tile=(4, 4, 4), block=128, margin=1)
+
+    kw = dict(base=base, n_shards=2, capacity=1024, migration_buffer=64,
+              tiling=tiling, resort_every=3)
+    a = ShardedElectrostaticPIC(ShardedESConfig(**kw), mesh, pos, vel)
+    b = ShardedElectrostaticPIC(ShardedESConfig(backend="pallas", **kw),
+                                mesh, pos, vel)
+    a.step(6)
+    b.step(6)
+    assert int(np.asarray(b.state.overflow).sum()) == 0
+    pa, va = a.gather_particles()
+    pb, vb = b.gather_particles()
+    assert pb.shape[0] == n
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=2e-3)
+    # the carried rho equals a fresh deposit at the current positions
+    seed = b._seed_rho(b.state)
+    np.testing.assert_allclose(np.asarray(b.state.rho), np.asarray(seed),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_sorted_es_single_shard():
     """n_shards=1 sorted ES composition: slab-centered transform keeps
     everything in the pseudo-grid interior."""

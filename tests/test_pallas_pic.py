@@ -169,7 +169,6 @@ def test_fused_em3d_substep_zero_field_matches_packed_esirkepov(precision):
                                rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.slow
 def test_fused_em2d_substep_exact_bf16_tracks_highest():
     """The 3-term bf16 gather (ops/mxu.py) stays within ~1e-4 of Mosaic's
     multi-pass f32 path through a full fused EM substep."""

@@ -128,6 +128,27 @@ def test_spill_capacity_overflow_freezes_not_corrupts():
     assert (np.round(m) < 2 * k).any()   # some rows actually froze
 
 
+def test_fused_backend_smoke_tiny():
+    """Default-CI canary for the fused pusher kernel (VERDICT r3 #7): a
+    tiny-shape Mosaic interpret run must match the XLA sorted backend
+    row-for-row.  The full-size equivalence matrix stays in `slow`."""
+    a = _make(nr=48, nz=96, nparticles=8, seed=5)
+    b = _make(nr=48, nz=96, nparticles=8, seed=5)
+    apply_default_scenario(a, seed=5)
+    apply_default_scenario(b, seed=5)
+    t = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    a.enable_sorted_path(tiling=t, resort_every=3)
+    b.enable_sorted_path(tiling=t, resort_every=3, backend="fused")
+    a.step(4)
+    b.step(4)
+    sa, sb = a._sorted_state, b._sorted_state
+    np.testing.assert_allclose(np.asarray(sb.position),
+                               np.asarray(sa.position), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb.velocity),
+                               np.asarray(sa.velocity), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(sb.alive), np.asarray(sa.alive))
+
+
 @pytest.mark.slow
 def test_fused_backend_matches_xla_backend():
     """backend='fused' (one Mosaic kernel per half-step, interpret mode on
