@@ -138,13 +138,17 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
     return out
 
 
-# ES rung, picked offline (examples/probe_es_spill.py): tile 32 margin 6
-# resort 16 is the exactness/throughput frontier at 10M thermal
-# (PERFORMANCE.md round-3 sweep); the capacity below covers the measured
-# late-window PEAK of the spill sawtooth with >=1.5x headroom so the
-# in-run audit stays zero (BENCH_r03's 16384 dropped 124k rows late-window).
-ES_SPILL_CAPACITY = 65536
-ES_RESORT = 16
+# ES rung, picked offline (examples/probe_es_spill.py, 2026-08-19 matrix):
+# tile 32 margin 6 RESORT 12 capacity 16384 is the exactness/throughput
+# frontier at 10M thermal.  The spill sawtooth peaks at ~7.2k rows/step at
+# window position 11 (2.3x headroom at 16384); round-3's resort-16 rung at
+# this capacity ran into the pos 12-15 flux (13k/23k/36k/52k) and dropped
+# 124k rows/two-windows — the driver artifact was right and the builder's
+# early-phase audit was wrong.  Measured matrix (ms/step, all dropped=0):
+# r12 c16k 'highest' 35.0 | r12 c16k exact_bf16 30.7 | r14 c32k 38.8 |
+# r16 c64k 44.7 | r16 c32k margin8 42.2.
+ES_SPILL_CAPACITY = 16384
+ES_RESORT = 12
 
 
 def bench_es_10m(backend: str = "pallas", precision: str | None = None,

@@ -53,12 +53,12 @@ def test_sharded_es_matches_single_device():
     mesh = make_mesh(8, ("space",))
 
     ref = es.ElectrostaticPIC(base, pos, vel)
-    ref.step(10)
+    ref.step(6)
 
     cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
                           migration_buffer=128)
     sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-    sim.step(10)
+    sim.step(6)
 
     inv = sim.check_invariants()
     assert inv["overflow"] == 0
@@ -395,7 +395,7 @@ def test_sharded_sorted_es_3d_repair_matches_single_device():
     vel[:, 0] += 0.6
 
     ref = es.ElectrostaticPIC(base, pos, vel)
-    ref.step(16)
+    ref.step(8)
 
     mesh = make_mesh(8, ("space",))
     tiling = Tiling3D(tile=(4, 8, 8), block=128, margin=1)
@@ -403,7 +403,7 @@ def test_sharded_sorted_es_3d_repair_matches_single_device():
                           migration_buffer=128, tiling=tiling,
                           resort_every=10 ** 6, repair=True)
     sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-    sim.step(16)
+    sim.step(8)
 
     assert int(np.asarray(sim.state.overflow).sum()) == 0
     p_sh, v_sh = sim.gather_particles()

@@ -65,7 +65,7 @@ def test_sorted_path_default_scenario_respawns():
     apply_default_scenario(sim)
     sim.enable_sorted_path(tiling=Tiling2D(tile_r=16, tile_z=16, block=128,
                                            margin=3), resort_every=4)
-    sim.step(10)
+    sim.step(6)
     frame = sim.density()
     assert np.isfinite(np.asarray(frame)).all()
     st = sim._sorted_state

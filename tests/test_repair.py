@@ -96,7 +96,7 @@ def test_repair_matches_reference_without_resort(backend):
     sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                     resort_every=10 ** 6, backend=backend,
                                     repair=True, check_spill=False)
-    n_steps = 24
+    n_steps = 12
     ref.step(n_steps)
     sim.step(n_steps)
     assert int(sim.state.spill) > 0          # the scenario actually churns
@@ -135,12 +135,12 @@ def test_repair_auto_resort_on_exhaustion():
                                     resort_every=10 ** 6, backend="xla",
                                     repair=True, repair_free_slots=8,
                                     check_spill=False)
-    for _ in range(30):
+    for _ in range(16):
         sim.step(1)
     # regardless of whether exhaustion happened, the layout must stay exact
     assert int(jnp.sum(sim.state.valid)) == pos.shape[0]
     ref = es.ElectrostaticPIC(config, pos, vel)
-    ref.step(30)
+    ref.step(16)
     e_ref, e_sim = ref.energies(), sim.energies()
     np.testing.assert_allclose(e_sim["kinetic"], e_ref["kinetic"], rtol=5e-3)
 
@@ -169,7 +169,7 @@ def test_em_repair_matches_reference_without_resort(gather_backend):
     sim = em.SortedElectromagneticPIC(
         config, pos, vel, tiling=tiling, resort_every=10 ** 6,
         gather_backend=gather_backend, repair=True, check_spill=False)
-    n_steps = 25
+    n_steps = 13
     ref.step(n_steps)
     sim.step(n_steps)
     assert int(sim.state.spill) > 0
@@ -205,13 +205,13 @@ def test_pusher_repair_tracks_plain_grid_path(backend):
         return sim
 
     ref = build()
-    ref.step(16)
+    ref.step(10)
     r = np.asarray(ref.state.position)
     sim = build()
     sim.enable_sorted_path(
         tiling=Tiling2D(tile_r=8, tile_z=8, block=256, margin=2),
         resort_every=10 ** 6, backend=backend, repair=True)
-    for _ in range(16):   # per-step calls, as the viewer drives it (the
+    for _ in range(10):   # per-step calls, as the viewer drives it (the
         sim.step(1)       # unplaced-delta auto-resort check runs per call)
     st = sim._sorted_state
     valid = np.asarray(st.valid)
@@ -458,7 +458,7 @@ def test_eager_repair_tracks_reference_with_zero_true_spills(backend="xla"):
                                     resort_every=10 ** 6, backend=backend,
                                     repair=True, repair_eager=1,
                                     check_spill=False)
-    n_steps = 24
+    n_steps = 12
     ref.step(n_steps)
     sim.step(n_steps)
     # per-step displacement (~0.46 cells) < keep (1): no window exits
@@ -519,7 +519,7 @@ def test_eager_repair_em_zero_spills():
     sim = em.SortedElectromagneticPIC(config, pos, vel, tiling=tiling,
                                       resort_every=10 ** 6, repair=True,
                                       repair_eager=1, check_spill=False)
-    n_steps = 24
+    n_steps = 12
     ref.step(n_steps)
     sim.step(n_steps)
     assert int(sim.state.spill) == 0
@@ -585,8 +585,8 @@ def test_eager_repair_em_3d_tracks_reference():
         config, pos, vel, tiling=Tiling3D(tile=(8, 8, 8), block=512,
                                           margin=2),
         resort_every=10 ** 6, repair=True, repair_eager=1, check_spill=False)
-    ref.step(10)
-    sim.step(10)
+    ref.step(6)
+    sim.step(6)
     assert int(sim.state.spill) == 0
     assert int(sim.state.unplaced) == 0
     assert int(jnp.sum(sim.state.valid)) == n
