@@ -24,7 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=124_999_680)  # 1e9/8, /512
     ap.add_argument("--cells", default="512,512,64")
-    ap.add_argument("--tile", type=int, default=8)
+    ap.add_argument("--tile", default="8,16,16",
+                    help="per-axis 3D tile (comma list or one int); bigger "
+                    "(y,z) tiles cut n_tiles — the fused kernel's per-tile "
+                    "window storage scales with it (tile 8^3 = 32768 tiles "
+                    "OOMed at 1.25e8 rows)")
     ap.add_argument("--margin", type=int, default=2)
     ap.add_argument("--resort", type=int, default=8)
     ap.add_argument("--precision", default="exact_bf16")
@@ -32,7 +36,9 @@ def main():
     args = ap.parse_args()
 
     shape = tuple(int(x) for x in args.cells.split(","))
-    tiling = Tiling3D(tile=(args.tile,) * 3, block=512, margin=args.margin)
+    t = [int(x) for x in str(args.tile).split(",")]
+    tile3 = tuple(t * 3 if len(t) == 1 else t)
+    tiling = Tiling3D(tile=tile3, block=512, margin=args.margin)
     n = args.n
     rng = np.random.default_rng(0)
     length = 2 * np.pi

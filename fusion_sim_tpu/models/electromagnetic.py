@@ -433,33 +433,49 @@ class SortedElectromagneticPIC:
                 precision=self.pallas_precision or "highest",
                 interpret=interpret)
 
-            # exact re-push + deposit of out-of-window rows (compacted)
+            # exact re-push + deposit of out-of-window rows (compacted).
+            # The K-row chain rides the same lax.cond as the compaction:
+            # clean early-window steps skip the capacity-sized ops entirely
+            # (VERDICT r3 #3b); branch outputs are lane-major (d, capacity).
             spill_mask = jnp.logical_and(jnp.logical_not(in_win), state.valid)
             spill = jnp.sum(spill_mask)
             idx, ok = spill_rows_cond(spill_mask, spill, capacity,
                                       x1.shape[0])
-            x0_k = jnp.mod(state.position[idx], grid_f)
-            eb_k = cic_gather_packed(table, x0_k, shape)
-            vel_k = boris_kick(state.velocity[idx], eb_k[:, :3], eb_k[:, 3:],
-                               qm_half_dt, config.relativistic, config.c)
-            if config.relativistic:
-                gamma_k = jnp.sqrt(1.0 + jnp.sum((vel_k / config.c) ** 2,
-                                                 axis=-1, keepdims=True))
-                cv_k = vel_k / gamma_k
-            else:
-                cv_k = vel_k
-            x1_k = x0_k + config.dt * cv_k[:, :ndim] / dxv
-            q_k = jnp.where(ok, jnp.float32(config.charge), 0.0)
-            if ndim == 2:
-                j = j + esirkepov_deposit_2d(x0_k, x1_k, cv_k[:, 2], q_k,
-                                             config.dt, shape,
-                                             config.cell_size)
-            else:
-                j = j + esirkepov_deposit_3d(x0_k, x1_k, q_k, config.dt,
-                                             shape, config.cell_size)
+
+            def _patch_hot():
+                x0_k = jnp.mod(state.position[idx], grid_f)
+                eb_k = cic_gather_packed(table, x0_k, shape)
+                vel_k = boris_kick(state.velocity[idx], eb_k[:, :3],
+                                   eb_k[:, 3:], qm_half_dt,
+                                   config.relativistic, config.c)
+                if config.relativistic:
+                    gamma_k = jnp.sqrt(1.0 + jnp.sum(
+                        (vel_k / config.c) ** 2, axis=-1, keepdims=True))
+                    cv_k = vel_k / gamma_k
+                else:
+                    cv_k = vel_k
+                x1_k = x0_k + config.dt * cv_k[:, :ndim] / dxv
+                q_k = jnp.where(ok, jnp.float32(config.charge), 0.0)
+                if ndim == 2:
+                    dj = esirkepov_deposit_2d(x0_k, x1_k, cv_k[:, 2], q_k,
+                                              config.dt, shape,
+                                              config.cell_size)
+                else:
+                    dj = esirkepov_deposit_3d(x0_k, x1_k, q_k, config.dt,
+                                              shape, config.cell_size)
+                return jnp.mod(x1_k, grid_f).T, vel_k.T, dj
+
+            def _patch_cold():
+                return (jnp.zeros((ndim, capacity), jnp.float32),
+                        jnp.zeros((3, capacity), jnp.float32),
+                        jnp.zeros((*shape, 3), jnp.float32))
+
+            x1w_kT, vel_kT, dj = jax.lax.cond(spill > 0, _patch_hot,
+                                              _patch_cold)
+            x1w_k, vel_k = x1w_kT.T, vel_kT.T
+            j = j + dj
             extra = {}
             valid = state.valid
-            x1w_k = jnp.mod(x1_k, grid_f)
             if use_repair:
                 x1, velocity, valid, extra = _repair_relocate(
                     state, x1, velocity, idx, ok, x1w_k, vel_k,

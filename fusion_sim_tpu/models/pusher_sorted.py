@@ -347,22 +347,38 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
             cell, state.tile_id, nr, nz, tiling, step_factor,
             windows=windows, interpret=interpret)
 
-        # exact re-push of out-of-window rows (compacted)
+        # exact re-push of out-of-window rows (compacted).  The whole K-row
+        # chain (13-channel NEAREST gather + rotation + drift + sink sample)
+        # rides the same lax.cond as the index compaction: the spill
+        # sawtooth is zero for the first ~margin/drift substeps of every
+        # resort window, so the clean majority of substeps skips the
+        # capacity-sized latency-bound ops.  Branch outputs are lane-major
+        # (d, capacity) — no T(8,128) minor-dim blowup.
         mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
         n_sp = jnp.sum(mask)
         idx, _ = spill_rows_cond(mask, n_sp, spill_capacity, n_tot)
         from ..ops.boris import velocity_from_rows
 
-        pk = state.position[idx]
-        rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
-        rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
-        vel_k = velocity_from_rows(pk, state.velocity[idx], state.alive[idx],
-                                   rand[idx], rows_k)
-        pos_k = pk + jnp.float32(step_factor) * vel_k
-        rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
-        sink_k = gather_nearest(packed13[..., 12:13], rk2, pos_k[:, 2])[..., 0]
-        pos1 = pos1.at[idx].set(pos_k, mode="drop")
-        vel1 = vel1.at[idx].set(vel_k, mode="drop")
+        def _patch_hot():
+            pk = state.position[idx]
+            rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
+            rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
+            vel_k = velocity_from_rows(pk, state.velocity[idx],
+                                       state.alive[idx], rand[idx], rows_k)
+            pos_k = pk + jnp.float32(step_factor) * vel_k
+            rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
+            sink_k = gather_nearest(packed13[..., 12:13], rk2,
+                                    pos_k[:, 2])[..., 0]
+            return pos_k.T, vel_k.T, sink_k
+
+        def _patch_cold():
+            z = jnp.zeros((3, spill_capacity), jnp.float32)
+            return z, z, jnp.ones((spill_capacity,), jnp.float32)
+
+        pos_kT, vel_kT, sink_k = jax.lax.cond(n_sp > 0, _patch_hot,
+                                              _patch_cold)
+        pos1 = pos1.at[idx].set(pos_kT.T, mode="drop")
+        vel1 = vel1.at[idx].set(vel_kT.T, mode="drop")
         sink = sink.at[idx].set(sink_k, mode="drop")
 
         # sink/respawn (shared exact path; fillers never absorb)
