@@ -20,7 +20,7 @@ from fusion_sim_tpu.models.electromagnetic_sharded import (
     ShardedEMConfig, ShardedElectromagneticPIC)
 from fusion_sim_tpu.models.electrostatic_sharded import (
     ShardedESConfig, ShardedElectrostaticPIC)
-from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, Tiling3D
 from fusion_sim_tpu.parallel.mesh import make_mesh
 
 
@@ -43,8 +43,16 @@ def bench(sim, label, n, steps=10, reps=3, warmup=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=10_002_432)
-    ap.add_argument("--cells", type=int, default=512)
+    ap.add_argument("--n", type=int, default=0,
+                    help="0 = per-dim default (10_002_432 in 2D; the "
+                         "BASELINE config[3] 29_997_056 in 3D)")
+    ap.add_argument("--cells", type=int, default=0,
+                    help="0 = per-dim default (512^2 / 128^3)")
+    ap.add_argument("--dim", type=int, default=2, choices=[2, 3],
+                    help="3 = the 3D sharded fused composition at the "
+                         "config[3] single-chip scale (VERDICT r3 #4: "
+                         "compare against bench_3d's 254.8 ms ES / "
+                         "448.7 ms EM single-chip numbers)")
     ap.add_argument("--model", default="es", choices=["es", "em"])
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "exact_bf16", "default"])
@@ -69,24 +77,34 @@ def main():
     args = ap.parse_args()
 
     mesh = make_mesh(1, ("space",))
-    n, nc = args.n, args.cells
+    ndim = args.dim
+    n = args.n or (10_002_432 if ndim == 2 else 29_997_056)
+    nc = args.cells or (512 if ndim == 2 else 128)
     rng = np.random.default_rng(0)
-    pos = (rng.random((n, 2)) * nc).astype(np.float32)
-    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+    pos = (rng.random((n, ndim)) * nc).astype(np.float32)
+    if ndim == 2:
+        tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
+        resort_es, resort_em = 16, 12
+    else:
+        # config[3] single-chip tiling (examples/bench_3d.py defaults)
+        tiling = Tiling3D(tile=(8, 8, 8), block=512, margin=2)
+        resort_es = resort_em = 6
+    grid = (nc,) * ndim
     cap = (int(n * args.slack) // 1024) * 1024 + 1024
-    print(f"n={n:.2e} cells={nc}^2 dev={jax.devices()[0]}")
+    print(f"n={n:.2e} cells={nc}^{ndim} dev={jax.devices()[0]}")
 
     if args.model == "es":
         length = 2 * np.pi
         d = length / nc
-        vol = length * length
-        base = es.ESConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.05,
+        vol = length ** ndim
+        base = es.ESConfig(grid_shape=grid, cell_size=(d,) * ndim, dt=0.05,
                            charge=-vol / n, mass=vol / n)
-        vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+        vel = (0.05 * rng.standard_normal((n, ndim))).astype(np.float32)
         # repair runs measure the spill equilibrium (~0.8%/step relocating
         # at tile 32 margin 6 for this thermal config) — size the patch
         # buffer/stacks for it and warm up to it (see bench_es_fused.py)
-        spill_cap = args.spill_capacity or (163840 if args.repair else 16384)
+        spill_cap = args.spill_capacity or (
+            163840 if args.repair else (16384 if ndim == 2 else 65536))
         warmup = args.warmup or (117 if args.repair else 0)
         eager_kw = {}
         if args.eager:
@@ -96,26 +114,29 @@ def main():
             spill_cap = args.spill_capacity or 16384
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=10 ** 9 if args.repair else 16,
+                              resort_every=10 ** 9 if args.repair
+                              else resort_es,
                               repair=args.repair, backend="pallas",
                               spill_capacity=spill_cap,
                               repair_free_slots=2048 if args.repair else 256,
                               pallas_precision=args.precision, **eager_kw)
         sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-        bench(sim, "sharded-es-pallas nd=1", n, steps=args.steps,
+        bench(sim, f"sharded-es-pallas nd=1 {ndim}D", n, steps=args.steps,
               warmup=warmup)
     else:
         d = 0.5
-        base = em.EMConfig(grid_shape=(nc, nc), cell_size=(d, d), dt=0.2 * d,
-                           charge=-0.01, mass=0.01, field_gather="centered")
+        base = em.EMConfig(grid_shape=grid, cell_size=(d,) * ndim,
+                           dt=0.2 * d, charge=-0.01, mass=0.01,
+                           field_gather="centered")
         vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
         cfg = ShardedEMConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
-                              resort_every=10 ** 9 if args.repair else 12,
+                              resort_every=10 ** 9 if args.repair
+                              else resort_em,
                               repair=args.repair, gather_backend="fused",
                               pallas_precision=args.precision)
         sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
-        bench(sim, "sharded-em-fused nd=1", n, steps=args.steps)
+        bench(sim, f"sharded-em-fused nd=1 {ndim}D", n, steps=args.steps)
 
 
 if __name__ == "__main__":
