@@ -57,8 +57,18 @@ def main():
     def fence():
         np.asarray(sim.state.position[:1])
 
+    def hbm(tag):
+        st = jax.local_devices()[0].memory_stats() or {}
+        used = st.get("bytes_in_use", 0)
+        lim = st.get("bytes_limit", 0)
+        print(f"  hbm[{tag}]: {used / 1e9:.2f} GB in use"
+              + (f" of {lim / 1e9:.2f} GB" if lim else ""), flush=True)
+
+    fence()
+    hbm("after init")
     sim.step(1)
     fence()
+    hbm("after first step")
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()

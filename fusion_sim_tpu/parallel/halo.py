@@ -80,3 +80,30 @@ def accumulate_apron(padded: jax.Array, axis_name: str, width: int,
     idx[array_axis] = slice(local.shape[array_axis] - width, None)
     local = local.at[tuple(idx)].add(from_right)
     return local
+
+
+def with_halo_2d(local: jax.Array, axis_names: tuple[str, str],
+                 widths: tuple[int, int],
+                 array_axes: tuple[int, int] = (0, 1)) -> jax.Array:
+    """Ghost-cell pad along TWO decomposed grid axes (2-D mesh
+    decomposition — the scaling axis past 1-D slabs).
+
+    Sequential dimension-ordered exchange: the second axis's ppermute ships
+    slabs of the already-padded array, so the 8-connected corner ghost
+    cells arrive without any explicit diagonal communication (two ICI hops
+    total, the standard structured-grid pattern).
+    """
+    out = with_halo(local, axis_names[0], widths[0], array_axes[0])
+    return with_halo(out, axis_names[1], widths[1], array_axes[1])
+
+
+def accumulate_apron_2d(padded: jax.Array, axis_names: tuple[str, str],
+                        widths: tuple[int, int],
+                        array_axes: tuple[int, int] = (0, 1)) -> jax.Array:
+    """Inverse of ``with_halo_2d`` for scatter-accumulated quantities:
+    folds the two-axis deposition apron (shape = local + 2*width on each
+    decomposed axis) back onto the owning neighbors, corners included —
+    the fold order is the reverse of the pad order so corner contributions
+    ride the first fold into the side aprons."""
+    out = accumulate_apron(padded, axis_names[1], widths[1], array_axes[1])
+    return accumulate_apron(out, axis_names[0], widths[0], array_axes[0])

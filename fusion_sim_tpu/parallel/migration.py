@@ -211,3 +211,31 @@ def migrate_ring(
     overflow = ov_l + ov_r + jnp.maximum(n_arrive - n_free, 0)
     return MigrationResult(arrays=tuple(out_arrays), alive=new_alive,
                            overflow=overflow)
+
+
+def migrate_grid(
+    arrays: tuple,
+    alive: jax.Array,
+    mask_fn,
+    axis_names: tuple[str, ...],
+    capacity: int,
+) -> MigrationResult:
+    """Dimension-ordered migration over a MULTI-AXIS spatial mesh.
+
+    The 2-D (and N-D) mesh decomposition's particle exchange: one
+    ``migrate_ring`` phase per decomposed axis, in order.  A particle whose
+    destination differs on both axes routes in two hops (axis 0 first,
+    then axis 1 from its intermediate shard) — dimension-ordered routing,
+    no diagonal sends.  ``mask_fn(arrays, k)`` is called at the START of
+    phase ``k`` with the CURRENT per-shard arrays (phase-1 masks therefore
+    see phase-0 arrivals) and returns ``(go_lo, go_hi)`` (N,) bools for
+    axis ``axis_names[k]``.
+
+    Returns a ``MigrationResult`` with the summed overflow across phases.
+    """
+    res = MigrationResult(tuple(arrays), alive, jnp.int32(0))
+    for k, ax in enumerate(axis_names):
+        go_lo, go_hi = mask_fn(res.arrays, k)
+        r = migrate_ring(res.arrays, res.alive, go_lo, go_hi, ax, capacity)
+        res = MigrationResult(r.arrays, r.alive, res.overflow + r.overflow)
+    return res

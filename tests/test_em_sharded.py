@@ -412,7 +412,7 @@ def test_sharded_em_eager_repair_matches_single_device():
     vel[:, 0] += 2.0
 
     ref = em.ElectromagneticPIC(base, pos, vel)
-    ref.step(8)
+    ref.step(5)
 
     mesh = make_mesh(8, ("space",))
     tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
@@ -420,7 +420,7 @@ def test_sharded_em_eager_repair_matches_single_device():
                           migration_buffer=64, tiling=tiling,
                           resort_every=10 ** 6, repair=True, repair_eager=1)
     sim = ShardedElectromagneticPIC(cfg, mesh, pos, vel)
-    sim.step(8)
+    sim.step(5)
 
     assert int(np.asarray(sim.state.overflow).sum()) == 0
     p_sh, v_sh = sim.gather_particles()

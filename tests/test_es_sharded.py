@@ -136,14 +136,14 @@ def test_sharded_sorted_es_matches_single_device():
     vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
 
     ref = es.ElectrostaticPIC(base, pos, vel)
-    ref.step(10)
+    ref.step(6)
 
     mesh = make_mesh(8, ("space",))
     tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
     cfg = ShardedESConfig(base=base, n_shards=8, capacity=1024,
                           migration_buffer=64, tiling=tiling, resort_every=4)
     sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-    sim.step(10)
+    sim.step(6)
 
     assert int(np.asarray(sim.state.overflow).sum()) == 0
     p_sh, v_sh = sim.gather_particles()
@@ -493,7 +493,7 @@ def test_sharded_eager_repair_matches_single_device():
     vel[:, 0] += 0.6  # drift: tiles churn and shards exchange particles
 
     ref = es.ElectrostaticPIC(base, pos, vel)
-    ref.step(16)
+    ref.step(8)
 
     mesh = make_mesh(8, ("space",))
     tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
@@ -501,7 +501,7 @@ def test_sharded_eager_repair_matches_single_device():
                           migration_buffer=64, tiling=tiling,
                           resort_every=10 ** 6, repair=True, repair_eager=1)
     sim = ShardedElectrostaticPIC(cfg, mesh, pos, vel)
-    sim.step(16)
+    sim.step(8)
 
     assert int(np.asarray(sim.state.overflow).sum()) == 0
     p_sh, v_sh = sim.gather_particles()

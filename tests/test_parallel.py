@@ -199,3 +199,111 @@ def test_migration_overflow_reported():
         out_specs=(P("space", None), P("space"), P("space")),
     )(ids, alive, go_left, go_right)
     assert np.asarray(overflow).sum() == 8  # one dropped per shard
+
+
+def test_halo_2d_corners():
+    """with_halo_2d fills edge AND corner ghost cells of a 2-D-mesh
+    decomposition (periodic torus) via two sequential axis exchanges."""
+    mesh = make_mesh(4, ("sx", "sy"), shape=(2, 2))
+    gx, gy, w = 8, 8, 2
+    glob = np.arange(gx * gy, dtype=np.float32).reshape(gx, gy)
+
+    def f(local):
+        return halo.with_halo_2d(local, ("sx", "sy"), (w, w))
+
+    out = shard_map(f, mesh=mesh, in_specs=P("sx", "sy"),
+                    out_specs=P("sx", "sy"))(jnp.asarray(glob))
+    out = np.asarray(out)  # (gx + 2*2*w, gy + 2*2*w) stacked shard blocks
+    lx, ly = gx // 2, gy // 2
+    for sx in range(2):
+        for sy in range(2):
+            blk = out[sx * (lx + 2 * w):(sx + 1) * (lx + 2 * w),
+                      sy * (ly + 2 * w):(sy + 1) * (ly + 2 * w)]
+            rows = (np.arange(sx * lx - w, (sx + 1) * lx + w)) % gx
+            cols = (np.arange(sy * ly - w, (sy + 1) * ly + w)) % gy
+            np.testing.assert_array_equal(blk, glob[np.ix_(rows, cols)])
+
+
+def test_accumulate_apron_2d_matches_global_fold():
+    """accumulate_apron_2d folds two-axis deposition aprons (corners
+    included) identically to a global periodic scatter."""
+    mesh = make_mesh(4, ("sx", "sy"), shape=(2, 2))
+    gx, gy, w = 8, 8, 2
+    lx, ly = gx // 2, gy // 2
+    rng = np.random.default_rng(7)
+    padded = rng.standard_normal((2, 2, lx + 2 * w, ly + 2 * w)).astype(np.float32)
+
+    # reference: scatter every shard's padded block onto the global torus
+    ref = np.zeros((gx, gy), np.float32)
+    for sx in range(2):
+        for sy in range(2):
+            for i in range(lx + 2 * w):
+                for j in range(ly + 2 * w):
+                    ref[(sx * lx + i - w) % gx, (sy * ly + j - w) % gy] += \
+                        padded[sx, sy, i, j]
+
+    stacked = jnp.asarray(
+        np.block([[padded[0, 0], padded[0, 1]], [padded[1, 0], padded[1, 1]]]))
+
+    def f(p):
+        return halo.accumulate_apron_2d(p, ("sx", "sy"), (w, w))
+
+    out = shard_map(f, mesh=mesh, in_specs=P("sx", "sy"),
+                    out_specs=P("sx", "sy"))(stacked)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-5)
+
+
+def test_migrate_grid_diagonal():
+    """Dimension-ordered 2-phase migration routes a diagonal mover across
+    BOTH mesh axes (x hop then y hop) and conserves the population."""
+    mesh = make_mesh(4, ("sx", "sy"), shape=(2, 2))
+    n_per, cap = 8, 4
+    # fields: value, dest_sx, dest_sy.  Shard (0,0)'s particle 0 goes
+    # diagonally to (1,1); its particle 1 goes to (1,0); one particle on
+    # (1,1) goes to (0,1).  Encoded per-row so each shard reads its own.
+    n = 4 * n_per
+    val = np.arange(n, dtype=np.float32)
+    dest = np.zeros((n, 2), np.float32)
+    for s in range(4):      # default: stay on own shard (sx, sy) = divmod(s, 2)
+        dest[s * n_per:(s + 1) * n_per] = divmod(s, 2)
+    dest[0] = (1, 1)        # shard (0,0) row 0 -> diagonal
+    dest[1] = (1, 0)        # shard (0,0) row 1 -> +x only
+    dest[3 * n_per] = (0, 1)  # shard (1,1) row 0 -> -x only
+    # arrivals land in DEAD slots: keep the back half of every shard free
+    alive = np.ones((n,), bool)
+    for s_ in range(4):
+        alive[s_ * n_per + n_per // 2:(s_ + 1) * n_per] = False
+
+    def mask_fn_factory():
+        def mask_fn(arrays, k):
+            _, dsx, dsy = arrays
+            mine = jax.lax.axis_index("sx" if k == 0 else "sy")
+            d = (dsx if k == 0 else dsy).astype(jnp.int32)
+            move = d != mine
+            return jnp.zeros_like(move), move  # ring of 2: one hop suffices
+        return mask_fn
+
+    def f(v, dx, dy, alv):
+        res = migration.migrate_grid((v, dx, dy), alv, mask_fn_factory(),
+                                     ("sx", "sy"), cap)
+        return (*res.arrays, res.alive, res.overflow[None])
+
+    specs = P(("sx", "sy"))
+    out = shard_map(
+        f, mesh=mesh, in_specs=(specs,) * 4,
+        out_specs=(specs, specs, specs, specs, specs))(
+        jnp.asarray(val), jnp.asarray(dest[:, 0]), jnp.asarray(dest[:, 1]),
+        jnp.asarray(alive))
+    v_out, dx_out, dy_out, alive_out, overflow = map(np.asarray, out)
+    assert overflow.sum() == 0
+    assert alive_out.sum() == alive.sum()  # population conserved
+    # every live row now sits on its destination shard
+    for s in range(4):
+        sx, sy = divmod(s, 2)
+        seg = slice(s * n_per, (s + 1) * n_per)
+        live = alive_out[seg]
+        np.testing.assert_array_equal(dx_out[seg][live], sx)
+        np.testing.assert_array_equal(dy_out[seg][live], sy)
+    # the diagonal mover's value landed on shard (1,1)
+    seg = slice(3 * n_per, 4 * n_per)
+    assert 0.0 in v_out[seg][alive_out[seg]]

@@ -132,15 +132,15 @@ def test_fused_backend_smoke_tiny():
     """Default-CI canary for the fused pusher kernel (VERDICT r3 #7): a
     tiny-shape Mosaic interpret run must match the XLA sorted backend
     row-for-row.  The full-size equivalence matrix stays in `slow`."""
-    a = _make(nr=48, nz=96, nparticles=8, seed=5)
-    b = _make(nr=48, nz=96, nparticles=8, seed=5)
+    a = _make(nr=32, nz=64, nparticles=8, seed=5)
+    b = _make(nr=32, nz=64, nparticles=8, seed=5)
     apply_default_scenario(a, seed=5)
     apply_default_scenario(b, seed=5)
     t = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
     a.enable_sorted_path(tiling=t, resort_every=3)
     b.enable_sorted_path(tiling=t, resort_every=3, backend="fused")
-    a.step(4)
-    b.step(4)
+    a.step(3)
+    b.step(3)
     sa, sb = a._sorted_state, b._sorted_state
     np.testing.assert_allclose(np.asarray(sb.position),
                                np.asarray(sa.position), rtol=1e-6, atol=1e-7)
