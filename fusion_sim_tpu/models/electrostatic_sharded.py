@@ -679,38 +679,30 @@ def make_sharded_sorted_es_pallas_step_fn(config: ShardedESConfig, mesh: Mesh,
 def make_sharded_es_seed_rho_fn(config: ShardedESConfig, mesh: Mesh,
                                 axis: str = "space"):
     """Deposit at the CURRENT positions (freshly sorted layout) — seeds the
-    pallas backend's carried rho at init and after set_state."""
-    from ..ops.sorted_deposit import deposit_sorted_2d, deposit_sorted_3d
+    pallas backend's carried rho at init and after set_state.
 
+    Uses the packed scatter deposit for the WHOLE local population: it is
+    one-time (slow is fine) and, unlike the sorted einsum deposit, never
+    tempts XLA into materializing the (nb, P, wy, wz) tent outer product
+    (22.9 GB at 3e7/128^3 in the nd=1 composition — observed remat OOM;
+    same fix as the single-chip model's ``_initial_rho``)."""
     base = config.base
-    tiling = config.tiling
     nx = base.grid_shape[0]
     slab = config.slab
     H = config.halo_w
     pseudo_shape = config.pseudo_shape
     pseudo_f = jnp.asarray(pseudo_shape, jnp.float32)
     w0 = base.charge / base.cell_volume
-    n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
 
     def local_seed(position, alive, tile_id):
+        del tile_id  # packed deposit needs no layout structure
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
         off = (nx - slab) / 2
         lx = jnp.mod(position[:, 0] - x_lo + off, nx) - off + H
         lp = jnp.concatenate([lx[:, None], position[:, 1:]], axis=1)
-        bad_block = tile_id >= n_tiles_ps
-        w = jnp.where(jnp.logical_and(alive, jnp.logical_not(bad_block)),
-                      jnp.float32(w0), 0.0)
-        deposit_fn = (deposit_sorted_2d if base.n_dim == 2
-                      else deposit_sorted_3d)
-        rho_pad, _, d_mask = deposit_fn(lp, w, tile_id, pseudo_shape, tiling)
-        # exact-deposit the few out-of-window/bad-block rows (packed scatter
-        # at init time — cost irrelevant)
-        w_rest = jnp.where(
-            jnp.logical_and(alive, jnp.logical_or(d_mask, bad_block)),
-            jnp.float32(w0), 0.0)
-        rho_pad = rho_pad + cic_deposit_packed(jnp.mod(lp, pseudo_f), w_rest,
-                                               pseudo_shape)
+        w = jnp.where(alive, jnp.float32(w0), 0.0)
+        rho_pad = cic_deposit_packed(jnp.mod(lp, pseudo_f), w, pseudo_shape)
         return halo.accumulate_apron(rho_pad, axis, H)
 
     mapped = shard_map(

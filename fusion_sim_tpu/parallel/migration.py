@@ -33,6 +33,39 @@ class MigrationResult(NamedTuple):
     overflow: jax.Array    # scalar int — leavers dropped for lack of capacity
 
 
+def _as_columns(arrays):
+    """Split (N, d) arrays into d separate (N,) columns, returning the
+    columns plus a rebuild function.
+
+    Row gathers/scatters on a tiny-minor-dim array can be assigned a
+    T(8,128) layout that pads d up to 128 lanes — 42x HBM on a (N, 3)
+    payload (observed: a 17.3 GB copy at 3.4e7 rows in the 3D sharded
+    composition; the hazard documented in PERFORMANCE.md).  Per-column ops
+    never expose the tiny minor dim, so the migration innards work on
+    columns and re-stack at the boundary."""
+    cols, spec = [], []
+    for a in arrays:
+        if a.ndim == 2:
+            cols.extend(a[:, c] for c in range(a.shape[1]))
+            spec.append(a.shape[1])
+        else:
+            cols.append(a)
+            spec.append(0)
+
+    def rebuild(out_cols):
+        out, i = [], 0
+        for d in spec:
+            if d == 0:
+                out.append(out_cols[i])
+                i += 1
+            else:
+                out.append(jnp.stack(out_cols[i:i + d], axis=-1))
+                i += d
+        return tuple(out)
+
+    return tuple(cols), rebuild
+
+
 def _pack(arrays, mask, capacity: int, with_take: bool = False):
     """Gather rows where ``mask`` into fixed (capacity, ...) buffers.
 
@@ -94,6 +127,7 @@ def migrate_ring_stacked(
     dry in practice)."""
     from ..ops.repair import pop_slots, push_slots
 
+    arrays, _rebuild = _as_columns(arrays)
     n_shards = lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
@@ -132,7 +166,7 @@ def migrate_ring_stacked(
     arrivals_valid = jnp.concatenate([recv_valid_l, recv_valid_r])
 
     # seat arrivals: tile-local pop first, spare stack for the leftovers
-    arr_tiles = arrival_tiles_fn(arrivals)
+    arr_tiles = arrival_tiles_fn(_rebuild(arrivals))
     slot, got, free_idx, free_cnt = pop_slots(
         free_idx, free_cnt, arr_tiles, arrivals_valid, n)
     need_spare = jnp.logical_and(arrivals_valid, jnp.logical_not(got))
@@ -150,7 +184,7 @@ def migrate_ring_stacked(
                                      jnp.logical_not(placed)))
     overflow = ov_l + ov_r + n_lost.astype(jnp.int32)
     return StackedMigrationResult(
-        arrays=tuple(out_arrays), alive=new_alive, overflow=overflow,
+        arrays=_rebuild(out_arrays), alive=new_alive, overflow=overflow,
         free_idx=free_idx, free_cnt=free_cnt,
         spare_idx=spare_idx, spare_cnt=spare_cnt,
         placed_tile=jnp.sum(got.astype(jnp.int32)),
@@ -170,6 +204,7 @@ def migrate_ring(
     ``arrays``: per-particle field tuple, each (N, ...); ``alive``: (N,)
     bool; ``go_left``/``go_right``: (N,) bool (subset of alive).
     """
+    arrays, _rebuild = _as_columns(arrays)
     n_shards = lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
@@ -209,7 +244,7 @@ def migrate_ring(
 
     new_alive = stay.at[slot_idx].set(jnp.where(use, True, stay[slot_idx]))
     overflow = ov_l + ov_r + jnp.maximum(n_arrive - n_free, 0)
-    return MigrationResult(arrays=tuple(out_arrays), alive=new_alive,
+    return MigrationResult(arrays=_rebuild(out_arrays), alive=new_alive,
                            overflow=overflow)
 
 
