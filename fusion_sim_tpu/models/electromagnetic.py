@@ -337,11 +337,11 @@ class SortedElectromagneticPIC:
         vel = jnp.asarray(velocity, jnp.float32).reshape(n, 3)
         tid, pos_p, v0, v1, v2, valid_p, _ = build_padded_layout(
             pos, shape, self.tiling, vel[:, 0], vel[:, 1], vel[:, 2],
-            jnp.ones((n,), jnp.float32), reserve=repair, spread=repair)
+            reserve=repair, spread=repair, derive_valid=True)
         zero_f = jnp.zeros((*shape, 3), jnp.float32)
         self.state = SortedEMState(
             position=pos_p, velocity=jnp.stack([v0, v1, v2], axis=-1),
-            tile_id=tid, valid=valid_p > 0.5,
+            tile_id=tid, valid=valid_p,
             e=zero_f if e is None else jnp.asarray(e, jnp.float32),
             b=zero_f if b is None else jnp.asarray(b, jnp.float32),
             step=jnp.int32(0), spill=jnp.int32(0),
@@ -637,19 +637,21 @@ class SortedElectromagneticPIC:
             # ONE sort: `valid` sinks filler rows to the trailing dead
             # region (the old compact-then-rebuild form paid two full
             # sorts); the truncation back to the state length drops only
-            # dead rows (real count conserved — periodic, no sinks)
+            # dead rows (real count conserved — periodic, no sinks).
+            # derive_valid recovers the flag from the sort key — one fewer
+            # f32 operand through the 10M-row sort network.
             out = build_padded_layout(
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(3)],
-                state.valid.astype(jnp.float32), valid=state.valid,
-                reserve=reserve, spread=reserve)
+                valid=state.valid,
+                reserve=reserve, spread=reserve, derive_valid=True)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:5]
             validp = out[5]
             return state._replace(
                 position=pos_p[:n_state],
                 velocity=jnp.stack([v[:n_state] for v in v_cols], axis=-1),
-                tile_id=tid[:n_state], valid=validp[:n_state] > 0.5)
+                tile_id=tid[:n_state], valid=validp[:n_state])
 
         return resort
 

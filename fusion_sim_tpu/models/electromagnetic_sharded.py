@@ -607,22 +607,21 @@ def make_sharded_resort_fn(config: ShardedEMConfig, mesh: Mesh,
         shard = jax.lax.axis_index(axis)
         x_lo = (shard * slab).astype(jnp.float32)
         lp = to_local(position, x_lo)
-        alive_f = alive.astype(jnp.float32)
         payloads = [position[:, a] for a in range(ndim)]
         payloads += [velocity[:, c] for c in range(3)]
-        payloads.append(alive_f)
         out = build_padded_layout(lp, pseudo_shape, tiling, *payloads,
-                                  valid=alive, reserve=config.repair)
+                                  valid=alive, reserve=config.repair,
+                                  derive_valid=True)
         tid_s = out[0]
         cols = out[2:2 + ndim]          # global position columns
         vels = out[2 + ndim:5 + ndim]
         alive_s = out[5 + ndim]
         # truncate back to the static slot count; count any real rows lost
         # (only possible when a shard holds > capacity live particles)
-        lost = jnp.sum(alive_s[cap_state:] > 0.5)
+        lost = jnp.sum(alive_s[cap_state:])
         pos_out = jnp.stack([c[:cap_state] for c in cols], axis=-1)
         vel_out = jnp.stack([v[:cap_state] for v in vels], axis=-1)
-        alive_out = alive_s[:cap_state] > 0.5
+        alive_out = alive_s[:cap_state]
         pos_out = jnp.where(alive_out[:, None], pos_out, 0.0)
         vel_out = jnp.where(alive_out[:, None], vel_out, 0.0)
         return (pos_out, vel_out, alive_out, tid_s[:cap_state],

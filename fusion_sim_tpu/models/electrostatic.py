@@ -303,17 +303,18 @@ class SortedElectrostaticPIC:
         pos = jnp.asarray(position, jnp.float32).reshape(n, ndim)
         vel = jnp.asarray(velocity, jnp.float32).reshape(n, ndim)
         valid = jnp.ones((n,), bool)
+        del valid  # all input rows are real; derive_valid flags fillers
         out = build_padded_layout(
             pos, config.grid_shape, self.tiling,
-            *[vel[:, a] for a in range(ndim)], valid.astype(jnp.float32),
-            reserve=repair, spread=repair)
+            *[vel[:, a] for a in range(ndim)],
+            reserve=repair, spread=repair, derive_valid=True)
         tid, pos_p = out[0], out[1]
         vel_cols = out[2:2 + ndim]
         valid_p = out[2 + ndim]
         self.state = SortedESState(
             position=pos_p,
             velocity=jnp.stack(vel_cols, axis=-1),
-            tile_id=tid, valid=valid_p > 0.5,
+            tile_id=tid, valid=valid_p,
             step=jnp.int32(0), spill=jnp.int32(0),
             spill_dropped=jnp.int32(0))
         self._n_tiles = int(np.prod(self.tiling.n_tiles(config.grid_shape)))
@@ -581,12 +582,14 @@ class SortedElectrostaticPIC:
         def resort(state: SortedESState) -> SortedESState:
             # ONE sort: build_padded_layout's `valid` mask sinks filler rows
             # to the trailing dead region directly (the old two-sort form —
-            # compact then rebuild — doubled the dominant cost at 10M)
+            # compact then rebuild — doubled the dominant cost at 10M), and
+            # derive_valid recovers the flag from the sort key instead of
+            # dragging an f32 validity column through the sort network
             out = build_padded_layout(
                 state.position, config.grid_shape, tiling,
                 *[state.velocity[:, a] for a in range(ndim)],
-                state.valid.astype(jnp.float32), valid=state.valid,
-                reserve=reserve, spread=reserve)
+                valid=state.valid,
+                reserve=reserve, spread=reserve, derive_valid=True)
             tid, pos_p = out[0], out[1]
             v_cols = out[2:2 + ndim]
             validp = out[2 + ndim]
@@ -597,7 +600,7 @@ class SortedElectrostaticPIC:
             return SortedESState(
                 position=pos_p[:n_state],
                 velocity=jnp.stack([v[:n_state] for v in v_cols], axis=-1),
-                tile_id=tid[:n_state], valid=validp[:n_state] > 0.5,
+                tile_id=tid[:n_state], valid=validp[:n_state],
                 step=state.step, spill=state.spill,
                 spill_dropped=state.spill_dropped, rho=state.rho,
                 free_idx=state.free_idx, free_cnt=state.free_cnt,

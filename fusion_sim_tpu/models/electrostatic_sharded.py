@@ -770,14 +770,13 @@ def make_sharded_sorted_es_resort_fn(config: ShardedESConfig, mesh: Mesh,
             lp, pseudo_shape, tiling,
             *[position[:, a] for a in range(ndim)],
             *[velocity[:, a] for a in range(ndim)],
-            alive.astype(jnp.float32), valid=alive,
-            reserve=config.repair)
+            valid=alive, reserve=config.repair, derive_valid=True)
         tid_s = out[0]
         g_cols = out[2:2 + ndim]
         v_cols = out[2 + ndim:2 + 2 * ndim]
         alive_s = out[2 + 2 * ndim]
-        lost = jnp.sum(alive_s[cap_state:] > 0.5)
-        alive_out = alive_s[:cap_state] > 0.5
+        lost = jnp.sum(alive_s[cap_state:])
+        alive_out = alive_s[:cap_state]
         pos_out = jnp.stack([g[:cap_state] for g in g_cols], axis=-1)
         vel_out = jnp.stack([v[:cap_state] for v in v_cols], axis=-1)
         pos_out = jnp.where(alive_out[:, None], pos_out, 0.0)

@@ -129,17 +129,21 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D, reserve: bool = False):
     def resort(state: SortedPusherState) -> SortedPusherState:
         n_state = state.position.shape[0]
         cell = _cell_coords(state.position, nr, nz)
+        # derive_valid: the slot-validity flag comes back from the sort key
+        # (one fewer f32 operand through the sort network); `alive` is the
+        # PHYSICS respawn flag (empic.js:719) and must ride as payload
         out = build_padded_layout(
             cell, shape, tiling,
             *[state.position[:, a] for a in range(3)],
             *[state.velocity[:, a] for a in range(3)],
-            state.alive, state.valid.astype(jnp.float32),
-            valid=state.valid, reserve=reserve, spread=reserve)
+            state.alive,
+            valid=state.valid, reserve=reserve, spread=reserve,
+            derive_valid=True)
         tid = out[0]
         pos_cols = out[2:5]
         vel_cols = out[5:8]
         alive_s, valid_s = out[8], out[9]
-        valid_out = valid_s[:n_state] > 0.5
+        valid_out = valid_s[:n_state]
         pos = jnp.stack([c[:n_state] for c in pos_cols], axis=-1)
         pos = jnp.where(valid_out[:, None], pos, FILLER)
         vel = jnp.stack([c[:n_state] for c in vel_cols], axis=-1)

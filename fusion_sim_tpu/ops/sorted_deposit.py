@@ -115,7 +115,8 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
                         tiling, *payloads: jax.Array,
                         valid: jax.Array | None = None,
                         reserve: bool = False,
-                        spread: bool = False):
+                        spread: bool = False,
+                        derive_valid: bool = False):
     """Sort particles by tile AND pad every tile's segment to a multiple of
     ``tiling.block`` with dead filler rows (weight handling is the caller's:
     fillers carry position 0 and payload 0 — give weights as a payload and
@@ -152,6 +153,15 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
     segment; surplus fillers and invalid rows at the global end carry
     tile_id = n_tiles, consumed as trailing all-dead blocks).  ``n_valid``
     counts the real + per-tile-filler prefix.
+
+    ``derive_valid``: additionally return the post-sort row-validity mask,
+    inserted before ``n_valid`` — i.e. ``(tile_id, position, *payloads,
+    valid_sorted, n_valid)``.  Valid rows are exactly the real (non-filler)
+    rows whose ``valid`` input was True: derived from the sort key alone
+    (real rows carry even keys; invalid real rows were re-keyed to the
+    trailing tile), so callers that only need the flag back SKIP sorting a
+    whole f32 validity column — one fewer 10M-row operand through the sort
+    network (~12 ms/operand measured on v5e, examples/bench_resort.py).
     """
     n_dim = len(shape)
     n_tiles = int(np.prod(tiling.n_tiles(shape)))
@@ -227,6 +237,11 @@ def build_padded_layout(position: jax.Array, shape: tuple[int, ...],
             rest.append(jnp.stack(out[i:i + w], axis=-1))
         i += w
     n_eff = n if valid is None else jnp.sum(valid)
+    if derive_valid:
+        # real rows have even keys; invalid real rows were re-keyed to the
+        # trailing tile (key = 2*n_tiles) and fillers carry odd keys
+        valid_out = jnp.logical_and(out[0] % 2 == 0, out[0] < 2 * n_tiles)
+        return (tid_out, pos_out, *rest, valid_out, n_eff + cum_pads[-1])
     return (tid_out, pos_out, *rest, n_eff + cum_pads[-1])
 
 
