@@ -1,0 +1,138 @@
+"""2-D-mesh domain decomposition (Sx x Sy) equivalence on the 8-fake-device
+CPU mesh: two-axis apron/halo ES step vs the single-device model, both solve
+paths, 3D grids, and diagonal (two-phase) migration."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fusion_sim_tpu.models import electrostatic as es
+from fusion_sim_tpu.models import electrostatic_sharded as es1d
+from fusion_sim_tpu.models.electrostatic_sharded2d import (
+    ShardedESConfig2D,
+    ShardedElectrostaticPIC2D,
+)
+from fusion_sim_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.multichip
+
+
+def _setup(n_particles=4000, n_cells=64, seed=0):
+    length = 2 * np.pi
+    d = length / n_cells
+    vol = length * length
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-vol / n_particles,
+                       mass=vol / n_particles)
+    rng = np.random.default_rng(seed)
+    pos = rng.random((n_particles, 2)) * n_cells
+    vel = 0.05 * rng.standard_normal((n_particles, 2))
+    return base, pos, vel
+
+
+def _assert_multiset_close(sim, ref, ndim, atol=2e-3):
+    pos_s, vel_s = sim.gather_particles()
+    pos_r = np.asarray(ref.state.position)
+    assert pos_s.shape == pos_r.shape
+    for ax in range(ndim):
+        np.testing.assert_allclose(np.sort(pos_s[:, ax]),
+                                   np.sort(pos_r[:, ax]), atol=atol)
+        np.testing.assert_allclose(
+            np.sort(vel_s[:, ax]),
+            np.sort(np.asarray(ref.state.velocity)[:, ax]), atol=atol)
+
+
+def test_sharded2d_es_matches_single_device():
+    """(2, 4) mesh == single device (gathered-DFT solve path)."""
+    base, pos, vel = _setup()
+    mesh = make_mesh(8, ("sx", "sy"), shape=(2, 4))
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(6)
+
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(2, 4), capacity=1024,
+                            migration_buffer=128)
+    sim = ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
+    sim.step(6)
+
+    inv = sim.check_invariants()
+    assert inv["overflow"] == 0
+    assert inv["disp_bound_ok"]
+    _assert_multiset_close(sim, ref, 2)
+
+
+def test_sharded2d_es_pencil_path_matches(monkeypatch):
+    """Large-2D solve path (all_gather "sy" + pencil FFT over "sx") forced
+    via the GATHERED_DFT_MAX switch == single device."""
+    monkeypatch.setattr(es1d, "GATHERED_DFT_MAX", 16)
+    base, pos, vel = _setup()
+    mesh = make_mesh(8, ("sx", "sy"), shape=(4, 2))
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(4)
+
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(4, 2), capacity=1024,
+                            migration_buffer=128)
+    sim = ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
+    sim.step(4)
+
+    assert sim.check_invariants()["overflow"] == 0
+    _assert_multiset_close(sim, ref, 2)
+
+
+def test_sharded2d_es_3d_matches_single_device():
+    """3D grid on a (2, 2) mesh (pencil solve) == single device."""
+    n_cells, n_particles = 16, 3000
+    length = 2 * np.pi
+    d = length / n_cells
+    vol = length ** 3
+    base = es.ESConfig(grid_shape=(n_cells, n_cells, 8),
+                       cell_size=(d, d, length / 8), dt=0.05,
+                       charge=-vol / n_particles, mass=vol / n_particles)
+    rng = np.random.default_rng(3)
+    pos = rng.random((n_particles, 3)) * np.array([n_cells, n_cells, 8])
+    vel = 0.05 * rng.standard_normal((n_particles, 3))
+
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(4)
+
+    mesh = make_mesh(4, ("sx", "sy"), shape=(2, 2))
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(2, 2), capacity=1024,
+                            migration_buffer=128)
+    sim = ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
+    sim.step(4)
+
+    assert sim.check_invariants()["overflow"] == 0
+    _assert_multiset_close(sim, ref, 3)
+
+
+def test_sharded2d_migration_diagonal_roundtrip():
+    """A cloud drifting diagonally crosses BOTH block boundaries (corner
+    crossers route x-then-y in two phases) and the population is conserved."""
+    base, pos, _ = _setup(n_particles=2000)
+    # uniform diagonal drift just under the 1-cell/step apron bound
+    cells_per_step = 0.8
+    vel = np.full((pos.shape[0], 2),
+                  cells_per_step * base.cell_size[0] / base.dt, np.float32)
+
+    mesh = make_mesh(8, ("sx", "sy"), shape=(2, 4))
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(2, 4), capacity=2048,
+                            migration_buffer=1024)
+    sim = ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
+    n_alive0 = int(np.asarray(sim.state.alive).sum())
+    sim.step(30)  # 0.8 cells/step x 30 = 24 cells: crosses 32-cell x-blocks
+    # and multiple 16-cell y-blocks, including corners
+
+    inv = sim.check_invariants()
+    assert inv["overflow"] == 0
+    assert int(np.asarray(sim.state.alive).sum()) == n_alive0
+
+
+def test_sharded2d_rejects_bad_mesh_shape():
+    base, pos, vel = _setup()
+    mesh = make_mesh(8, ("sx", "sy"), shape=(2, 4))
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(4, 2), capacity=1024,
+                            migration_buffer=128)
+    with pytest.raises(ValueError, match="mesh shape"):
+        ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
