@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--margin", type=int, default=6)
     ap.add_argument("--resort", type=int, default=16)
     ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument("--tiers", type=str, default="",
+                    help="comma-separated spill_tiers below capacity, "
+                         "e.g. '1024,4096' (one cond chain per tier; the "
+                         "smallest covering tier runs hot each step)")
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--warm", type=int, default=0,
                     help="extra warm steps before profiling (beyond compile)")
@@ -51,15 +55,18 @@ def main():
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
     tiling = Tiling2D(tile_r=args.tile, tile_z=args.tile, block=1024,
                       margin=args.margin)
+    tiers = (tuple(int(t) for t in args.tiers.split(","))
+             if args.tiers else None)
     sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                     backend=args.backend,
                                     resort_every=args.resort,
                                     spill_capacity=args.capacity,
+                                    spill_tiers=tiers,
                                     pallas_precision=args.precision,
                                     check_spill=False)
     import jax
     print(f"n={n} tile={args.tile} margin={args.margin} "
-          f"resort={args.resort} capacity={args.capacity} "
+          f"resort={args.resort} capacity={args.capacity} tiers={tiers} "
           f"backend={args.backend} dev={jax.devices()[0]}", flush=True)
     t0 = time.perf_counter()
     sim.step(1)

@@ -232,6 +232,7 @@ class SortedElectrostaticPIC:
                  tiling=None, resort_every: int = 6,
                  check_spill: bool = True, spill_fallback: bool = True,
                  spill_capacity: int = 16384,
+                 spill_tiers: tuple[int, ...] | None = None,
                  backend: str = "xla", repair: bool = False,
                  repair_free_slots: int = 256,
                  repair_eager: int = 0, eager_capacity: int | None = None,
@@ -254,6 +255,33 @@ class SortedElectrostaticPIC:
         # ``state.spill_dropped``.
         self.spill_fallback = spill_fallback
         self.spill_capacity = int(spill_capacity)
+        # spill_tiers: optional ascending intermediate patch capacities
+        # below ``spill_capacity``.  The patch chain's cost scales with its
+        # STATIC capacity (compaction gathers + packed transfers are
+        # capacity-sized), while the spill sawtooth leaves most window
+        # positions with only a handful of outlier spills — a `spill > 0`
+        # cond alone almost never skips at 10M (measured: 58 spills on the
+        # first post-resort step).  With tiers, each step runs exactly ONE
+        # patch chain — the smallest tier whose capacity covers this step's
+        # spill count — so early-window steps pay a ~1k-row chain instead
+        # of the full one (measured ~9 ms -> ~1 ms at 10M / capacity
+        # 16384).  Semantics are unchanged: every spilled row is patched
+        # exactly; only the top tier (= spill_capacity) can drop.
+        if spill_tiers is not None:
+            ts = tuple(int(t) for t in spill_tiers)
+            if list(ts) != sorted(set(ts)) or any(t <= 0 for t in ts) \
+                    or (ts and ts[-1] >= self.spill_capacity):
+                raise ValueError(
+                    f"spill_tiers {spill_tiers!r} must be strictly "
+                    f"ascending positives below spill_capacity "
+                    f"{self.spill_capacity}")
+            if repair and ts:
+                raise ValueError("spill_tiers is incompatible with "
+                                 "repair=True (the relocation chain is "
+                                 "equilibrium-capacity-sized every step)")
+            self.spill_tiers = ts
+        else:
+            self.spill_tiers = ()
         # repair=True: spilled rows are RELOCATED each step into dead slots
         # of their new tile (ops/repair.py) instead of waiting for the full
         # resort — the resort then runs only when a tile's free-slot stack
@@ -390,20 +418,42 @@ class SortedElectrostaticPIC:
         eager_keep = self.repair_eager
         eager_cap = self.eager_capacity
 
+        tier_caps = (*self.spill_tiers, capacity)
+
         @jax.jit
         def step(state: SortedESState) -> SortedESState:
             w = jnp.where(state.valid, jnp.float32(w0), 0.0)
             rho, spill, spill_mask = deposit_fn(
                 state.position, w, state.tile_id, shape, tiling)
+            n_total = state.position.shape[0]
             if use_fallback:
-                # exact patch: up to `capacity` past-the-margin rows deposit
-                # via the packed scatter on compacted (capacity,) buffers;
-                # the O(N) compaction runs only on steps with spill
-                idx, ok = spill_rows_cond(spill_mask, spill, capacity,
-                                          state.position.shape[0])
-                rho = rho + cic_deposit_packed(
-                    jnp.mod(state.position[idx], grid_f),
-                    jnp.where(ok, w[idx], 0.0), shape)
+                # exact patch: past-the-margin rows deposit via the packed
+                # scatter on compacted fixed-size buffers.  With
+                # ``spill_tiers``, exactly one tier runs hot per step — the
+                # smallest whose STATIC capacity covers this step's spill
+                # count — so the common low-spill step pays a small chain
+                # (see _make_step_pallas for the full rationale); inactive
+                # tiers return sentinel indices and zero patches.
+                idxs, hots = [], []
+                for i, cap_i in enumerate(tier_caps):
+                    lo = 0 if i == 0 else tier_caps[i - 1]
+                    if i == len(tier_caps) - 1:
+                        hot = spill > lo   # top tier also handles overflow
+                    else:
+                        hot = (spill > lo) & (spill <= cap_i)
+                    idx, ok = spill_rows_cond(
+                        spill_mask, jnp.where(hot, spill, 0), cap_i, n_total)
+
+                    def _rho_hot(idx=idx, ok=ok):
+                        return cic_deposit_packed(
+                            jnp.mod(state.position[idx], grid_f),
+                            jnp.where(ok, w[idx], 0.0), shape)
+
+                    rho = rho + jax.lax.cond(
+                        hot, _rho_hot,
+                        lambda: jnp.zeros(shape, jnp.float32))
+                    idxs.append(idx)
+                    hots.append(hot)
             if config.neutralizing_background:
                 # zero-mean over real charge (fillers carry none)
                 rho = rho - jnp.sum(rho) / np.prod(shape)
@@ -414,9 +464,19 @@ class SortedElectrostaticPIC:
             e_at_p, _ = gather_fn(e_grid, state.position,
                                   state.tile_id, shape, tiling)
             if use_fallback:
-                e_k = cic_gather_packed(
-                    e_grid, jnp.mod(state.position[idx], grid_f), shape)
-                e_at_p = e_at_p.at[idx].set(e_k, mode="drop")
+                for idx_i, hot_i, cap_i in zip(idxs, hots, tier_caps):
+                    def _e_hot(idx_i=idx_i):
+                        return cic_gather_packed(
+                            e_grid, jnp.mod(state.position[idx_i], grid_f),
+                            shape).T
+
+                    e_kT = jax.lax.cond(
+                        hot_i, _e_hot,
+                        lambda cap_i=cap_i: jnp.zeros(
+                            (config.n_dim, cap_i), jnp.float32))
+                    e_at_p = e_at_p.at[idx_i].set(e_kT.T, mode="drop")
+                idx = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+                ok = idx < n_total
             velocity = state.velocity + qm_dt * e_at_p
             velocity = jnp.where(state.valid[:, None], velocity, 0.0)
             position = state.position + (config.dt * velocity) / dx
@@ -479,6 +539,7 @@ class SortedElectrostaticPIC:
         use_repair = self.repair
         n_tiles = self._n_tiles
         capacity = self.spill_capacity
+        tier_caps = (*self.spill_tiers, capacity)
         eager_keep = self.repair_eager
         eager_cap = self.eager_capacity
         # Mosaic kernels need real TPU hardware; CPU (tests) interprets
@@ -513,38 +574,61 @@ class SortedElectrostaticPIC:
             if use_fallback:
                 # compacted exact patch: the O(N) index compaction AND the
                 # K-row gather/push/deposit chain run only on steps WITH
-                # spill (lax.cond) — the spill sawtooth is zero for the
-                # first ~margin/drift steps of every resort window, so the
-                # clean majority of steps skips the ~5 ms of capacity-sized
-                # latency-bound ops entirely (VERDICT r3 #3b).  Branch
-                # outputs are (d, capacity) — lane-major, so the cond
-                # temporaries pad sublanes 2->8, not lanes d->128
-                # (PERFORMANCE.md "HBM layout hazard").
-                idx, ok = spill_rows_cond(spill_mask, spill, capacity,
-                                          pos.shape[0])
+                # spill (lax.cond) — and, with ``spill_tiers``, at the
+                # smallest STATIC capacity that covers this step's spill
+                # count.  The spill sawtooth leaves most window positions
+                # with only outlier spills (tens of rows at 10M), so the
+                # common step pays a ~1k-row chain instead of the
+                # capacity-sized one (VERDICT r3 #3b/r4).  Exactly one tier
+                # runs hot per step (or none at spill == 0); inactive tiers
+                # return sentinel indices and all-zero patches, so the
+                # scatters/adds below are no-ops for them.  Branch outputs
+                # are (d, cap) — lane-major, so the cond temporaries pad
+                # sublanes 2->8, not lanes d->128 (PERFORMANCE.md "HBM
+                # layout hazard").
+                idxs, pos_ks, vel_ks = [], [], []
+                for i, cap_i in enumerate(tier_caps):
+                    lo = 0 if i == 0 else tier_caps[i - 1]
+                    if i == len(tier_caps) - 1:
+                        hot = spill > lo   # top tier also handles overflow
+                    else:
+                        hot = (spill > lo) & (spill <= cap_i)
+                    idx, ok = spill_rows_cond(
+                        spill_mask, jnp.where(hot, spill, 0), cap_i,
+                        pos.shape[0])
 
-                def _patch_hot():
-                    pos_k = jnp.mod(state.position[idx], grid_f)
-                    e_k = cic_gather_packed(e_grid, pos_k, shape)
-                    vel_k = state.velocity[idx] + qm_dt * e_k
-                    pos_k = jnp.mod(pos_k + config.dt * vel_k / dx, grid_f)
-                    drho = cic_deposit_packed(
-                        pos_k, jnp.where(ok, w[idx], 0.0), shape)
-                    return pos_k.T, vel_k.T, drho
+                    def _patch_hot(idx=idx, ok=ok):
+                        pos_k = jnp.mod(state.position[idx], grid_f)
+                        e_k = cic_gather_packed(e_grid, pos_k, shape)
+                        vel_k = state.velocity[idx] + qm_dt * e_k
+                        pos_k = jnp.mod(pos_k + config.dt * vel_k / dx,
+                                        grid_f)
+                        drho = cic_deposit_packed(
+                            pos_k, jnp.where(ok, w[idx], 0.0), shape)
+                        return pos_k.T, vel_k.T, drho
 
-                def _patch_cold():
-                    z = jnp.zeros((config.n_dim, capacity), jnp.float32)
-                    return z, z, jnp.zeros(shape, jnp.float32)
+                    def _patch_cold(cap_i=cap_i):
+                        z = jnp.zeros((config.n_dim, cap_i), jnp.float32)
+                        return z, z, jnp.zeros(shape, jnp.float32)
 
-                pos_kT, vel_kT, drho = jax.lax.cond(
-                    spill > 0, _patch_hot, _patch_cold)
-                pos_k, vel_k = pos_kT.T, vel_kT.T
-                rho_new = rho_new + drho
+                    pos_kT, vel_kT, drho = jax.lax.cond(
+                        hot, _patch_hot, _patch_cold)
+                    rho_new = rho_new + drho
+                    idxs.append(idx)
+                    pos_ks.append(pos_kT.T)
+                    vel_ks.append(vel_kT.T)
+                idx = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+                pos_k = (jnp.concatenate(pos_ks) if len(pos_ks) > 1
+                         else pos_ks[0])
+                vel_k = (jnp.concatenate(vel_ks) if len(vel_ks) > 1
+                         else vel_ks[0])
                 if use_repair:
                     from ..ops.repair import repair_relocate
 
                     # spill rows get the recomputed exact patch values;
                     # band rows (eager) carry their own kernel outputs
+                    # (repair is single-tier: tier_caps == (capacity,))
+                    ok = idx < pos.shape[0]
                     pos, vel, _, extra = repair_relocate(
                         state, pos, vel, idx, ok, pos_k, vel_k,
                         shape, tiling, n_tiles, config.n_dim,

@@ -401,7 +401,8 @@ class CylindricalParticlePusher:
                            rng_impl: str | None = None,
                            repair: bool = False,
                            repair_free_slots: int = 256,
-                           respawn_capacity: int | None = None) -> None:
+                           respawn_capacity: int | None = None,
+                           spill_tiers: tuple[int, ...] = ()) -> None:
         """Switch grid-parity stepping to the tile-sorted windowed-gather
         layout (models/pusher_sorted.py): the reference's per-particle
         texture fetches (empic.js:749-773, :712-720) become MXU window
@@ -424,7 +425,15 @@ class CylindricalParticlePusher:
         retry, so an under-sized buffer surfaces as retry latency rather
         than corrupting physics; respawn backlog is counted separately in
         ``state.dropped``.  Pass an explicit capacity for unusually
-        absorptive or fast-drift scenarios."""
+        absorptive or fast-drift scenarios.
+
+        ``spill_tiers``: ascending intermediate patch capacities below
+        ``spill_capacity`` (fused backend; same exactness semantics).  Each
+        substep runs exactly ONE patch chain — the smallest tier covering
+        that substep's spill count — so the early-window substeps (tens to
+        hundreds of spills: respawns plus outlier drifters) pay a small
+        compaction/patch instead of the capacity-sized one, whose cost
+        scales with the static buffer size."""
         from .pusher_sorted import (Tiling2D, make_sorted_density_fn,
                                     make_sorted_resort_fn,
                                     make_sorted_step_fn, to_sorted_state)
@@ -483,9 +492,15 @@ class CylindricalParticlePusher:
                 n_tiles, tiling.block, self._sorted_free_slots)
             self._sorted_state = self._sorted_state._replace(
                 free_idx=fidx, free_cnt=fcnt, unplaced=jnp.int32(0))
+        ts = tuple(int(t) for t in spill_tiers)
+        if ts and (list(ts) != sorted(set(ts)) or any(t <= 0 for t in ts)
+                   or ts[-1] >= spill_capacity):
+            raise ValueError(
+                f"spill_tiers {spill_tiers!r} must be strictly ascending "
+                f"positives below spill_capacity {spill_capacity}")
         self._sorted_step = make_sorted_step_fn(
             spec, tiling, spill_capacity, backend, repair=repair,
-            respawn_capacity=respawn_capacity)
+            respawn_capacity=respawn_capacity, spill_tiers=ts)
         self._sorted_density = make_sorted_density_fn(spec)
         self._sorted_resort = make_sorted_resort_fn(spec, tiling,
                                                     reserve=repair)

@@ -158,7 +158,8 @@ def make_sorted_resort_fn(spec, tiling: Tiling2D, reserve: bool = False):
 
 def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
                         backend: str = "xla", repair: bool = False,
-                        respawn_capacity: int | None = None):
+                        respawn_capacity: int | None = None,
+                        spill_tiers: tuple[int, ...] = ()):
     """Jitted full step (two half-steps) on the padded sorted layout.
 
     ``backend``: 'xla' (windowed MXU gathers), 'pallas' (Mosaic gather
@@ -188,7 +189,7 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
         from ..ops.pallas_gather import gather_sorted_2d_pallas
     if backend == "fused":
         return _make_fused_step_fn(spec, tiling, spill_capacity, repair,
-                                   respawn_capacity)
+                                   respawn_capacity, spill_tiers)
     interpret = jax.default_backend() != "tpu"
 
     def window_gather(grid, cell, tile_id):
@@ -325,7 +326,8 @@ def make_sorted_step_fn(spec, tiling: Tiling2D, spill_capacity: int = 16384,
 
 def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
                         repair: bool = False,
-                        respawn_capacity: int | None = None):
+                        respawn_capacity: int | None = None,
+                        spill_tiers: tuple[int, ...] = ()):
     """Full step via the fused Mosaic substep kernel (ops/pallas_pusher.py);
     RNG, respawn replacement, and the exact spill patch stay in XLA.
 
@@ -337,6 +339,7 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
 
     if respawn_capacity is None:
         respawn_capacity = min(spill_capacity, 2048)
+    tier_caps = (*spill_tiers, spill_capacity)
     nr, nz = spec.nr, spec.nz
     step_factor = spec.step_factor
     interpret = jax.default_backend() != "tpu"
@@ -353,37 +356,48 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
 
         # exact re-push of out-of-window rows (compacted).  The whole K-row
         # chain (13-channel NEAREST gather + rotation + drift + sink sample)
-        # rides the same lax.cond as the index compaction: the spill
-        # sawtooth is zero for the first ~margin/drift substeps of every
-        # resort window, so the clean majority of substeps skips the
-        # capacity-sized latency-bound ops.  Branch outputs are lane-major
-        # (d, capacity) — no T(8,128) minor-dim blowup.
+        # rides a lax.cond per ``spill_tiers`` capacity — each substep runs
+        # exactly ONE chain, the smallest tier covering this substep's
+        # spill count, so the common low-spill substep pays a small-buffer
+        # chain instead of the capacity-sized latency-bound ops (the
+        # `spill > 0` cond alone almost never skips: respawns and outlier
+        # drifters spill a few rows every substep).  Branch outputs are
+        # lane-major (d, cap) — no T(8,128) minor-dim blowup.
         mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
         n_sp = jnp.sum(mask)
-        idx, _ = spill_rows_cond(mask, n_sp, spill_capacity, n_tot)
         from ..ops.boris import velocity_from_rows
 
-        def _patch_hot():
-            pk = state.position[idx]
-            rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
-            rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
-            vel_k = velocity_from_rows(pk, state.velocity[idx],
-                                       state.alive[idx], rand[idx], rows_k)
-            pos_k = pk + jnp.float32(step_factor) * vel_k
-            rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
-            sink_k = gather_nearest(packed13[..., 12:13], rk2,
-                                    pos_k[:, 2])[..., 0]
-            return pos_k.T, vel_k.T, sink_k
+        for i, cap_i in enumerate(tier_caps):
+            lo = 0 if i == 0 else tier_caps[i - 1]
+            if i == len(tier_caps) - 1:
+                hot = n_sp > lo    # top tier also handles overflow
+            else:
+                hot = (n_sp > lo) & (n_sp <= cap_i)
+            idx, _ = spill_rows_cond(mask, jnp.where(hot, n_sp, 0), cap_i,
+                                     n_tot)
 
-        def _patch_cold():
-            z = jnp.zeros((3, spill_capacity), jnp.float32)
-            return z, z, jnp.ones((spill_capacity,), jnp.float32)
+            def _patch_hot(idx=idx):
+                pk = state.position[idx]
+                rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
+                rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
+                vel_k = velocity_from_rows(pk, state.velocity[idx],
+                                           state.alive[idx], rand[idx],
+                                           rows_k)
+                pos_k = pk + jnp.float32(step_factor) * vel_k
+                rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
+                sink_k = gather_nearest(packed13[..., 12:13], rk2,
+                                        pos_k[:, 2])[..., 0]
+                return pos_k.T, vel_k.T, sink_k
 
-        pos_kT, vel_kT, sink_k = jax.lax.cond(n_sp > 0, _patch_hot,
-                                              _patch_cold)
-        pos1 = pos1.at[idx].set(pos_kT.T, mode="drop")
-        vel1 = vel1.at[idx].set(vel_kT.T, mode="drop")
-        sink = sink.at[idx].set(sink_k, mode="drop")
+            def _patch_cold(cap_i=cap_i):
+                z = jnp.zeros((3, cap_i), jnp.float32)
+                return z, z, jnp.ones((cap_i,), jnp.float32)
+
+            pos_kT, vel_kT, sink_k = jax.lax.cond(hot, _patch_hot,
+                                                  _patch_cold)
+            pos1 = pos1.at[idx].set(pos_kT.T, mode="drop")
+            vel1 = vel1.at[idx].set(vel_kT.T, mode="drop")
+            sink = sink.at[idx].set(sink_k, mode="drop")
 
         # sink/respawn (shared exact path; fillers never absorb)
         sink = jnp.where(state.valid, sink, 1.0)

@@ -67,6 +67,49 @@ def test_spill_fallback_is_exact():
     np.testing.assert_allclose(e_fast["kinetic"], e_ref["kinetic"], rtol=2e-3)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_spill_tiers_match_single_tier(backend):
+    """``spill_tiers`` is a pure performance knob: the tiered patch ladder
+    (one lax.cond chain per static capacity, exactly one hot per step)
+    must produce the SAME state as the single-capacity patch — the same
+    rows patched with the same math, only the static buffer sizes differ.
+    The drifting setup walks the per-step spill count across both tier
+    boundaries (0 -> <=8 -> <=64 -> top tier)."""
+    n = 1024 if backend == "pallas" else 4096
+    config, pos, vel = _setup(n=n, seed=5)
+    vel = vel * 6.0  # out-runs margin 1 quickly; spill grows step by step
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=1)
+    kw = dict(tiling=tiling, resort_every=10 ** 6, check_spill=False,
+              spill_capacity=512, backend=backend)
+    a = es.SortedElectrostaticPIC(config, pos, vel, **kw)
+    b = es.SortedElectrostaticPIC(config, pos, vel, spill_tiers=(8, 64),
+                                  **kw)
+    steps = 4 if backend == "pallas" else 8
+    for _ in range(steps):
+        a.step(1)
+        b.step(1)
+        assert int(a.state.spill) == int(b.state.spill)
+    assert int(b.state.spill) > 0, "test needs actual spill"
+    np.testing.assert_array_equal(np.asarray(b.state.position),
+                                  np.asarray(a.state.position))
+    np.testing.assert_array_equal(np.asarray(b.state.velocity),
+                                  np.asarray(a.state.velocity))
+    assert int(b.state.spill_dropped) == int(a.state.spill_dropped)
+
+
+def test_spill_tiers_validation():
+    config, pos, vel = _setup(n=1024, seed=0)
+    tiling = Tiling2D(tile_r=16, tile_z=16, block=256, margin=2)
+    for bad in [(0,), (64, 8), (8, 8), (512,), (1024,)]:
+        with pytest.raises(ValueError, match="spill_tiers"):
+            es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                      spill_capacity=512, spill_tiers=bad)
+    with pytest.raises(ValueError, match="repair"):
+        es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
+                                  spill_capacity=512, spill_tiers=(8,),
+                                  repair=True)
+
+
 def test_sorted_es_energy_drift_matches_reference():
     """This coarse hot setup self-heats (physical PIC grid heating, ~1.5%
     per 100 steps in the reference model too); the sorted path must not add

@@ -149,6 +149,32 @@ def test_fused_backend_smoke_tiny():
     np.testing.assert_array_equal(np.asarray(sb.alive), np.asarray(sa.alive))
 
 
+def test_fused_backend_spill_tiers_match_single_tier():
+    """``spill_tiers`` is a pure performance knob on the fused backend:
+    the tiered patch ladder must reproduce the single-capacity patch
+    bit-for-bit (same rows patched with the same math — only the static
+    buffer sizes differ), including the respawn RNG stream."""
+    a = _make(nr=32, nz=64, nparticles=8, seed=5)
+    b = _make(nr=32, nz=64, nparticles=8, seed=5)
+    apply_default_scenario(a, seed=5)
+    apply_default_scenario(b, seed=5)
+    t = Tiling2D(tile_r=16, tile_z=16, block=128, margin=2)
+    a.enable_sorted_path(tiling=t, resort_every=3, backend="fused",
+                         spill_capacity=256)
+    b.enable_sorted_path(tiling=t, resort_every=3, backend="fused",
+                         spill_capacity=256, spill_tiers=(4, 32))
+    a.step(3)
+    b.step(3)
+    sa, sb = a._sorted_state, b._sorted_state
+    assert int(sb.spill) == int(sa.spill)
+    np.testing.assert_array_equal(np.asarray(sb.position),
+                                  np.asarray(sa.position))
+    np.testing.assert_array_equal(np.asarray(sb.velocity),
+                                  np.asarray(sa.velocity))
+    np.testing.assert_array_equal(np.asarray(sb.alive), np.asarray(sa.alive))
+    assert int(sb.dropped_over) == int(sa.dropped_over)
+
+
 @pytest.mark.slow
 def test_fused_backend_matches_xla_backend():
     """backend='fused' (one Mosaic kernel per half-step, interpret mode on
