@@ -138,21 +138,31 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
     return out
 
 
-# ES rung, picked offline (examples/probe_es_spill.py, 2026-08-19 matrix):
-# tile 32 margin 6 RESORT 12 capacity 16384 is the exactness/throughput
-# frontier at 10M thermal.  The spill sawtooth peaks at ~7.2k rows/step at
-# window position 11 (2.3x headroom at 16384); round-3's resort-16 rung at
-# this capacity ran into the pos 12-15 flux (13k/23k/36k/52k) and dropped
-# 124k rows/two-windows — the driver artifact was right and the builder's
-# early-phase audit was wrong.  Measured matrix (ms/step, all dropped=0):
-# r12 c16k 'highest' 35.0 | r12 c16k exact_bf16 30.7 | r14 c32k 38.8 |
-# r16 c64k 44.7 | r16 c32k margin8 42.2.
+# ES rungs, picked offline (examples/probe_es_spill.py, 2026-08-19/20
+# matrices).  Tile 32 margin 6 RESORT 12 capacity 16384 was the round-4
+# exactness/throughput frontier at 10M thermal: the spill sawtooth peaks
+# at ~7.2k rows/step at window position 11 (2.3x headroom at 16384);
+# round-3's resort-16 rung at this capacity ran into the pos 12-15 flux
+# (13k/23k/36k/52k) and dropped 124k rows/two-windows — the driver
+# artifact was right and the builder's early-phase audit was wrong.
+# Measured matrix (ms/step, all dropped=0): r12 c16k 'highest' 35.0 |
+# r12 c16k exact_bf16 30.7 | r14 c32k 38.8 | r16 c64k 44.7 |
+# r16 c32k margin8 42.2.
+#
+# Round-4b: at tile 32, margin 8 pads to the SAME (48, 48) kernel window
+# as margin 6 (sublane pad 44 -> 48), so the wider margin is free in
+# kernel arithmetic while cutting the spill tail ~an order of magnitude —
+# the resort cadence stretches 12 -> 18 at the same 16384-row patch
+# buffer (walked dropless through full windows by the probe).
 ES_SPILL_CAPACITY = 16384
 ES_RESORT = 12
 
 
 def bench_es_10m(backend: str = "pallas", precision: str | None = None,
-                 windows: int = 3):
+                 windows: int = 3, margin: int = 6,
+                 resort: int = ES_RESORT,
+                 spill_capacity: int = ES_SPILL_CAPACITY,
+                 spill_tiers: tuple[int, ...] | None = None):
     """The north-star metric as BASELINE words it: full self-consistent PIC
     steps/sec at 10M particles (2D ES, 512^2) with push+deposit fused in one
     kernel (``backend='pallas'``, ops/pallas_pic.py) and the FFT solve in
@@ -177,33 +187,34 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
     rng = np.random.default_rng(0)
     pos = rng.random((n, 2)).astype(np.float32) * cells
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
-    t32m6 = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=6)
-    sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=t32m6,
+    tiling = Tiling2D(tile_r=32, tile_z=32, block=1024, margin=margin)
+    sim = es.SortedElectrostaticPIC(config, pos, vel, tiling=tiling,
                                     backend=backend,
-                                    resort_every=ES_RESORT,
-                                    spill_capacity=ES_SPILL_CAPACITY,
+                                    resort_every=resort,
+                                    spill_capacity=spill_capacity,
+                                    spill_tiers=spill_tiers,
                                     pallas_precision=precision,
                                     check_spill=False)
-    sim.step(ES_RESORT)  # compile + warm one full window
+    sim.step(resort)  # compile + warm one full window
     np.asarray(sim.state.position[:1])
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        sim.step(ES_RESORT)
+        sim.step(resort)
         np.asarray(sim.state.position[:1])
-        rates.append(ES_RESORT / (time.perf_counter() - t0))
+        rates.append(resort / (time.perf_counter() - t0))
     dropped = int(sim.state.spill_dropped)
     rate = sorted(rates)[len(rates) // 2]
     out = {
         "value": rate if dropped == 0 else None,
-        "dropped": dropped, "spill_capacity": ES_SPILL_CAPACITY,
-        "resort_every": ES_RESORT, "spill_patched_rows": int(sim.state.spill),
-        "config": f"tile32 margin6 resort{ES_RESORT}",
+        "dropped": dropped, "spill_capacity": spill_capacity,
+        "resort_every": resort, "spill_patched_rows": int(sim.state.spill),
+        "config": f"tile32 margin{margin} resort{resort}",
         "precision": precision or "highest(f32)",
     }
     if out["value"] is None:
         out["rejected"] = (f"dropped {dropped} deposits past capacity "
-                           f"{ES_SPILL_CAPACITY} — not exact; raw rate "
+                           f"{spill_capacity} — not exact; raw rate "
                            f"{rate:.3f} steps/s NOT comparable")
     return out
 
@@ -258,10 +269,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["grid_mode_sorted_at_16m"] = f"failed: {type(e).__name__}"
 
-    # 3. the north star: fused ES PIC at 10M, exact_bf16 (~2^-18) headline
+    # 3. the north star: fused ES PIC at 10M, exact_bf16 (~2^-18) headline.
+    #    Margin 8 / resort 16: walked dropless through full windows (peak
+    #    9.5k rows/step of 16384) at 26.8 ms/step; spill tiers (1024, 4096)
+    #    patch the low-flux window positions (8-13: flux 2..2.7k) at small
+    #    static capacities for another 0.7 ms -> 26.1 ms (2026-08-20 probe).
     if gate("es_10m_exact_bf16", 540):
         try:
-            es_out = bench_es_10m(backend="pallas", precision="exact_bf16")
+            es_out = bench_es_10m(backend="pallas", precision="exact_bf16",
+                                  margin=8, resort=16,
+                                  spill_tiers=(1024, 4096))
             result["es_pic_at_10m"] = es_out
             if isinstance(es_out.get("value"), float):
                 n_es = 10_000_000 - (10_000_000 % 1024)
