@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--windows", type=int, default=4,
                     help="timed span = windows * resort steps (aligned so "
                     "no fresh scan-length compile lands inside the timing)")
+    ap.add_argument("--tiers", type=str, default="",
+                    help="comma-separated spill_tiers below each config's "
+                         "capacity (fused backend tiered patch chains)")
     args = ap.parse_args()
 
     from bench import build_sim
@@ -39,9 +42,11 @@ def main():
         resort, cap = parts[0], parts[1]
         rcap = parts[2] if len(parts) > 2 else None
         sim = build_sim(nparticles=args.nparticles)
+        tiers = (tuple(int(t) for t in args.tiers.split(","))
+                 if args.tiers else ())
         sim.enable_sorted_path(resort_every=resort, backend="fused",
                                rng_impl="rbg", spill_capacity=cap,
-                               respawn_capacity=rcap)
+                               respawn_capacity=rcap, spill_tiers=tiers)
         n = sim.spec.n_total
         steps = args.windows * resort
         t0 = time.perf_counter()
