@@ -128,6 +128,7 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
     dropped, dropped_over = int(st.dropped), int(st.dropped_over)
     out = {
         "value": rate if dropped == 0 and dropped_over == 0 else None,
+        "unit": "pushes/s",
         "dropped": dropped, "dropped_over": dropped_over,
         "spill_capacity": spill_capacity, "resort_every": resort_every,
     }
@@ -149,18 +150,26 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
 # r12 c16k exact_bf16 30.7 | r14 c32k 38.8 | r16 c64k 44.7 |
 # r16 c32k margin8 42.2.
 #
-# Round-4b: at tile 32, margin 8 pads to the SAME (48, 48) kernel window
-# as margin 6 (sublane pad 44 -> 48), so the wider margin is free in
-# kernel arithmetic while cutting the spill tail ~an order of magnitude —
-# the resort cadence stretches 12 -> 18 at the same 16384-row patch
-# buffer (walked dropless through full windows by the probe).
+# Round-4b HEADLINE rung: at tile 32, margin 8 pads to the SAME (48, 48)
+# kernel window as margin 6 (sublane pad 44 -> 48), so the wider margin
+# is free in kernel arithmetic while cutting the spill tail ~15x — the
+# resort cadence stretches 12 -> 16 at the same 16384-row patch buffer
+# (walked dropless through full windows by the probe; cadence 18 drops
+# 7.3k/window at position 17 and was REJECTED — PERFORMANCE.md).  Spill
+# tiers (1024, 4096) patch the low-flux window positions at small static
+# capacities (-0.7 ms).
+ES_MARGIN = 8
+ES_RESORT = 16
 ES_SPILL_CAPACITY = 16384
-ES_RESORT = 12
+ES_SPILL_TIERS = (1024, 4096)
+# superseded round-4a frontier, kept for the secondary f32 rung below
+ES_MARGIN_R12 = 6
+ES_RESORT_R12 = 12
 
 
 def bench_es_10m(backend: str = "pallas", precision: str | None = None,
-                 windows: int = 3, margin: int = 6,
-                 resort: int = ES_RESORT,
+                 windows: int = 3, margin: int = ES_MARGIN_R12,
+                 resort: int = ES_RESORT_R12,
                  spill_capacity: int = ES_SPILL_CAPACITY,
                  spill_tiers: tuple[int, ...] | None = None):
     """The north-star metric as BASELINE words it: full self-consistent PIC
@@ -205,11 +214,14 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
         rates.append(resort / (time.perf_counter() - t0))
     dropped = int(sim.state.spill_dropped)
     rate = sorted(rates)[len(rates) // 2]
+    tiers = "" if spill_tiers is None else f" tiers{spill_tiers}"
     out = {
         "value": rate if dropped == 0 else None,
+        "unit": "steps/s",
         "dropped": dropped, "spill_capacity": spill_capacity,
+        "spill_tiers": list(spill_tiers) if spill_tiers else None,
         "resort_every": resort, "spill_patched_rows": int(sim.state.spill),
-        "config": f"tile32 margin{margin} resort{resort}",
+        "config": f"tile32 margin{margin} resort{resort}{tiers}",
         "precision": precision or "highest(f32)",
     }
     if out["value"] is None:
@@ -217,6 +229,34 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
                            f"{spill_capacity} — not exact; raw rate "
                            f"{rate:.3f} steps/s NOT comparable")
     return out
+
+
+def bench_energy_drift(steps: int = 10_000, sample_every: int = 500):
+    """The second north-star axis (BASELINE: energy drift <1e-3 over 10k
+    steps) as a driver-checkable artifact field (VERDICT r4 #5).
+
+    Runs the BASELINE config[1] two-stream setup (1e5 particles, 512
+    cells, dt=0.05 — examples/two_stream.py) for the full 10k steps on
+    device, sampling total energy every ``sample_every`` steps, and
+    reports the max relative deviation from the initial total.  This is a
+    MEASURED 10k-step number, not an extrapolation; the f32-vs-f64
+    control for the thermal configuration is in PERFORMANCE.md
+    (examples/drift_control.py: 1.204e-3 f32 vs 1.182e-3 f64 — the
+    residual drift is physics, not rounding)."""
+    from fusion_sim_tpu.models import electrostatic as es
+
+    sim = es.two_stream(n_particles=100_000, n_cells=512, dt=0.05)
+    e0 = sim.energies()["total"]
+    worst = 0.0
+    for _ in range(steps // sample_every):
+        sim.step(sample_every)
+        worst = max(worst, abs(sim.energies()["total"] - e0) / abs(e0))
+    return {
+        "value": worst, "unit": "max |dE/E0| over the run",
+        "steps": steps, "config": "two-stream 1e5 particles 512 cells "
+                                  "dt=0.05 (BASELINE config[1])",
+        "target": "<1e-3 over 10k steps (BASELINE north_star)",
+    }
 
 
 def main() -> None:
@@ -277,15 +317,26 @@ def main() -> None:
     if gate("es_10m_exact_bf16", 540):
         try:
             es_out = bench_es_10m(backend="pallas", precision="exact_bf16",
-                                  margin=8, resort=16,
-                                  spill_tiers=(1024, 4096))
+                                  margin=ES_MARGIN, resort=ES_RESORT,
+                                  spill_capacity=ES_SPILL_CAPACITY,
+                                  spill_tiers=ES_SPILL_TIERS)
             result["es_pic_at_10m"] = es_out
             if isinstance(es_out.get("value"), float):
                 n_es = 10_000_000 - (10_000_000 % 1024)
                 result["fused_pic_updates_per_sec_at_10m"] = (
                     es_out["value"] * n_es)
+                result["fused_pic_updates_per_sec_at_10m_unit"] = \
+                    "particle updates/s (steps/s x N)"
         except Exception as e:  # noqa: BLE001
             result["es_pic_at_10m"] = f"failed: {type(e).__name__}"
+
+    # 3b. the second north-star axis: measured 10k-step energy drift on
+    #     the BASELINE config[1] two-stream setup
+    if gate("energy_drift", 240):
+        try:
+            result["energy_drift_10k"] = bench_energy_drift()
+        except Exception as e:  # noqa: BLE001
+            result["energy_drift_10k"] = f"failed: {type(e).__name__}"
 
     # 4. sorted fused grid parity at 1.05M (rung 12:8192 — 1.49e8 exact)
     if gate("grid_sorted_1m", 300):
@@ -302,6 +353,7 @@ def main() -> None:
             sim = build_sim(nparticles=1024)
             result["grid_mode_value"] = measure(sim, steps_per_batch=20,
                                                 batches=2)
+            result["grid_mode_value_unit"] = "pushes/s"
             sim = None
         except Exception as e:  # noqa: BLE001
             result["grid_mode_value"] = f"failed: {type(e).__name__}"
