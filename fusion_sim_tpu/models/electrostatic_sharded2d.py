@@ -62,11 +62,70 @@ class ShardedESConfig2D:
     mesh_shape: tuple[int, int]   # (Sx, Sy) device mesh
     capacity: int                 # particle slots per shard
     migration_buffer: int         # max migrants per direction per phase
+    # sorted-layout composition (tiling != None): per-shard tile-sorted
+    # padded particles on a TWO-AXIS halo-padded pseudo-grid — the 2-D-mesh
+    # lift of ShardedESConfig's sorted options (VERDICT r4 #3).  Migrants
+    # (including diagonal two-phase crossers) land in dead slots, self-flag
+    # as out-of-window rows, and ride the compacted exact patch until the
+    # next per-shard resort.
+    tiling: object | None = None
+    resort_every: int = 6
+    spill_capacity: int = 16384
+    # sorted composition only: 'pallas' fuses each shard's gather + kick +
+    # drift + deposit into ONE Mosaic kernel on the local pseudo-grid
+    # windows, with the carried-rho step re-cut (see ShardedESConfig.backend)
+    backend: str = "xla"
+    # fused-kernel matmul strategy override ('highest' | 'exact_bf16' |
+    # 'exact_bf16_pack' | 'default'); None = 'highest' ('default' for
+    # bfloat16 tilings)
+    pallas_precision: str | None = None
     debug_checks: bool = False
 
     @property
     def n_shards(self) -> int:
         return self.mesh_shape[0] * self.mesh_shape[1]
+
+    @property
+    def tile_xy(self) -> tuple[int, int]:
+        """Tile extent along each decomposed grid axis."""
+        t = self.tiling
+        return ((t.tile_r, t.tile_z) if self.base.n_dim == 2
+                else (t.tile[0], t.tile[1]))
+
+    @property
+    def halo_ws(self) -> tuple[int, int]:
+        """Sorted-path halo/apron width per decomposed axis (the two-axis
+        form of ShardedESConfig.halo_w): covers the gather window reach
+        (margin + CIC corner) and the apron, rounded so the pseudo-grid
+        stays tile-divisible, with windows never wrapping onto real data."""
+        out = []
+        m = self.tiling.margin
+        for t in self.tile_xy:
+            need = max(m + 2, APRON_W)
+            h = -(-need // t) * t
+            if h < 2 * m + 1:
+                h += t
+            out.append(h)
+        return tuple(out)
+
+    @property
+    def pseudo_shape(self) -> tuple[int, ...]:
+        """Per-shard two-axis halo-padded local grid the sorted ops tile."""
+        sx, sy = self.slabs
+        tx, ty = self.tile_xy
+        if sx % tx or sy % ty:
+            raise ValueError(f"block {self.slabs} not divisible by tiles "
+                             f"({tx}, {ty})")
+        hx, hy = self.halo_ws
+        return (sx + 2 * hx, sy + 2 * hy, *self.base.grid_shape[2:])
+
+    @property
+    def cap_padded(self) -> int:
+        if self.capacity % self.tiling.block:
+            raise ValueError(f"capacity {self.capacity} not a multiple of "
+                             f"block {self.tiling.block}")
+        n_tiles = int(np.prod(self.tiling.n_tiles(self.pseudo_shape)))
+        return self.capacity + n_tiles * self.tiling.block
 
     @property
     def slabs(self) -> tuple[int, int]:
@@ -134,7 +193,7 @@ def _phi_full_gathered_2d(rho_local: jax.Array, base: ESConfig,
 
 
 def _e_pad_from_full_phi_2d(phi_full: jax.Array, lows: tuple,
-                            width: int, slabs: tuple[int, int],
+                            widths: tuple[int, int], slabs: tuple[int, int],
                             base: ESConfig) -> jax.Array:
     """E = -grad(phi) on the two-axis halo-padded local window, sliced from
     the replicated phi (2-axis form of _e_pad_from_full_phi): take a window
@@ -145,8 +204,8 @@ def _e_pad_from_full_phi_2d(phi_full: jax.Array, lows: tuple,
     for a in range(2):
         n_a = base.grid_shape[a]
         rows = jnp.mod(
-            jnp.arange(slabs[a] + 2 * (width + 1), dtype=jnp.int32)
-            - (width + 1) + lows[a].astype(jnp.int32), n_a)
+            jnp.arange(slabs[a] + 2 * (widths[a] + 1), dtype=jnp.int32)
+            - (widths[a] + 1) + lows[a].astype(jnp.int32), n_a)
         win = jnp.take(win, rows, axis=a)
     grads = []
     for a in range(ndim):
@@ -157,6 +216,35 @@ def _e_pad_from_full_phi_2d(phi_full: jax.Array, lows: tuple,
     # the roll wraps WITHIN the window on the decomposed axes — wrong only
     # on the outermost ring, which the trim discards
     return e[1:-1, 1:-1]
+
+
+def _e_pad_pencil_2d(rho_local: jax.Array, base: ESConfig,
+                     axes: tuple[str, str], lows: tuple,
+                     slabs: tuple[int, int],
+                     widths: tuple[int, int]) -> jax.Array:
+    """3D / large-2D solve path: all_gather the "sy" axis to form x-slabs of
+    the full y-extent, pencil-FFT over "sx" (each sy-row of the mesh runs an
+    independent copy), then slice the local two-axis halo window of
+    E = -grad(phi)."""
+    ndim = base.n_dim
+    grid_shape = base.grid_shape
+    ny = grid_shape[1]
+    wx, wy = widths
+    rho_slab = jax.lax.all_gather(rho_local, axes[1], axis=1, tiled=True)
+    phi_slab = poisson_fft_sharded(rho_slab, grid_shape, base.cell_size,
+                                   axes[0], eps0=base.eps0)
+    phi_pad = halo.with_halo(phi_slab, axes[0], 1)
+    gx = (phi_pad[2:] - phi_pad[:-2]) / (2.0 * base.cell_size[0])
+    grads = [gx]
+    for a in range(1, ndim):  # full-extent axes: periodic rolls
+        up = jnp.roll(phi_slab, -1, axis=a)
+        dn = jnp.roll(phi_slab, 1, axis=a)
+        grads.append((up - dn) / (2.0 * base.cell_size[a]))
+    e_slab = jnp.stack([-g for g in grads], axis=-1)
+    e_pad = halo.with_halo(e_slab, axes[0], wx)
+    rows_y = jnp.mod(jnp.arange(slabs[1] + 2 * wy, dtype=jnp.int32)
+                     - wy + lows[1].astype(jnp.int32), ny)
+    return jnp.take(e_pad, rows_y, axis=1)
 
 
 def make_sharded_es_step_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
@@ -181,27 +269,6 @@ def make_sharded_es_step_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
         return jnp.concatenate(
             [pos[:, :1] + off_x, pos[:, 1:2] + off_y, pos[:, 2:]], axis=1)
 
-    def _e_pad_pencil(rho_local, x_lo, y_lo):
-        """3D / large-2D solve path: all_gather the "sy" axis to form
-        x-slabs of the full y-extent, pencil-FFT over "sx" (each sy-row of
-        the mesh runs an independent copy), then slice the local two-axis
-        halo window of E = -grad(phi)."""
-        rho_slab = jax.lax.all_gather(rho_local, axes[1], axis=1, tiled=True)
-        phi_slab = poisson_fft_sharded(rho_slab, grid_shape, base.cell_size,
-                                       axes[0], eps0=base.eps0)
-        phi_pad = halo.with_halo(phi_slab, axes[0], 1)
-        gx = (phi_pad[2:] - phi_pad[:-2]) / (2.0 * base.cell_size[0])
-        grads = [gx]
-        for a in range(1, ndim):  # full-extent axes: periodic rolls
-            up = jnp.roll(phi_slab, -1, axis=a)
-            dn = jnp.roll(phi_slab, 1, axis=a)
-            grads.append((up - dn) / (2.0 * base.cell_size[a]))
-        e_slab = jnp.stack([-g for g in grads], axis=-1)
-        e_pad = halo.with_halo(e_slab, axes[0], HALO_W)
-        rows_y = jnp.mod(jnp.arange(slab_y + 2 * HALO_W, dtype=jnp.int32)
-                         - HALO_W + y_lo.astype(jnp.int32), ny)
-        return jnp.take(e_pad, rows_y, axis=1)
-
     def local_step(position, velocity, alive, overflow, max_disp):
         ix = jax.lax.axis_index(axes[0])
         iy = jax.lax.axis_index(axes[1])
@@ -221,10 +288,12 @@ def make_sharded_es_step_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
         # ---- spectral solve + halo-padded gradient -----------------------
         if _use_gathered_dft(base):
             phi_full = _phi_full_gathered_2d(rho_local, base, axes)
-            e_pad = _e_pad_from_full_phi_2d(phi_full, (x_lo, y_lo), HALO_W,
+            e_pad = _e_pad_from_full_phi_2d(phi_full, (x_lo, y_lo),
+                                            (HALO_W, HALO_W),
                                             (slab_x, slab_y), base)
         else:
-            e_pad = _e_pad_pencil(rho_local, x_lo, y_lo)
+            e_pad = _e_pad_pencil_2d(rho_local, base, axes, (x_lo, y_lo),
+                                     (slab_x, slab_y), (HALO_W, HALO_W))
 
         # ---- gather + push ------------------------------------------------
         local_pos = _shift_xy(position, HALO_W - x_lo, HALO_W - y_lo)
@@ -282,6 +351,393 @@ def make_sharded_es_step_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
     return step
 
 
+def _make_to_local_2d(config: ShardedESConfig2D):
+    """Global -> two-axis pseudo-grid coordinates (the 2-axis form of the
+    1-D composition's slab-centered wrap: owned coordinates and near-edge
+    arrivals map into [H, H + slab) + O(drift) on each decomposed axis for
+    any shard count)."""
+    nx, ny = config.base.grid_shape[:2]
+    slab_x, slab_y = config.slabs
+    hx, hy = config.halo_ws
+
+    def to_local(position, x_lo, y_lo):
+        offx = (nx - slab_x) / 2
+        offy = (ny - slab_y) / 2
+        lx = jnp.mod(position[:, 0] - x_lo + offx, nx) - offx + hx
+        ly = jnp.mod(position[:, 1] - y_lo + offy, ny) - offy + hy
+        return jnp.concatenate([lx[:, None], ly[:, None], position[:, 2:]],
+                               axis=1)
+
+    return to_local
+
+
+def _make_grid_mig(config: ShardedESConfig2D, axes: tuple[str, str]):
+    """Dimension-ordered migration closure shared by the sorted 2-D-mesh
+    steps: phase-k masks re-read the CURRENT positions (migrate_grid
+    contract), so diagonal crossers route x-then-y."""
+    nx, ny = config.base.grid_shape[:2]
+    slab_x, slab_y = config.slabs
+    mig_axes = tuple(ax for a, ax in enumerate(axes)
+                     if config.mesh_shape[a] > 1)
+    slab_of = {axes[0]: (slab_x, nx, 0), axes[1]: (slab_y, ny, 1)}
+
+    def migrate(arrays, alive, overflow):
+        if not mig_axes:
+            return arrays, alive, overflow
+
+        def mask_fn(arrs, k):
+            p = arrs[0]
+            ax = mig_axes[k]
+            slab, n_a, col = slab_of[ax]
+            lo = (jax.lax.axis_index(ax) * slab).astype(jnp.float32)
+            g = p[:, col]
+            d_lo = jnp.mod(lo - g, n_a)
+            go_lo = jnp.logical_and(d_lo > 0, d_lo <= slab / 2)
+            go_hi = jnp.mod(g - (lo + slab), n_a) < slab / 2
+            return go_lo, go_hi
+
+        res = migration.migrate_grid(arrays, alive, mask_fn, mig_axes,
+                                     config.migration_buffer)
+        return res.arrays, res.alive, overflow + res.overflow
+
+    return migrate
+
+
+def make_sharded_sorted_es_step_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
+                                      axes: tuple[str, str] = ("sx", "sy")):
+    """Sorted-layout composition on the 2-D mesh (VERDICT r4 #3): per-shard
+    tile-sorted padded particles, digit-matmul deposit/gather on the
+    TWO-AXIS halo-padded pseudo-grid, two-axis apron folds, dimension-
+    ordered migration — the 2-D-mesh lift of
+    electrostatic_sharded.make_sharded_sorted_es_step_fn.  Migrants
+    (including diagonal two-phase crossers) land in dead slots with stale
+    tile ids; rows outside their claimed tile's window self-flag and take
+    the compacted exact patch until the next per-shard resort."""
+    from ..ops.interp import spill_rows_cond
+    from ..ops.sorted_deposit import (deposit_sorted_2d, deposit_sorted_3d,
+                                      gather_sorted_2d, gather_sorted_3d)
+
+    base = config.base
+    tiling = config.tiling
+    ndim = base.n_dim
+    nx, ny = base.grid_shape[:2]
+    rest_f = jnp.asarray(base.grid_shape[2:], jnp.float32)
+    slab_x, slab_y = config.slabs
+    hx, hy = config.halo_ws
+    pseudo_shape = config.pseudo_shape
+    pseudo_f = jnp.asarray(pseudo_shape, jnp.float32)
+    capacity = config.spill_capacity
+    dxv = jnp.asarray(base.cell_size, jnp.float32)
+    dt = base.dt
+    qm_dt = base.charge / base.mass * dt
+    w0 = base.charge / base.cell_volume
+    n_cells = float(np.prod(base.grid_shape))
+    n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+    deposit_fn = deposit_sorted_2d if ndim == 2 else deposit_sorted_3d
+    gather_fn = gather_sorted_2d if ndim == 2 else gather_sorted_3d
+    to_local = _make_to_local_2d(config)
+    migrate = _make_grid_mig(config, axes)
+
+    def local_step(position, velocity, alive, tile_id, overflow, max_disp,
+                   spill):
+        ix = jax.lax.axis_index(axes[0])
+        iy = jax.lax.axis_index(axes[1])
+        x_lo = (ix * slab_x).astype(jnp.float32)
+        y_lo = (iy * slab_y).astype(jnp.float32)
+        n_tot = position.shape[0]
+        lp0 = to_local(position, x_lo, y_lo)
+        bad_block = tile_id >= n_tiles_ps
+
+        # ---- sorted deposit + compacted exact patch + two-axis apron -----
+        w = jnp.where(alive, jnp.float32(w0), 0.0)
+        w_sorted = jnp.where(bad_block, 0.0, w)
+        rho_pad, d_spill, d_mask = deposit_fn(
+            lp0, w_sorted, tile_id, pseudo_shape, tiling)
+        d_mask = jnp.logical_and(jnp.logical_or(d_mask, bad_block), alive)
+        n_spill = jnp.sum(d_mask)
+        idx, ok = spill_rows_cond(d_mask, n_spill, capacity, n_tot)
+        rho_pad = rho_pad + cic_deposit_packed(
+            jnp.mod(lp0[idx], pseudo_f), jnp.where(ok, w[idx], 0.0),
+            pseudo_shape)
+        rho_local = halo.accumulate_apron_2d(rho_pad, axes, (hx, hy))
+        if base.neutralizing_background:
+            total = jax.lax.psum(jnp.sum(rho_local), axes)
+            rho_local = rho_local - total / n_cells
+
+        # ---- spectral solve on the two-axis halo window -------------------
+        if _use_gathered_dft(base):
+            phi_full = _phi_full_gathered_2d(rho_local, base, axes)
+            e_pad = _e_pad_from_full_phi_2d(phi_full, (x_lo, y_lo), (hx, hy),
+                                            (slab_x, slab_y), base)
+        else:
+            e_pad = _e_pad_pencil_2d(rho_local, base, axes, (x_lo, y_lo),
+                                     (slab_x, slab_y), (hx, hy))
+
+        # ---- sorted gather -------------------------------------------------
+        eb, g_inw = gather_fn(e_pad, lp0, tile_id, pseudo_shape, tiling)
+        g_mask = jnp.logical_and(
+            jnp.logical_or(jnp.logical_not(g_inw), bad_block), alive)
+        g_idx, _ = spill_rows_cond(g_mask, jnp.sum(g_mask), capacity, n_tot)
+        eb_k = cic_gather_packed(e_pad, jnp.mod(lp0[g_idx], pseudo_f),
+                                 pseudo_shape)
+        eb = eb.at[g_idx].set(eb_k, mode="drop")
+
+        # ---- push + wrap + migrate ----------------------------------------
+        velocity = jnp.where(alive[:, None], velocity + qm_dt * eb, 0.0)
+        lp1 = lp0 + dt * velocity / dxv
+        disp = jnp.max(jnp.where(alive, jnp.max(
+            jnp.abs(dt * velocity / dxv), axis=1), 0.0))
+        max_disp = jnp.maximum(max_disp, disp)
+        gx = jnp.mod(lp1[:, 0] - hx + x_lo, nx)
+        gy = jnp.mod(lp1[:, 1] - hy + y_lo, ny)
+        tail = jnp.mod(lp1[:, 2:], rest_f)
+        x1 = jnp.concatenate([gx[:, None], gy[:, None], tail], axis=1)
+        (x1, velocity), alive, overflow = migrate((x1, velocity), alive,
+                                                  overflow)
+        spill = spill + n_spill.astype(jnp.int32)
+        x1 = jnp.where(alive[:, None], x1, 0.0)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        return x1, velocity, alive, tile_id, overflow, max_disp, spill
+
+    both = P(axes)
+    spec = (P(axes, None), P(axes, None), both, both, both, both, both)
+    mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec)
+
+    @jax.jit
+    def step(state: ShardedESState) -> ShardedESState:
+        pos, vel, alive, tid, ov, md, sp = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow, state.max_disp, state.spill)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              tile_id=tid, overflow=ov, max_disp=md,
+                              spill=sp)
+
+    return step
+
+
+def make_sharded_sorted_es_pallas_step_fn_2d(
+        config: ShardedESConfig2D, mesh: Mesh,
+        axes: tuple[str, str] = ("sx", "sy")):
+    """The fused-kernel composition on the 2-D mesh (backend='pallas'):
+    solve E from the CARRIED per-shard rho, then ONE Mosaic kernel per shard
+    does gather + kick + drift + deposit on the local two-axis pseudo-grid
+    windows (ops/pallas_pic.py in 2D, ops/pallas_pic3d.py in 3D), the
+    two-axis apron fold returns boundary deposits to their owners, and
+    dimension-ordered migration hands crossers over — the 2-D-mesh lift of
+    electrostatic_sharded.make_sharded_sorted_es_pallas_step_fn
+    (VERDICT r4 #3)."""
+    from ..ops.interp import spill_rows_cond
+    from ..ops.pallas_pic import fused_es2d_substep
+    from ..ops.pallas_pic3d import fused_es3d_substep
+
+    base = config.base
+    tiling = config.tiling
+    ndim = base.n_dim
+    nx, ny = base.grid_shape[:2]
+    rest_f = jnp.asarray(base.grid_shape[2:], jnp.float32)
+    slab_x, slab_y = config.slabs
+    hx, hy = config.halo_ws
+    pseudo_shape = config.pseudo_shape
+    pseudo_f = jnp.asarray(pseudo_shape, jnp.float32)
+    capacity = config.spill_capacity
+    dxv = jnp.asarray(base.cell_size, jnp.float32)
+    dt = base.dt
+    qm_dt = float(base.charge / base.mass * dt)
+    c_ax = tuple(float(dt / d) for d in base.cell_size)
+    w0 = base.charge / base.cell_volume
+    n_cells = float(np.prod(base.grid_shape))
+    n_tiles_ps = int(np.prod(tiling.n_tiles(pseudo_shape)))
+    interpret = jax.default_backend() != "tpu"
+    to_local = _make_to_local_2d(config)
+    migrate = _make_grid_mig(config, axes)
+
+    def local_step(position, velocity, alive, tile_id, overflow, max_disp,
+                   spill, rho_local):
+        ix = jax.lax.axis_index(axes[0])
+        iy = jax.lax.axis_index(axes[1])
+        x_lo = (ix * slab_x).astype(jnp.float32)
+        y_lo = (iy * slab_y).astype(jnp.float32)
+        n_tot = position.shape[0]
+        lp0 = to_local(position, x_lo, y_lo)
+        bad_block = tile_id >= n_tiles_ps
+
+        # ---- solve E from the carried rho ---------------------------------
+        rho = rho_local
+        if base.neutralizing_background:
+            total = jax.lax.psum(jnp.sum(rho), axes)
+            rho = rho - total / n_cells
+        if _use_gathered_dft(base):
+            phi_full = _phi_full_gathered_2d(rho, base, axes)
+            e_pad = _e_pad_from_full_phi_2d(phi_full, (x_lo, y_lo), (hx, hy),
+                                            (slab_x, slab_y), base)
+        else:
+            e_pad = _e_pad_pencil_2d(rho, base, axes, (x_lo, y_lo),
+                                     (slab_x, slab_y), (hx, hy))
+
+        # ---- fused substep on this shard's pseudo-grid windows ------------
+        w = jnp.where(jnp.logical_and(alive, jnp.logical_not(bad_block)),
+                      jnp.float32(w0), 0.0)
+        vel0 = velocity
+        precision = config.pallas_precision or (
+            "default" if getattr(tiling, "dtype", "float32")
+            == "bfloat16" else "highest")
+        if ndim == 2:
+            lp1, velocity, rho_pad, in_win = fused_es2d_substep(
+                e_pad, lp0, velocity, w, tile_id, pseudo_shape, tiling,
+                qm_dt, c_ax[0], c_ax[1], precision=precision,
+                interpret=interpret)
+        else:
+            lp1, velocity, rho_pad, in_win = fused_es3d_substep(
+                e_pad, lp0, velocity, w, tile_id, pseudo_shape, tiling,
+                qm_dt, c_ax[0], c_ax[1], c_ax[2], precision=precision,
+                interpret=interpret)
+
+        # ---- compacted exact patch (out-of-window + bad-block rows) -------
+        d_mask = jnp.logical_and(
+            jnp.logical_or(jnp.logical_not(in_win), bad_block), alive)
+        n_spill = jnp.sum(d_mask)
+        idx, ok = spill_rows_cond(d_mask, n_spill, capacity, n_tot)
+        lp0_k = jnp.mod(lp0[idx], pseudo_f)
+        e_k = cic_gather_packed(e_pad, lp0_k, pseudo_shape)
+        vel_k = vel0[idx] + qm_dt * e_k
+        lp1_k = lp0_k + dt * vel_k / dxv
+        rho_pad = rho_pad + cic_deposit_packed(
+            jnp.mod(lp1_k, pseudo_f),
+            jnp.where(jnp.logical_and(ok, alive[idx]), jnp.float32(w0), 0.0),
+            pseudo_shape)
+        lp1 = lp1.at[idx].set(lp1_k, mode="drop")
+        velocity = velocity.at[idx].set(vel_k, mode="drop")
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        rho_new = halo.accumulate_apron_2d(rho_pad, axes, (hx, hy))
+
+        # ---- wrap + migrate ------------------------------------------------
+        disp = jnp.max(jnp.where(alive, jnp.max(
+            jnp.abs(dt * velocity / dxv), axis=1), 0.0))
+        max_disp = jnp.maximum(max_disp, disp)
+        gx = jnp.mod(lp1[:, 0] - hx + x_lo, nx)
+        gy = jnp.mod(lp1[:, 1] - hy + y_lo, ny)
+        tail = jnp.mod(lp1[:, 2:], rest_f)
+        x1 = jnp.concatenate([gx[:, None], gy[:, None], tail], axis=1)
+        (x1, velocity), alive, overflow = migrate((x1, velocity), alive,
+                                                  overflow)
+        spill = spill + n_spill.astype(jnp.int32)
+        x1 = jnp.where(alive[:, None], x1, 0.0)
+        velocity = jnp.where(alive[:, None], velocity, 0.0)
+        return (x1, velocity, alive, tile_id, overflow, max_disp, spill,
+                rho_new)
+
+    both = P(axes)
+    fspec = P(axes[0], axes[1], *([None] * (ndim - 2)))
+    spec = (P(axes, None), P(axes, None), both, both, both, both, both,
+            fspec)
+    mapped = shard_map(local_step, mesh=mesh, in_specs=spec, out_specs=spec,
+                       check_vma=False)
+
+    @jax.jit
+    def step(state: ShardedESState) -> ShardedESState:
+        pos, vel, alive, tid, ov, md, sp, rho = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow, state.max_disp, state.spill, state.rho)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              tile_id=tid, overflow=ov, max_disp=md,
+                              spill=sp, rho=rho)
+
+    return step
+
+
+def make_sharded_es_seed_rho_fn_2d(config: ShardedESConfig2D, mesh: Mesh,
+                                   axes: tuple[str, str] = ("sx", "sy")):
+    """Deposit at the CURRENT positions — seeds the pallas backend's carried
+    rho at init (packed scatter deposit; one-time, see the 1-D model's
+    make_sharded_es_seed_rho_fn for why not the sorted deposit)."""
+    base = config.base
+    ndim = base.n_dim
+    slab_x, slab_y = config.slabs
+    hx, hy = config.halo_ws
+    pseudo_shape = config.pseudo_shape
+    pseudo_f = jnp.asarray(pseudo_shape, jnp.float32)
+    w0 = base.charge / base.cell_volume
+    to_local = _make_to_local_2d(config)
+
+    def local_seed(position, alive, tile_id):
+        del tile_id
+        ix = jax.lax.axis_index(axes[0])
+        iy = jax.lax.axis_index(axes[1])
+        lp = to_local(position, (ix * slab_x).astype(jnp.float32),
+                      (iy * slab_y).astype(jnp.float32))
+        w = jnp.where(alive, jnp.float32(w0), 0.0)
+        rho_pad = cic_deposit_packed(jnp.mod(lp, pseudo_f), w, pseudo_shape)
+        return halo.accumulate_apron_2d(rho_pad, axes, (hx, hy))
+
+    both = P(axes)
+    mapped = shard_map(
+        local_seed, mesh=mesh,
+        in_specs=(P(axes, None), both, both),
+        out_specs=P(axes[0], axes[1], *([None] * (ndim - 2))),
+        check_vma=False)
+
+    @jax.jit
+    def seed(state: ShardedESState) -> jax.Array:
+        return mapped(state.position, state.alive, state.tile_id)
+
+    return seed
+
+
+def make_sharded_sorted_es_resort_fn_2d(
+        config: ShardedESConfig2D, mesh: Mesh,
+        axes: tuple[str, str] = ("sx", "sy")):
+    """Per-shard local resort on the 2-D mesh (no communication — each
+    shard rebuilds its own padded tile-sorted layout in two-axis local
+    coordinates)."""
+    from ..ops.sorted_deposit import build_padded_layout
+
+    base = config.base
+    tiling = config.tiling
+    ndim = base.n_dim
+    slab_x, slab_y = config.slabs
+    pseudo_shape = config.pseudo_shape
+    cap_state = config.cap_padded
+    to_local = _make_to_local_2d(config)
+
+    def local_resort(position, velocity, alive, tile_id, overflow):
+        ix = jax.lax.axis_index(axes[0])
+        iy = jax.lax.axis_index(axes[1])
+        lp = to_local(position, (ix * slab_x).astype(jnp.float32),
+                      (iy * slab_y).astype(jnp.float32))
+        out = build_padded_layout(
+            lp, pseudo_shape, tiling,
+            *[position[:, a] for a in range(ndim)],
+            *[velocity[:, a] for a in range(ndim)],
+            valid=alive, derive_valid=True)
+        tid_s = out[0]
+        g_cols = out[2:2 + ndim]
+        v_cols = out[2 + ndim:2 + 2 * ndim]
+        alive_s = out[2 + 2 * ndim]
+        lost = jnp.sum(alive_s[cap_state:])
+        alive_out = alive_s[:cap_state]
+        pos_out = jnp.stack([g[:cap_state] for g in g_cols], axis=-1)
+        vel_out = jnp.stack([v[:cap_state] for v in v_cols], axis=-1)
+        pos_out = jnp.where(alive_out[:, None], pos_out, 0.0)
+        vel_out = jnp.where(alive_out[:, None], vel_out, 0.0)
+        return (pos_out, vel_out, alive_out, tid_s[:cap_state],
+                overflow + lost.astype(jnp.int32))
+
+    both = P(axes)
+    spec = (P(axes, None), P(axes, None), both, both, both)
+    mapped = shard_map(local_resort, mesh=mesh, in_specs=spec,
+                       out_specs=spec)
+
+    @jax.jit
+    def resort(state: ShardedESState) -> ShardedESState:
+        pos, vel, alive, tid, ov = mapped(
+            state.position, state.velocity, state.alive, state.tile_id,
+            state.overflow)
+        return state._replace(position=pos, velocity=vel, alive=alive,
+                              tile_id=tid, overflow=ov)
+
+    return resort
+
+
 class ShardedElectrostaticPIC2D:
     """Stateful shell for the 2-D-mesh decomposition (mirrors
     ShardedElectrostaticPIC's API: step / gather_particles /
@@ -296,28 +752,72 @@ class ShardedElectrostaticPIC2D:
             raise ValueError("2-D decomposition needs an >= 2-D grid")
         self.config = config
         self.mesh = mesh
-        pos, vel, alive = distribute_2d(config,
+        self.sorted = config.tiling is not None
+        if config.backend not in ("xla", "pallas"):
+            raise ValueError(f"backend {config.backend!r} (xla|pallas)")
+        if config.backend == "pallas" and not self.sorted:
+            raise ValueError("backend='pallas' needs the sorted composition "
+                             "(pass a tiling)")
+        dist_cfg = (dataclasses.replace(config, capacity=config.cap_padded)
+                    if self.sorted else config)
+        pos, vel, alive = distribute_2d(dist_cfg,
                                         np.asarray(position, np.float32),
                                         np.asarray(velocity, np.float32))
         spec2 = NamedSharding(mesh, P(axes, None))
         spec1 = NamedSharding(mesh, P(axes))
         n_sh = config.n_shards
+        n_slots = pos.shape[0]
         self.state = ShardedESState(
             position=jax.device_put(jnp.asarray(pos), spec2),
             velocity=jax.device_put(jnp.asarray(vel), spec2),
             alive=jax.device_put(jnp.asarray(alive), spec1),
             overflow=jax.device_put(jnp.zeros((n_sh,), jnp.int32), spec1),
             max_disp=jax.device_put(jnp.zeros((n_sh,), jnp.float32), spec1),
+            tile_id=(jax.device_put(jnp.zeros((n_slots,), jnp.int32), spec1)
+                     if self.sorted else None),
+            spill=(jax.device_put(jnp.zeros((n_sh,), jnp.int32), spec1)
+                   if self.sorted else None),
         )
-        self._step = make_sharded_es_step_fn_2d(config, mesh, axes)
+        if self.sorted:
+            self._resort = make_sharded_sorted_es_resort_fn_2d(config, mesh,
+                                                               axes)
+            self.state = self._resort(self.state)
+            if config.backend == "pallas":
+                self._seed_rho = make_sharded_es_seed_rho_fn_2d(config, mesh,
+                                                                axes)
+                self.state = self.state._replace(
+                    rho=self._seed_rho(self.state))
+                self._step = make_sharded_sorted_es_pallas_step_fn_2d(
+                    config, mesh, axes)
+            else:
+                self._step = make_sharded_sorted_es_step_fn_2d(config, mesh,
+                                                               axes)
+            self._since_sort = 0
+        else:
+            self._step = make_sharded_es_step_fn_2d(config, mesh, axes)
         self._multi_cache: dict = {}
 
     def step(self, n: int = 1) -> None:
-        from ..utils.stepping import make_multi_step, pow2_chunk
+        from ..utils.stepping import (make_multi_step, make_window_step,
+                                      pow2_chunk)
 
+        cadence = self.config.resort_every if self.sorted else 10 ** 9
         done = 0
         while done < n:
-            k = pow2_chunk(min(n - done, 32))
+            if self.sorted and self._since_sort >= cadence:
+                self.state = self._resort(self.state)
+                self._since_sort = 0
+            since = self._since_sort if self.sorted else 0
+            if (self.sorted and since == 0 and n - done >= cadence
+                    and cadence <= 128):
+                key = ("w", cadence)
+                if key not in self._multi_cache:
+                    self._multi_cache[key] = make_window_step(
+                        self._step, self._resort, cadence)
+                self.state = self._multi_cache[key](self.state)
+                done += cadence
+                continue
+            k = pow2_chunk(min(n - done, min(cadence - since, 32)))
             if k <= 1:
                 self.state = self._step(self.state)
                 k = 1
@@ -325,6 +825,8 @@ class ShardedElectrostaticPIC2D:
                 if k not in self._multi_cache:
                     self._multi_cache[k] = make_multi_step(self._step, k)
                 self.state = self._multi_cache[k](self.state)
+            if self.sorted:
+                self._since_sort += k
             done += k
         if self.config.debug_checks:
             inv = self.check_invariants()

@@ -84,9 +84,13 @@ def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
 
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
-                 precision, dep_precision, stream):
-    three_term = precision == "exact_bf16"
-    n_win = 2 if three_term else 1
+                 precision, dep_precision, stream, ablate=None):
+    three_term = precision in ("exact_bf16", "exact_bf16_pack")
+    pack = precision == "exact_bf16_pack"
+    # pack: hi and lo window halves ride ONE operand, concatenated on the
+    # lane (wr) axis — K of the packed cross-term matmul is 2*wr_pad
+    n_win = 2 if (three_term and not pack) else 1
+    k_win = 2 * wr_pad if pack else wr_pad
     wins = refs[:n_win]
     (nlr_ref, nlz_ref, nvelr_ref, nvelz_ref, rho_ref,
      inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 8]
@@ -107,7 +111,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
             tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
 
         def wait_get(g):
-            return [jax.lax.slice(w, (0, 0), (w.shape[0], wr_pad))
+            return [jax.lax.slice(w, (0, 0), (w.shape[0], k_win))
                     for w in _wait_get(g)]
     # r tents on the sublane-padded range: rows wr..wr_pad-1 are zero for
     # every in-window coordinate, so the padded gather columns / deposit
@@ -138,7 +142,24 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         # then the z tent select + per-channel sublane reduce on the VPU —
         # half the MXU passes of the per-channel form
         dn = (((1,), (0,)), ((), ()))
-        if three_term:
+        if ablate in ("no_gather", "no_both"):
+            t_all = jnp.zeros((2 * wz_pad, p), jnp.float32)
+        elif pack:
+            # full-K packing (VERDICT r4 #1): the two cross terms
+            # Whi@ar_lo + Wlo@ar_hi contract in ONE matmul
+            # [Whi | Wlo] @ [ar_lo ; ar_hi] with K = 2*wr_pad <= 128 —
+            # 2 MXU pumps instead of dot3's 3 at the same ~2^-18 error
+            # (the summation of the cross terms moves into the matmul's
+            # f32 accumulator).  The packed window costs no extra VMEM:
+            # a lone (.., wr_pad) window already lane-pads to 128.
+            wp = win_ops[0]                      # (2*wz_pad, 2*wr_pad) bf16
+            ar_hi, ar_lo = split_bf16(ar)
+            ar_cat = jnp.concatenate([ar_lo, ar_hi], axis=0)
+            w_hi = jax.lax.slice(wp, (0, 0), (wp.shape[0], wr_pad))
+            d_ = lambda a, b: jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32)
+            t_all = d_(w_hi, ar_hi) + d_(wp, ar_cat)
+        elif three_term:
             # 3 bf16 MXU passes (~2x fewer than 'highest', ~2^-18 relative
             # error — ops/mxu.py); the window set was split once in XLA,
             # only the tents split per block
@@ -178,7 +199,9 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         nlz = jnp.where(inw, nlz, lz)
         nvr = jnp.where(inw, nvr, sl(vr_all))
         nvz = jnp.where(inw, nvz, sl(vz_all))
-        if dep_precision == "exact_bf16":
+        if ablate in ("no_deposit", "no_both"):
+            rho_g = jnp.zeros((wr_pad, wz), jnp.float32)
+        elif dep_precision == "exact_bf16":
             rho_g = dot3_split(arn, azn * wm, (((1,), (1,)), ((), ())))
         else:
             rho_g = jax.lax.dot_general(
@@ -207,7 +230,8 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=("shape", "tiling", "qm_dt",
                                              "c_r", "c_z", "precision",
-                                             "n_g", "stream", "interpret"))
+                                             "n_g", "stream", "interpret",
+                                             "ablate"))
 def fused_es2d_substep(
     e_grid: jax.Array,
     position: jax.Array,
@@ -223,6 +247,7 @@ def fused_es2d_substep(
     n_g: int = 32,
     stream: bool | None = None,
     interpret: bool = False,
+    ablate: str | None = None,
 ):
     """One fused particle substep for tile-sorted 2D ES PIC.
 
@@ -237,10 +262,16 @@ def fused_es2d_substep(
     the matmul strategy: 'default' = single-pass bf16 (~1e-3 relative field
     error), 'highest' = Mosaic's multi-pass f32 emulation, 'exact_bf16' =
     the 3-term hi/lo bf16 decomposition (ops/mxu.py, ~2^-18 relative — half
-    the MXU passes of 'highest') applied to BOTH the gather and the deposit.
+    the MXU passes of 'highest') applied to BOTH the gather and the deposit,
+    'exact_bf16_pack' = the same three terms with the two cross terms
+    contracted in ONE K-packed matmul (K = 2*wr_pad <= 128) — 2 gather
+    pumps instead of 3 at the same accuracy (VERDICT r4 #1 full-K packing).
     With 'default'/'highest' the deposit matmul follows ``tiling.dtype``
     (charge conservation is more rounding-sensitive than the gathered
-    field).
+    field).  ``ablate`` (None | 'no_gather' | 'no_deposit' | 'no_both')
+    zeroes matmul families for floor attribution
+    (examples/probe_kernel_floor.py) — NOT a production option: outputs
+    are physically wrong.
 
     ``stream`` selects the window-set memory strategy: False keeps all
     tile windows VMEM-resident (indexed dynamically per block), True keeps
@@ -293,18 +324,27 @@ def fused_es2d_substep(
     ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
                               (0, wr_pad - wr)))
     ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr_pad)
-    three_term = precision == "exact_bf16"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack")
+    pack = precision == "exact_bf16_pack"
     # stream=None: keep the window set VMEM-resident while it fits
     # comfortably (dynamic indexing is free); stream it from HBM by
     # prefetched tile index once it would crowd the ~100 MB scoped VMEM
     stream = resolve_stream((ewin_t,), wr_pad, stream)
-    wr_lane = -(-wr_pad // 128) * 128
-    if stream and wr_lane != wr_pad:
+    k_win = 2 * wr_pad if pack else wr_pad
+    if pack:
+        # K-packed layout: hi and lo bf16 halves side by side on the lane
+        # axis — the packed cross-term matmul contracts K = 2*wr_pad wide
+        # in one pump; no extra VMEM (a lone wr_pad window lane-pads to
+        # 128 anyway, and 2 x bf16 = 1 x f32 bytes)
+        w_hi, w_lo = split_bf16(ewin_t)
+        ewin_t = jnp.concatenate([w_hi, w_lo], axis=2)
+    k_lane = -(-k_win // 128) * 128
+    if stream and k_lane != k_win:
         # Mosaic HBM slices must align to the (8, 128) tiling: pre-pad the
         # streamed storage lanes (physically present anyway); the kernel
-        # slices the view back to wr_pad
-        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wr_lane - wr_pad)))
-    if three_term:
+        # slices the view back to k_win
+        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, k_lane - k_win)))
+    if three_term and not pack:
         # split the resident window set ONCE in XLA; the kernel only splits
         # the per-block tents (same total window VMEM: 2 x bf16 = 1 x f32)
         ewin_args = split_bf16(ewin_t)
@@ -328,14 +368,15 @@ def fused_es2d_substep(
                                n_g=n_g, n_tiles=n_tiles,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
                                precision=precision,
-                               dep_precision=dep_precision, stream=stream)
+                               dep_precision=dep_precision, stream=stream,
+                               ablate=ablate)
     row_spec = pl.BlockSpec((1, n_g, p_blk), lambda s, *_: (s, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((nsteps, n_g, p_blk), jnp.float32)
     if stream:
         win_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
-        win_spec = pl.BlockSpec((ntr * ntz, 2 * wz_pad, wr_pad),
+        win_spec = pl.BlockSpec(ewin_args[0].shape,
                                 lambda s, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
     wz_lane = -(-wz // 128) * 128
@@ -350,7 +391,7 @@ def fused_es2d_substep(
         grid=(nsteps,),
         in_specs=[
             row_spec, row_spec, row_spec, row_spec, row_spec,
-            *([win_spec, win_spec] if three_term else [win_spec]),
+            *([win_spec] * len(ewin_args)),
         ],
         out_specs=(
             row_spec, row_spec, row_spec, row_spec,

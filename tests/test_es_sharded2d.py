@@ -129,6 +129,74 @@ def test_sharded2d_migration_diagonal_roundtrip():
     assert int(np.asarray(sim.state.alive).sum()) == n_alive0
 
 
+def test_sharded2d_sorted_es_matches_single_device():
+    """Sorted-layout composition on the (2, 4) mesh (two-axis halo'd
+    pseudo-grid, digit-matmul deposit/gather, dimension-ordered migration —
+    VERDICT r4 #3) reproduces the single-device ES model."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    base, pos, vel = _setup()
+    ref = es.ElectrostaticPIC(base, pos, vel)
+    ref.step(6)
+
+    mesh = make_mesh(8, ("sx", "sy"), shape=(2, 4))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    cfg = ShardedESConfig2D(base=base, mesh_shape=(2, 4), capacity=1024,
+                            migration_buffer=64, tiling=tiling,
+                            resort_every=4)
+    sim = ShardedElectrostaticPIC2D(cfg, mesh, pos, vel)
+    sim.step(6)
+
+    assert int(np.asarray(sim.state.overflow).sum()) == 0
+    p_sh, v_sh = sim.gather_particles()
+    assert p_sh.shape[0] == pos.shape[0]
+    ref_pos = np.asarray(ref.state.position)
+    d2 = ((p_sh[:, None, :] - ref_pos[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(p_sh, ref_pos[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(v_sh, np.asarray(ref.state.velocity)[match],
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_sharded2d_sorted_es_pallas_matches_xla():
+    """backend='pallas' on the 2-D mesh (the fused ES Mosaic substep per
+    shard with carried rho, composed with two-axis aprons and migrate_grid)
+    tracks the XLA sorted 2-D-mesh composition."""
+    from fusion_sim_tpu.ops.sorted_deposit import Tiling2D
+
+    n_cells, n = 32, 2048
+    d = 2 * np.pi / n_cells
+    base = es.ESConfig(grid_shape=(n_cells, n_cells), cell_size=(d, d),
+                       dt=0.05, charge=-1.0 / n, mass=1.0 / n)
+    rng = np.random.default_rng(4)
+    pos = (rng.random((n, 2)) * n_cells).astype(np.float32)
+    vel = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+    mesh = make_mesh(4, ("sx", "sy"), shape=(2, 2))
+    tiling = Tiling2D(tile_r=8, tile_z=8, block=128, margin=2)
+    kw = dict(base=base, mesh_shape=(2, 2), capacity=1024,
+              migration_buffer=64, tiling=tiling, resort_every=4)
+
+    a = ShardedElectrostaticPIC2D(ShardedESConfig2D(**kw), mesh, pos, vel)
+    b = ShardedElectrostaticPIC2D(
+        ShardedESConfig2D(backend="pallas", **kw), mesh, pos, vel)
+    a.step(6)
+    b.step(6)
+    assert int(np.asarray(b.state.overflow).sum()) == 0
+    pa, va = a.gather_particles()
+    pb, vb = b.gather_particles()
+    assert pb.shape[0] == n
+    d2 = ((pb[:, None, :] - pa[None, :, :]) ** 2).sum(-1)
+    match = d2.argmin(axis=1)
+    assert len(np.unique(match)) == len(match)
+    np.testing.assert_allclose(pb, pa[match], rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(vb, va[match], rtol=1e-4, atol=2e-3)
+    # the carried rho equals a fresh deposit at the current positions
+    seed = b._seed_rho(b.state)
+    np.testing.assert_allclose(np.asarray(b.state.rho), np.asarray(seed),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sharded2d_rejects_bad_mesh_shape():
     base, pos, vel = _setup()
     mesh = make_mesh(8, ("sx", "sy"), shape=(2, 4))

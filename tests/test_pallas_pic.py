@@ -12,6 +12,7 @@ from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, build_padded_layout
 @pytest.mark.parametrize("precision", [
     "highest",
     pytest.param("exact_bf16", marks=pytest.mark.slow),
+    "exact_bf16_pack",
 ])
 def test_fused_es2d_substep_matches_composed_step(precision):
     shape = (64, 128)
@@ -246,6 +247,15 @@ def test_fused_es2d_substep_streamed_matches_resident():
     for a, b, name in zip(outs_r, outs_s, ("pos", "vel", "rho", "inw")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
                                    atol=0, err_msg=name)
+    # the K-packed variant streams ONE window ref with doubled lanes (the
+    # hi/lo halves side by side) — its stream slicing is a distinct path
+    outs_rp = fused_es2d_substep(*args, precision="exact_bf16_pack",
+                                 stream=False, n_g=8, interpret=True)
+    outs_sp = fused_es2d_substep(*args, precision="exact_bf16_pack",
+                                 stream=True, n_g=8, interpret=True)
+    for a, b, name in zip(outs_rp, outs_sp, ("pos", "vel", "rho", "inw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=0, err_msg="pack " + name)
 
 
 @pytest.mark.slow
