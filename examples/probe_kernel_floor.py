@@ -93,6 +93,9 @@ def main():
         t_pack = run("exact_bf16_pack")
         print(f"   exact_bf16_pack:            {1e3 * t_pack:7.2f} ms "
               f"({100 * (t_base - t_pack) / t_base:+.1f}%)")
+        t_pack2 = run("exact_bf16_pack2")
+        print(f"   exact_bf16_pack2 (+dep):    {1e3 * t_pack2:7.2f} ms "
+              f"({100 * (t_base - t_pack2) / t_base:+.1f}%)")
         if not args.skip_ablate:
             t_ng = run("exact_bf16", "no_gather")
             print(f"   ablate no_gather:           {1e3 * t_ng:7.2f} ms "

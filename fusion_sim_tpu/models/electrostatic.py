@@ -310,9 +310,11 @@ class SortedElectrostaticPIC:
         # bf16).  None = follow tiling.dtype ('default' for bfloat16
         # tilings, else 'highest').
         if pallas_precision not in (None, "highest", "exact_bf16",
-                                    "exact_bf16_pack", "default"):
+                                    "exact_bf16_pack", "exact_bf16_pack2",
+                                    "default"):
             raise ValueError(f"pallas_precision {pallas_precision!r}")
-        if pallas_precision == "exact_bf16_pack" and config.n_dim != 2:
+        if (pallas_precision in ("exact_bf16_pack", "exact_bf16_pack2")
+                and config.n_dim != 2):
             raise ValueError("exact_bf16_pack is 2D-only (the 3D gather "
                              "already contracts full 128-wide K tiles)")
         self.pallas_precision = pallas_precision

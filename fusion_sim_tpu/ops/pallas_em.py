@@ -40,8 +40,14 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_half_dt, inv_dx,
                  inv_dz, dt, coef_x, coef_z, inv_vol, c_light, relativistic,
                  precision, dep_precision, stream):
-    three_term = precision == "exact_bf16"
-    n_win = 2 if three_term else 1
+    three_term = precision in ("exact_bf16", "exact_bf16_pack",
+                               "exact_bf16_pack2")
+    pack = precision in ("exact_bf16_pack", "exact_bf16_pack2")
+    pack_dep = precision == "exact_bf16_pack2"
+    # pack: hi/lo window halves share ONE operand on the lane (wr) axis —
+    # the packed cross-term matmul contracts K = 2*wr_pad (ops/pallas_pic.py)
+    n_win = 2 if (three_term and not pack) else 1
+    k_win = 2 * wr_pad if pack else wr_pad
     wins = refs[:n_win]
     (olr_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
      inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 9]
@@ -61,7 +67,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
             tile_ref, list(zip(wins, scrs, sems)), s, ns, n_g, n_tiles)
 
         def wait_get(g):
-            return [jax.lax.slice(w, (0, 0), (w.shape[0], wr_pad))
+            return [jax.lax.slice(w, (0, 0), (w.shape[0], k_win))
                     for w in _wait_get(g)]
     # r tents on the sublane-padded range (rows >= wr are zero in-window)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
@@ -93,7 +99,17 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
         # the z tent select + per-channel sublane reduce on the VPU — ~6x
         # fewer MXU passes than the per-channel form
         dn = (((1,), (0,)), ((), ()))
-        if three_term:
+        if pack:
+            # full-K packing (see ops/pallas_pic.py): cross terms
+            # Whi@ar_lo + Wlo@ar_hi in ONE matmul, K = 2*wr_pad
+            wp = win_ops[0]
+            ar_hi, ar_lo = split_bf16(ar)
+            ar_cat = jnp.concatenate([ar_lo, ar_hi], axis=0)
+            w_hi = jax.lax.slice(wp, (0, 0), (wp.shape[0], wr_pad))
+            d_ = lambda a, b: jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32)
+            t_all = d_(w_hi, ar_hi) + d_(wp, ar_cat)
+        elif three_term:
             # 3 bf16 passes instead of 'highest''s ~6 (ops/mxu.py);
             # windows were split once in XLA
             ar_hi, ar_lo = split_bf16(ar)
@@ -159,6 +175,16 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
 
         def win_mm(a, b):
             dnums = (((1,), (1,)), ((), ()))
+            if pack_dep:
+                # deposit cross terms packed along the particle (K) axis —
+                # one matmul instruction fewer per call (ops/pallas_pic.py)
+                a_hi, a_lo = split_bf16(a)
+                b_hi, b_lo = split_bf16(b)
+                a_cat = jnp.concatenate([a_hi, a_lo], axis=1)
+                b_cat = jnp.concatenate([b_lo, b_hi], axis=1)
+                d2_ = lambda x, y: jax.lax.dot_general(
+                    x, y, dnums, preferred_element_type=jnp.float32)
+                return d2_(a_hi, b_hi) + d2_(a_cat, b_cat)
             if dep_precision == "exact_bf16":
                 return dot3_split(a, b, dnums)
             return jax.lax.dot_general(
@@ -237,8 +263,10 @@ def fused_em2d_substep(
     deposit (the model re-pushes them exactly via its compacted patch).
     ``precision`` selects the 6-channel gather matmul strategy: 'highest'
     (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py,
-    ~2x fewer MXU passes at ~2^-18 relative error), or 'default'
-    (single-pass bf16).
+    ~2x fewer MXU passes at ~2^-18 relative error), 'exact_bf16_pack' /
+    'exact_bf16_pack2' (same terms with the cross terms K-packed into one
+    matmul — gather only / gather + Esirkepov deposits; ops/pallas_pic.py),
+    or 'default' (single-pass bf16).
 
     ``stream`` selects the window-set memory strategy: False keeps all
     tile windows VMEM-resident (indexed dynamically per block), True keeps
@@ -290,17 +318,26 @@ def fused_em2d_substep(
     ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
                               (0, wr_pad - wr)))
     ewin_t = ewin_t.reshape(ntr * ntz, 6 * wz_pad, wr_pad)
-    three_term = precision == "exact_bf16"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack",
+                               "exact_bf16_pack2")
+    pack = precision in ("exact_bf16_pack", "exact_bf16_pack2")
     # stream=None: resident while the 6-channel window set fits VMEM
     # comfortably, HBM-streamed by prefetched tile index otherwise
     stream = resolve_stream((ewin_t,), wr_pad, stream)
-    wr_lane = -(-wr_pad // 128) * 128
-    if stream and wr_lane != wr_pad:
+    k_win = 2 * wr_pad if pack else wr_pad
+    if pack:
+        # K-packed layout: hi/lo bf16 halves side by side on the lane axis
+        # (no extra VMEM — see ops/pallas_pic.py)
+        w_hi, w_lo = split_bf16(ewin_t)
+        ewin_t = jnp.concatenate([w_hi, w_lo], axis=2)
+    k_lane = -(-k_win // 128) * 128
+    if stream and k_lane != k_win:
         # Mosaic HBM slices must align to the (8, 128) tiling: pre-pad the
         # streamed storage lanes (physically present anyway); the kernel
-        # slices the view back to wr_pad
-        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wr_lane - wr_pad)))
-    ewin_args = split_bf16(ewin_t) if three_term else (ewin_t,)
+        # slices the view back to k_win
+        ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, k_lane - k_win)))
+    ewin_args = (split_bf16(ewin_t) if three_term and not pack
+                 else (ewin_t,))
 
     def rows(v):
         if v.shape[0] != n_pad:
@@ -328,7 +365,7 @@ def fused_em2d_substep(
     if stream:
         win_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
-        win_spec = pl.BlockSpec((ntr * ntz, 6 * wz_pad, wr_pad),
+        win_spec = pl.BlockSpec(ewin_args[0].shape,
                                 lambda s, *_: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
     wz_lane = -(-wz // 128) * 128
@@ -341,8 +378,7 @@ def fused_em2d_substep(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
-        in_specs=[row_spec] * 6 + (
-            [win_spec, win_spec] if three_term else [win_spec]),
+        in_specs=[row_spec] * 6 + [win_spec] * len(ewin_args),
         out_specs=(
             row_spec, row_spec, row_spec, row_spec, row_spec,
             # per-TILE J (row n_tiles = filler trash slot), flushed once

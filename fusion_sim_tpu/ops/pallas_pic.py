@@ -85,8 +85,10 @@ def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
 def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
                  *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
                  precision, dep_precision, stream, ablate=None):
-    three_term = precision in ("exact_bf16", "exact_bf16_pack")
-    pack = precision == "exact_bf16_pack"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack",
+                               "exact_bf16_pack2")
+    pack = precision in ("exact_bf16_pack", "exact_bf16_pack2")
+    pack_dep = precision == "exact_bf16_pack2"
     # pack: hi and lo window halves ride ONE operand, concatenated on the
     # lane (wr) axis — K of the packed cross-term matmul is 2*wr_pad
     n_win = 2 if (three_term and not pack) else 1
@@ -201,6 +203,21 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         nvz = jnp.where(inw, nvz, sl(vz_all))
         if ablate in ("no_deposit", "no_both"):
             rho_g = jnp.zeros((wr_pad, wz), jnp.float32)
+        elif pack_dep:
+            # the deposit's two cross terms also contract in ONE matmul,
+            # concatenated along the particle (K) axis: same K-tile count
+            # (K was already full), but one matmul instruction fewer —
+            # measured win comes from Mosaic's per-matmul setup of the
+            # lane-lane contraction, not from pump count
+            dn2 = (((1,), (1,)), ((), ()))
+            bzw = azn * wm
+            a_hi, a_lo = split_bf16(arn)
+            b_hi, b_lo = split_bf16(bzw)
+            a_cat = jnp.concatenate([a_hi, a_lo], axis=1)
+            b_cat = jnp.concatenate([b_lo, b_hi], axis=1)
+            d2_ = lambda a, b: jax.lax.dot_general(
+                a, b, dn2, preferred_element_type=jnp.float32)
+            rho_g = d2_(a_hi, b_hi) + d2_(a_cat, b_cat)
         elif dep_precision == "exact_bf16":
             rho_g = dot3_split(arn, azn * wm, (((1,), (1,)), ((), ())))
         else:
@@ -324,8 +341,9 @@ def fused_es2d_substep(
     ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
                               (0, wr_pad - wr)))
     ewin_t = ewin_t.reshape(ntr * ntz, 2 * wz_pad, wr_pad)
-    three_term = precision in ("exact_bf16", "exact_bf16_pack")
-    pack = precision == "exact_bf16_pack"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack",
+                               "exact_bf16_pack2")
+    pack = precision in ("exact_bf16_pack", "exact_bf16_pack2")
     # stream=None: keep the window set VMEM-resident while it fits
     # comfortably (dynamic indexing is free); stream it from HBM by
     # prefetched tile index once it would crowd the ~100 MB scoped VMEM

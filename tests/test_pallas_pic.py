@@ -13,6 +13,7 @@ from fusion_sim_tpu.ops.sorted_deposit import Tiling2D, build_padded_layout
     "highest",
     pytest.param("exact_bf16", marks=pytest.mark.slow),
     "exact_bf16_pack",
+    pytest.param("exact_bf16_pack2", marks=pytest.mark.slow),
 ])
 def test_fused_es2d_substep_matches_composed_step(precision):
     shape = (64, 128)
@@ -191,15 +192,17 @@ def test_fused_em2d_substep_exact_bf16_tracks_highest():
     valid = validp > 0.5
 
     outs = {}
-    for prec in ("highest", "exact_bf16"):
+    for prec in ("highest", "exact_bf16", "exact_bf16_pack2"):
         outs[prec] = fused_em2d_substep(
             jnp.asarray(table), pos_p, vel_p, valid, tid, shape, tiling,
             qm_half_dt=0.1, dt=0.1, cell_size=(0.5, 0.5), charge=-0.01,
             precision=prec, interpret=True)
-    for a, b, name in zip(outs["highest"], outs["exact_bf16"],
-                          ("pos", "vel", "j", "inw")):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    for variant in ("exact_bf16", "exact_bf16_pack2"):
+        for a, b, name in zip(outs["highest"], outs[variant],
+                              ("pos", "vel", "j", "inw")):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{variant} {name}")
 
 
 @pytest.mark.slow
