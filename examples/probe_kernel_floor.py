@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-ablate", action="store_true")
+    ap.add_argument("--xla-parts", action="store_true",
+                    help="time the substep's XLA pre/post phases standalone")
     args = ap.parse_args()
     n, cells = args.n, args.cells
     length = 2 * np.pi
@@ -96,6 +98,42 @@ def main():
         t_pack2 = run("exact_bf16_pack2")
         print(f"   exact_bf16_pack2 (+dep):    {1e3 * t_pack2:7.2f} ms "
               f"({100 * (t_base - t_pack2) / t_base:+.1f}%)")
+        if args.xla_parts:
+            # the substep jit's XLA pre/post work, timed standalone: what
+            # part of the no-MXU floor is NOT the Mosaic kernel
+            from fusion_sim_tpu.ops.mxu import split_bf16
+            from fusion_sim_tpu.ops.pallas_gather import _local_coords
+            from fusion_sim_tpu.ops.sorted_deposit import (
+                extract_tile_windows, fold_tile_windows)
+
+            p_blk = tiling.block
+            t_lc = loop_timeit(jax.jit(
+                lambda p, t: _local_coords(p, t, shape, tiling, p_blk)),
+                st.position, st.tile_id,
+                iters=args.iters, reps=args.reps)
+            print(f"   xla: _local_coords:         {1e3 * t_lc:7.2f} ms")
+            wz = args.tile + 2 * margin + 1
+            wz_pad = -(-wz // 8) * 8
+            ntr, ntz = tiling.n_tiles(shape)
+
+            def prep(e):
+                ew = extract_tile_windows(e, shape, tiling, wr, wz)
+                ew = ew.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
+                ew = jnp.pad(ew, ((0, 0), (0, 0), (0, wz_pad - wz),
+                                  (0, wr_pad - wr)))
+                ew = ew.reshape(ntr * ntz, 2 * wz_pad, wr_pad)
+                hi, lo = split_bf16(ew)
+                return jnp.concatenate([hi, lo], axis=2)
+            t_ex = loop_timeit(jax.jit(prep), e_grid,
+                               iters=args.iters, reps=args.reps)
+            print(f"   xla: extract+split+pack:    {1e3 * t_ex:7.2f} ms")
+            wz_lane = -(-wz // 128) * 128
+            tw = jnp.zeros((ntr * ntz, wr_pad, wz_lane), jnp.float32)
+            t_fold = loop_timeit(jax.jit(
+                lambda t: fold_tile_windows(t[:, :wr, :wz], shape, tiling,
+                                            wr, wz)), tw,
+                iters=args.iters, reps=args.reps)
+            print(f"   xla: fold_tile_windows:     {1e3 * t_fold:7.2f} ms")
         if not args.skip_ablate:
             t_ng = run("exact_bf16", "no_gather")
             print(f"   ablate no_gather:           {1e3 * t_ng:7.2f} ms "

@@ -19,7 +19,8 @@ from bench import ES_MARGIN, ES_RESORT, ES_SPILL_CAPACITY, ES_SPILL_TIERS, \
 
 def main():
     _setup_cache()
-    for prec in ("exact_bf16", "exact_bf16_pack"):
+    precs = sys.argv[1:] or ("exact_bf16", "exact_bf16_pack")
+    for prec in precs:
         out = bench_es_10m(backend="pallas", precision=prec,
                            margin=ES_MARGIN, resort=ES_RESORT,
                            spill_capacity=ES_SPILL_CAPACITY,

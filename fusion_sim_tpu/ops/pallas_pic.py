@@ -171,14 +171,13 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
             t_all = jax.lax.dot_general(win_ops[0], ar, dn,
                                         precision=precision,
                                         preferred_element_type=jnp.float32)
-        # z tents once on (wz_pad, P), tiled per channel by concat (cheap
-        # copies instead of C x tent recompute on the VPU)
+        # z tents once on (wz_pad, P); per-channel multiply on slices of
+        # t_all (no 2*wz_pad concat copy — the tent broadcasts per channel)
         az_p = jnp.maximum(0.0, 1.0 - jnp.abs(lz - iota_zp))
-        pt = t_all * jnp.concatenate([az_p, az_p], axis=0)
-        ex = jnp.sum(jax.lax.slice(pt, (0, 0), (wz_pad, p)),
-                     axis=0, keepdims=True)               # (1, P)
-        ez = jnp.sum(jax.lax.slice(pt, (wz_pad, 0), (2 * wz_pad, p)),
-                     axis=0, keepdims=True)
+        tx = jax.lax.slice(t_all, (0, 0), (wz_pad, p))
+        tz = jax.lax.slice(t_all, (wz_pad, 0), (2 * wz_pad, p))
+        ex = jnp.sum(tx * az_p, axis=0, keepdims=True)    # (1, P)
+        ez = jnp.sum(tz * az_p, axis=0, keepdims=True)
 
         w = sl(w_all)
         valid = w != 0.0
