@@ -150,18 +150,19 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
 # r12 c16k exact_bf16 30.7 | r14 c32k 38.8 | r16 c64k 44.7 |
 # r16 c32k margin8 42.2.
 #
-# Round-4b HEADLINE rung: at tile 32, margin 8 pads to the SAME (48, 48)
-# kernel window as margin 6 (sublane pad 44 -> 48), so the wider margin
-# is free in kernel arithmetic while cutting the spill tail ~15x — the
-# resort cadence stretches 12 -> 16 at the same 16384-row patch buffer
-# (walked dropless through full windows by the probe; cadence 18 drops
+# Round-4b rung: at tile 32, margin 8's thinner spill tail stretches the
+# resort cadence 12 -> 16 at the same 16384-row patch buffer (walked
+# dropless through full windows by the probe; cadence 18 drops
 # 7.3k/window at position 17 and was REJECTED — PERFORMANCE.md).  Spill
 # tiers (1024, 4096) patch the low-flux window positions at small static
-# capacities (-0.7 ms).
+# capacities (-0.7 ms).  Round 5: precision 'exact_bf16_pack' (the
+# K-packed 3-term gather, ops/pallas_pic.py) — 26.11 -> 24.68 ms/step at
+# this rung, same ~2^-18 accuracy, dropped=0 (probe_pack_step).
 ES_MARGIN = 8
 ES_RESORT = 16
 ES_SPILL_CAPACITY = 16384
 ES_SPILL_TIERS = (1024, 4096)
+ES_PRECISION = "exact_bf16_pack"
 # superseded round-4a frontier, kept for the secondary f32 rung below
 ES_MARGIN_R12 = 6
 ES_RESORT_R12 = 12
@@ -316,7 +317,7 @@ def main() -> None:
     #    static capacities for another 0.7 ms -> 26.1 ms (2026-08-20 probe).
     if gate("es_10m_exact_bf16", 540):
         try:
-            es_out = bench_es_10m(backend="pallas", precision="exact_bf16",
+            es_out = bench_es_10m(backend="pallas", precision=ES_PRECISION,
                                   margin=ES_MARGIN, resort=ES_RESORT,
                                   spill_capacity=ES_SPILL_CAPACITY,
                                   spill_tiers=ES_SPILL_TIERS)

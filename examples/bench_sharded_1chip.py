@@ -55,7 +55,8 @@ def main():
                          "448.7 ms EM single-chip numbers)")
     ap.add_argument("--model", default="es", choices=["es", "em"])
     ap.add_argument("--precision", default="highest",
-                    choices=["highest", "exact_bf16", "default"])
+                    choices=["highest", "exact_bf16", "exact_bf16_pack",
+                             "exact_bf16_pack2", "default"])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--slack", type=float, default=1.05,
                     help="per-shard slot capacity as a multiple of the "
@@ -74,9 +75,16 @@ def main():
                     help="0 = auto (equilibrium-sized for repair runs)")
     ap.add_argument("--warmup", type=int, default=0,
                     help="0 = auto (spill equilibrium for ES repair runs)")
+    ap.add_argument("--mesh2d", action="store_true",
+                    help="use the TWO-AXIS mesh composition on a (1, 1) "
+                         "mesh (VERDICT r4 #3 nd=1 sanity timing: fused "
+                         "2-D-mesh path vs the 1-D sharded rung)")
     args = ap.parse_args()
 
-    mesh = make_mesh(1, ("space",))
+    if args.mesh2d and (args.repair or args.eager):
+        raise SystemExit("--mesh2d does not support repair/eager")
+    mesh = (make_mesh(1, ("sx", "sy"), shape=(1, 1)) if args.mesh2d
+            else make_mesh(1, ("space",)))
     ndim = args.dim
     n = args.n or (10_002_432 if ndim == 2 else 29_997_056)
     nc = args.cells or (512 if ndim == 2 else 128)
@@ -112,6 +120,20 @@ def main():
             eager_kw = dict(repair_eager=args.eager,
                             eager_capacity=196608, )
             spill_cap = args.spill_capacity or 16384
+        if args.mesh2d:
+            from fusion_sim_tpu.models.electrostatic_sharded2d import (
+                ShardedESConfig2D, ShardedElectrostaticPIC2D)
+
+            cfg2 = ShardedESConfig2D(
+                base=base, mesh_shape=(1, 1), capacity=cap,
+                migration_buffer=8192, tiling=tiling,
+                resort_every=resort_es, backend="pallas",
+                spill_capacity=spill_cap,
+                pallas_precision=args.precision)
+            sim = ShardedElectrostaticPIC2D(cfg2, mesh, pos, vel)
+            bench(sim, f"sharded2d-es-pallas (1,1) {ndim}D", n,
+                  steps=args.steps, warmup=warmup)
+            return
         cfg = ShardedESConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
                               resort_every=10 ** 9 if args.repair
@@ -129,6 +151,19 @@ def main():
                            dt=0.2 * d, charge=-0.01, mass=0.01,
                            field_gather="centered")
         vel = (0.05 * rng.standard_normal((n, 3))).astype(np.float32)
+        if args.mesh2d:
+            from fusion_sim_tpu.models.electromagnetic_sharded2d import (
+                ShardedEMConfig2D, ShardedElectromagneticPIC2D)
+
+            cfg2 = ShardedEMConfig2D(
+                base=base, mesh_shape=(1, 1), capacity=cap,
+                migration_buffer=8192, tiling=tiling,
+                resort_every=resort_em, gather_backend="fused",
+                pallas_precision=args.precision)
+            sim = ShardedElectromagneticPIC2D(cfg2, mesh, pos, vel)
+            bench(sim, f"sharded2d-em-fused (1,1) {ndim}D", n,
+                  steps=args.steps)
+            return
         cfg = ShardedEMConfig(base=base, n_shards=1, capacity=cap,
                               migration_buffer=8192, tiling=tiling,
                               resort_every=10 ** 9 if args.repair
