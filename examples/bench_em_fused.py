@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--resort", type=int, default=12)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--precision", default=None,
-                    choices=["highest", "exact_bf16", "default"],
+                    choices=["highest", "exact_bf16", "exact_bf16_pack",
+                             "exact_bf16_pack2", "default"],
                     help="fused-kernel matmul strategy (None = auto)")
     ap.add_argument("--backends", default="fused",
                     help="comma list from: xla,pallas,fused")

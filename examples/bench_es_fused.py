@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--repair", action="store_true",
                     help="incremental layout repair instead of resorts")
     ap.add_argument("--precision", default=None,
-                    choices=["highest", "exact_bf16", "default"],
+                    choices=["highest", "exact_bf16", "exact_bf16_pack",
+                             "exact_bf16_pack2", "default"],
                     help="fused-kernel matmul strategy (None = auto)")
     ap.add_argument("--spill-capacity", type=int, default=16384)
     ap.add_argument("--warmup", type=int, default=117,

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--skip-ablate", action="store_true")
     ap.add_argument("--xla-parts", action="store_true",
                     help="time the substep's XLA pre/post phases standalone")
+    ap.add_argument("--n-g-sweep", type=int, nargs="*", default=[],
+                    help="extra blocks-per-grid-step values to time (the "
+                         "~7us/grid-step pipeline overhead lever)")
     args = ap.parse_args()
     n, cells = args.n, args.cells
     length = 2 * np.pi
@@ -83,12 +86,16 @@ def main():
         print(f"-- margin {margin}: wr={wr} wr_pad={wr_pad} "
               f"packK={2 * wr_pad}{' (>128: pack splits)' if 2 * wr_pad > 128 else ''}")
 
-        def run(prec, ablate=None):
+        def run(prec, ablate=None, n_g=32):
             fn = lambda e, p, v, ww, ti: fused_es2d_substep(
                 e, p, v, ww, ti, shape, tiling, qm_dt, c_ax[0], c_ax[1],
-                precision=prec, interpret=interpret, ablate=ablate)
+                precision=prec, interpret=interpret, ablate=ablate, n_g=n_g)
             return loop_timeit(fn, e_grid, st.position, st.velocity, w,
                                st.tile_id, iters=args.iters, reps=args.reps)
+
+        for ng in args.n_g_sweep:
+            t_ng_ = run("exact_bf16_pack", n_g=ng)
+            print(f"   pack @ n_g={ng:<3d}:            {1e3 * t_ng_:7.2f} ms")
 
         t_base = run("exact_bf16")
         print(f"   exact_bf16 baseline:        {1e3 * t_base:7.2f} ms")
