@@ -172,7 +172,8 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
                  windows: int = 3, margin: int = ES_MARGIN_R12,
                  resort: int = ES_RESORT_R12,
                  spill_capacity: int = ES_SPILL_CAPACITY,
-                 spill_tiers: tuple[int, ...] | None = None):
+                 spill_tiers: tuple[int, ...] | None = None,
+                 solver_precision: str = "highest"):
     """The north-star metric as BASELINE words it: full self-consistent PIC
     steps/sec at 10M particles (2D ES, 512^2) with push+deposit fused in one
     kernel (``backend='pallas'``, ops/pallas_pic.py) and the FFT solve in
@@ -193,7 +194,8 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
     d = length / cells
     vol = length * length
     config = es.ESConfig(grid_shape=(cells, cells), cell_size=(d, d), dt=0.05,
-                         charge=-vol / n, mass=vol / n)
+                         charge=-vol / n, mass=vol / n,
+                         solver_precision=solver_precision)
     rng = np.random.default_rng(0)
     pos = rng.random((n, 2)).astype(np.float32) * cells
     vel = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
@@ -224,6 +226,7 @@ def bench_es_10m(backend: str = "pallas", precision: str | None = None,
         "resort_every": resort, "spill_patched_rows": int(sim.state.spill),
         "config": f"tile32 margin{margin} resort{resort}{tiers}",
         "precision": precision or "highest(f32)",
+        "solver_precision": solver_precision,
     }
     if out["value"] is None:
         out["rejected"] = (f"dropped {dropped} deposits past capacity "

@@ -21,10 +21,14 @@ def main():
     _setup_cache()
     precs = sys.argv[1:] or ("exact_bf16", "exact_bf16_pack")
     for prec in precs:
+        # "PRECISION+dft" also switches the dense-DFT solve to exact_bf16
+        prec, _, solver = prec.partition("+")
         out = bench_es_10m(backend="pallas", precision=prec,
                            margin=ES_MARGIN, resort=ES_RESORT,
                            spill_capacity=ES_SPILL_CAPACITY,
-                           spill_tiers=ES_SPILL_TIERS)
+                           spill_tiers=ES_SPILL_TIERS,
+                           solver_precision="exact_bf16" if solver
+                           else "highest")
         ms = 1e3 / out["value"] if out.get("value") else float("nan")
         print(f"{prec}: {ms:.2f} ms/step  {json.dumps(out)}", flush=True)
 

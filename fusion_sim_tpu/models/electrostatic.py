@@ -54,6 +54,10 @@ class ESConfig:
     mass: float                     # per macro-particle
     eps0: float = 1.0
     neutralizing_background: bool = True
+    # 2D dense-DFT solve matmul strategy: 'highest' (Mosaic multi-pass
+    # f32) or 'exact_bf16' (3-term hi/lo bf16 splits, ~2^-18 relative —
+    # half the MXU passes; ops/solvers.poisson_dft2d)
+    solver_precision: str = "highest"
 
     @property
     def n_dim(self) -> int:
@@ -95,7 +99,8 @@ def solve_fields(config: ESConfig, rho: jax.Array) -> tuple[jax.Array, jax.Array
     (~1e-5 relative)."""
     if config.n_dim == 2 and max(config.grid_shape) <= 2048:
         from ..ops.solvers import poisson_dft2d
-        phi = poisson_dft2d(rho, config.cell_size, eps0=config.eps0)
+        phi = poisson_dft2d(rho, config.cell_size, eps0=config.eps0,
+                            precision=config.solver_precision)
     else:
         phi = poisson_fft(rho, config.cell_size, eps0=config.eps0)
     grads = gradient_periodic(phi, config.cell_size)

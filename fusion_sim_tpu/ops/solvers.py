@@ -220,16 +220,21 @@ def poisson_fft(rho: jax.Array, dx: tuple[float, ...], eps0: float = 1.0) -> jax
     return jnp.fft.irfftn(phi_k, s=rho.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("dx",))
+@functools.partial(jax.jit, static_argnames=("dx", "precision"))
 def poisson_dft2d(rho: jax.Array, dx: tuple[float, float],
-                  eps0: float = 1.0) -> jax.Array:
+                  eps0: float = 1.0, precision: str = "highest") -> jax.Array:
     """``poisson_fft`` for 2D grids as explicit DFT MATMULS.
 
     XLA's TPU FFT is emulated and slow (~5.5 ms for 512^2 incl. gradient,
     measured); at PIC grid sizes the O(n^3) dense-DFT matmul form runs
     straight on the MXU and is ~10x faster.  Real arithmetic throughout:
     F = C - iS per axis, phi = (1/N) Re[F^H (F rho F^T / (eps0 |k|^2)) F^*].
-    Same semantics as ``poisson_fft`` (k=0 mode zeroed)."""
+    Same semantics as ``poisson_fft`` (k=0 mode zeroed).
+
+    ``precision='exact_bf16'`` runs the ten DFT matmuls as 3-term hi/lo
+    bf16 splits (ops/mxu.dot3_split, ~2^-18 relative — the same grade as
+    the fused kernels' exact_bf16 path) at half the MXU passes of
+    'highest'."""
     nx, ny = rho.shape
     hp = jax.lax.Precision.HIGHEST
 
@@ -245,7 +250,13 @@ def poisson_dft2d(rho: jax.Array, dx: tuple[float, float],
     ksq = kx[:, None] ** 2 + ky[None, :] ** 2
     inv = jnp.where(ksq > 0, 1.0 / (eps0 * ksq), 0.0) / (nx * ny)
 
-    mm = functools.partial(jnp.matmul, precision=hp)
+    if precision == "exact_bf16":
+        from .mxu import dot3_split
+
+        def mm(a, b):
+            return dot3_split(a, b, (((1,), (0,)), ((), ())))
+    else:
+        mm = functools.partial(jnp.matmul, precision=hp)
     a_r = mm(cx, rho)                     # forward x: A = (C - iS) rho
     a_i = -mm(sx, rho)
     b_r = mm(a_r, cy.T) + mm(a_i, sy.T)   # forward y

@@ -120,3 +120,25 @@ def test_gradient_periodic():
     (g,) = gradient_periodic(jnp.asarray(phi), (d,))
     # central difference of sin -> cos * sin(d)/d factor
     np.testing.assert_allclose(np.asarray(g), np.cos(x) * np.sin(d) / d, atol=1e-5)
+
+
+def test_poisson_dft2d_matches_fft_and_exact_bf16_tracks():
+    """The dense-DFT MXU solve matches the FFT solve spectrally, and its
+    exact_bf16 (3-term split) variant tracks 'highest' at the ~2^-18 grade
+    the fused kernels use."""
+    import numpy as np
+
+    from fusion_sim_tpu.ops.solvers import poisson_dft2d, poisson_fft
+
+    rng = np.random.default_rng(11)
+    rho = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+    rho = rho - jnp.mean(rho)
+    dx = (0.3, 0.25)
+    ref = poisson_fft(rho, dx)
+    hi = poisson_dft2d(rho, dx)
+    bf = poisson_dft2d(rho, dx, precision="exact_bf16")
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ref),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(hi),
+                               atol=1e-4 * scale)
