@@ -48,6 +48,73 @@ def dot3_split(a, b, dimension_numbers):
     return dot3(a_hi, a_lo, b_hi, b_lo, dimension_numbers)
 
 
+def dot3_mpack(a: jax.Array, b: jax.Array) -> jax.Array:
+    """3-term exact-bf16 matmul with the a-side terms M-PACKED (lane-
+    contracting form: ``a`` (M, K), ``b`` (N, K), returns a @ b^T).
+
+    ``[a_hi; a_lo] @ b_hi`` computes the hi@hi and lo@hi terms in ONE
+    matmul (2M <= 128 still fits one MXU output tile, so its pass count
+    equals a single pump), plus ``a_hi @ b_lo`` — 2 pumps instead of
+    dot3_split's 3 at the same ~2^-18 accuracy.  Unlike the full M/N
+    quadrant form (``dot4_quad``), the single concat and both output
+    slices are SUBLANE-ALIGNED (M is a multiple of 8 in the fused-kernel
+    deposits), so no lane rotations or misaligned relayouts — dot4_quad
+    measured SLOWER than dot3_split on v5e (4.99 vs 4.53 ms deposit
+    chain at the 10M headline rung) precisely because its misaligned
+    b-concat and lane-offset quadrant slices cost more VPU time than the
+    extra pump it saved."""
+    a_hi, a_lo = split_bf16(a)
+    b_hi, b_lo = split_bf16(b)
+    a_cat = jnp.concatenate([a_hi, a_lo], axis=0)
+    dn = (((1,), (1,)), ((), ()))
+    q1 = jax.lax.dot_general(a_cat, b_hi, dn,
+                             preferred_element_type=jnp.float32)
+    q2 = jax.lax.dot_general(a_hi, b_lo, dn,
+                             preferred_element_type=jnp.float32)
+    m = a.shape[0]
+    return (jax.lax.slice(q1, (0, 0), (m, q1.shape[1]))
+            + jax.lax.slice(q1, (m, 0), (2 * m, q1.shape[1]))) + q2
+
+
+def dot4_quad(a: jax.Array, b: jax.Array) -> jax.Array:
+    """4-term exact-bf16 matmul by M/N QUADRANT packing (lane-contracting
+    form: ``a`` (M, K), ``b`` (N, K), returns (M, N) = a @ b^T).
+
+    ONE bf16 matmul ``[a_hi; a_lo] @ [b_hi; b_lo]^T`` computes all four
+    split products as output quadrants, summed on the VPU:
+
+        q = [ hi@hi  hi@lo ]      out = q00 + q01 + q10 + q11
+            [ lo@hi  lo@lo ]
+
+    When 2M <= 128 and 2N <= 128 the packed operands still fit ONE MXU
+    output tile, so the pass count drops to K/128 — a third of
+    ``dot3_split``'s 3 x K/128 (the deposit matmuls of the fused PIC
+    kernels have M = wr_pad <= 64, N = wz <= 64: the packing rides tile
+    padding that was burned anyway).  Accuracy is BETTER than the 3-term
+    form: the lo@lo term comes free, leaving only the ~2^-18 split
+    representation error (bf16 x bf16 products are exact in the f32
+    accumulator).  Correct (just fewer savings) if the doubled dims
+    exceed one tile.
+
+    MEASURED NEGATIVE on v5e for the fused-ES deposit (round 5): 4.99 ms
+    chain vs dot3_split's 4.53 — the b-side concat is sublane-MISALIGNED
+    (wz = 49 rows) and the quadrant slices need lane rotations, costing
+    more VPU time than the 16 saved MXU passes.  Use ``dot3_mpack``
+    (aligned, 2 pumps) instead; kept for documentation and for shapes
+    where both packed dims stay aligned."""
+    a_hi, a_lo = split_bf16(a)
+    b_hi, b_lo = split_bf16(b)
+    a_cat = jnp.concatenate([a_hi, a_lo], axis=0)
+    b_cat = jnp.concatenate([b_hi, b_lo], axis=0)
+    q = jax.lax.dot_general(a_cat, b_cat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m, n = a.shape[0], b.shape[0]
+    return ((jax.lax.slice(q, (0, 0), (m, n))
+             + jax.lax.slice(q, (m, n), (2 * m, 2 * n)))
+            + (jax.lax.slice(q, (0, n), (m, 2 * n))
+               + jax.lax.slice(q, (m, 0), (2 * m, n))))
+
+
 def split_bf16_3_exact(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """EXACT 3-way bf16 decomposition: x == h1 + h2 + h3 bit-for-bit (f32).
 

@@ -30,14 +30,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, dot3_split, split_bf16
+from .mxu import dot3, dot3_split, dot4_quad, split_bf16
 from .pallas_pic import accumulate_tile_2d
 from .pallas_stream import (make_window_streamer, resolve_stream,
                             stream_scratch_shapes)
 
 
-def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
-                 *refs, wr, wz, wr_pad, n_g, n_tiles, qm_half_dt, inv_dx,
+def _em2d_kernel(tile_ref, pr_ref, pz_ref, vx_ref, vy_ref, vz_ref, q_ref,
+                 *refs, wr, wz, wr_pad, n_g, n_tiles, ntz, tile_r, tile_z,
+                 margin, nr, nz, qm_half_dt, inv_dx,
                  inv_dz, dt, coef_x, coef_z, inv_vol, c_light, relativistic,
                  precision, dep_precision, stream):
     three_term = precision in ("exact_bf16", "exact_bf16_pack",
@@ -53,7 +54,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
      inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 9]
     s = pl.program_id(0)
     ns = pl.num_programs(0)
-    p = lr_ref.shape[-1]
+    p = pr_ref.shape[-1]
 
     if stream:
         # HBM window set, per-block DMA by prefetched tile index, double-
@@ -73,7 +74,7 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
                                       0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
-    lr_all, lz_all = lr_ref[0], lz_ref[0]
+    pr_all, pz_all = pr_ref[0], pz_ref[0]          # (G, P) global coords
     vx_all, vy_all, vz_all = vx_ref[0], vy_ref[0], vz_ref[0]
     q_all = q_ref[0]
     wz_pad = -(-wz // 8) * 8
@@ -81,13 +82,20 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                                        0).astype(jnp.float32)
     outs = [[] for _ in range(6)]
     for g in range(n_g):
+        t_raw = tile_ref[s * n_g + g]
         if stream:
             win_ops = wait_get(g)
         else:
-            t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+            t = jnp.minimum(t_raw, n_tiles - 1)
             win_ops = [w_ref_[t] for w_ref_ in wins]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
-        l0r, l0z = sl(lr_all), sl(lz_all)
+        # window-local coordinates IN-KERNEL from the prefetched tile id
+        # (bit-identical to pallas_gather._local_coords — see
+        # ops/pallas_pic.py; the XLA lr/lz chain measured 3.5 ms at 10M)
+        otr = ((t_raw // ntz) * tile_r - margin).astype(jnp.float32)
+        otz = ((t_raw % ntz) * tile_z - margin).astype(jnp.float32)
+        l0r = jnp.mod(sl(pr_all) - otr, float(nr))
+        l0z = jnp.mod(sl(pz_all) - otz, float(nz))
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(l0r - iota_r))   # (wr, P)
         az = jnp.maximum(0.0, 1.0 - jnp.abs(l0z - iota_z))   # (wz, P)
         g_inw = ((l0r >= 0.0) & (l0r < float(wr - 1))
@@ -185,6 +193,13 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
                 d2_ = lambda x, y: jax.lax.dot_general(
                     x, y, dnums, preferred_element_type=jnp.float32)
                 return d2_(a_hi, b_hi) + d2_(a_cat, b_cat)
+            if pack:
+                # M/N quadrant packing (ops/mxu.dot4_quad): every deposit
+                # contraction's four split products ride ONE matmul whose
+                # packed output still fits one MXU tile (2*wr_pad <= 128,
+                # 2*wz <= 128) — a third of dot3_split's passes per J
+                # component, at better accuracy (free lo@lo term)
+                return dot4_quad(a, b)
             if dep_precision == "exact_bf16":
                 return dot3_split(a, b, dnums)
             return jax.lax.dot_general(
@@ -219,8 +234,11 @@ def _em2d_kernel(tile_ref, lr_ref, lz_ref, vx_ref, vy_ref, vz_ref, q_ref,
         accumulate_tile_2d(tile_ref, acc_ref, j_ref, acc_sem, j_g,
                            s, g, ns, n_g)
 
-        # freeze out-of-window rows (exact re-push happens in the model)
-        vals = (jnp.where(inw, l1r, l0r), jnp.where(inw, l1z, l0z),
+        # freeze out-of-window rows (exact re-push happens in the model);
+        # positions go back to GLOBAL periodic coordinates in-kernel
+        # (same f32 ops the XLA epilogue used — bit-identical)
+        vals = (jnp.mod(jnp.where(inw, l1r, l0r) + otr, float(nr)),
+                jnp.mod(jnp.where(inw, l1z, l0z) + otz, float(nz)),
                 jnp.where(inw, nvx, vx), jnp.where(inw, nvy, vy),
                 jnp.where(inw, nvz, vz), inw.astype(jnp.float32))
         for i_v, v in enumerate(vals):
@@ -263,10 +281,12 @@ def fused_em2d_substep(
     deposit (the model re-pushes them exactly via its compacted patch).
     ``precision`` selects the 6-channel gather matmul strategy: 'highest'
     (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py,
-    ~2x fewer MXU passes at ~2^-18 relative error), 'exact_bf16_pack' /
-    'exact_bf16_pack2' (same terms with the cross terms K-packed into one
-    matmul — gather only / gather + Esirkepov deposits; ops/pallas_pic.py),
-    or 'default' (single-pass bf16).
+    ~2x fewer MXU passes at ~2^-18 relative error), 'exact_bf16_pack'
+    (gather cross terms K-packed into one matmul AND every Esirkepov
+    deposit contraction M-packed via ops/mxu.dot3_mpack — 2 pumps each
+    instead of 3; ops/pallas_pic.py), 'exact_bf16_pack2' (the K-axis
+    deposit packing — measured wash, kept for documentation), or
+    'default' (single-pass bf16).
 
     ``stream`` selects the window-set memory strategy: False keeps all
     tile windows VMEM-resident (indexed dynamically per block), True keeps
@@ -278,7 +298,6 @@ def fused_em2d_substep(
     ~7 us/step pipeline overhead; tests shrink it to exercise multi-step
     prefetching on small layouts).
     """
-    from .pallas_gather import _local_coords
     from .sorted_deposit import extract_tile_windows, fold_tile_windows
 
     nr, nz = shape
@@ -299,21 +318,20 @@ def fused_em2d_substep(
     nsteps = nb_pad // n_g
     n_pad = nb_pad * p_blk
 
-    blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
-        position, tile_id, shape, tiling, p_blk)
+    # per-block tile ids; window-local coordinates are computed IN-KERNEL
+    # from these (ops/pallas_pic.py rationale)
+    blk_tile = tile_id[::p_blk].astype(jnp.int32)
     if nb_pad != nb:
         # filler blocks: sentinel tile (J flushes to the trash row)
         blk_tile = jnp.concatenate(
             [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
-        fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
-        lr = jnp.concatenate([lr, fill])
-        lz = jnp.concatenate([lz, fill])
 
-    ewin = extract_tile_windows(table, shape, tiling, wr, wz)
     # channel-stacked rows (c*wz_pad + z), zero-padded to sublane multiples
-    # so the merged gather matmul can slice per channel at aligned offsets;
-    # K dim padded wr -> wr_pad (zero columns) to match the padded r tents
+    # so the merged gather matmul can slice per channel at aligned offsets
+    # (the one-hot placement-matmul extraction measured slower in-jit —
+    # ops/window_mm.py, ops/pallas_pic.py rationale)
     wz_pad = -(-wz // 8) * 8
+    ewin = extract_tile_windows(table, shape, tiling, wr, wz)
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 6).transpose(0, 3, 2, 1)
     ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
                               (0, wr_pad - wr)))
@@ -353,6 +371,8 @@ def fused_em2d_substep(
                          == "bfloat16" else "highest")
     kernel = functools.partial(
         _em2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad, n_g=n_g, n_tiles=n_tiles,
+        ntz=ntz, tile_r=tiling.tile_r, tile_z=tiling.tile_z, margin=m,
+        nr=nr, nz=nz,
         qm_half_dt=float(qm_half_dt), inv_dx=float(1.0 / dx),
         inv_dz=float(1.0 / dz_cell), dt=float(dt),
         coef_x=float(-dx / (vol * dt)), coef_z=float(-dz_cell / (vol * dt)),
@@ -399,16 +419,14 @@ def fused_em2d_substep(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)),
+    )(blk_tile, rows(position[:, 0]), rows(position[:, 1]),
       rows(velocity[:, 0]), rows(velocity[:, 1]), rows(velocity[:, 2]),
       rows(q_row), *ewin_args)
-    nlr, nlz, nvx, nvy, nvz, j_tiles, inw = outs
+    ngr, ngz, nvx, nvy, nvz, j_tiles, inw = outs
 
-    orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
-    orz = jnp.repeat(blk_tz.astype(jnp.float32), p_blk)
+    # the kernel already wrapped positions back to global periodic coords
     position_out = jnp.stack(
-        [jnp.mod(nlr.reshape(n_pad)[:n] + orr, nr),
-         jnp.mod(nlz.reshape(n_pad)[:n] + orz, nz)], axis=-1)
+        [ngr.reshape(n_pad)[:n], ngz.reshape(n_pad)[:n]], axis=-1)
     velocity_out = jnp.stack([nvx.reshape(n_pad)[:n],
                               nvy.reshape(n_pad)[:n],
                               nvz.reshape(n_pad)[:n]], axis=-1)

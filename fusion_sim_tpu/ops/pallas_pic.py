@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, dot3_split, split_bf16
+from .mxu import dot3, dot3_mpack, dot3_split, split_bf16
 from .pallas_stream import (make_window_streamer, resolve_stream,
                             stream_scratch_shapes)
 
@@ -82,8 +82,9 @@ def accumulate_tile_2d(tile_ref, acc_ref, out_ref, acc_sem, val,
             cp.wait()
 
 
-def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
-                 *refs, wr, wz, wr_pad, n_g, n_tiles, qm_dt, c_r, c_z,
+def _es2d_kernel(tile_ref, pr_ref, pz_ref, velr_ref, velz_ref, w_ref,
+                 *refs, wr, wz, wr_pad, n_g, n_tiles, ntz, tile_r, tile_z,
+                 margin, nr, nz, qm_dt, c_r, c_z,
                  precision, dep_precision, stream, ablate=None):
     three_term = precision in ("exact_bf16", "exact_bf16_pack",
                                "exact_bf16_pack2")
@@ -98,7 +99,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
      inw_ref, acc_ref, acc_sem) = refs[n_win:n_win + 8]
     s = pl.program_id(0)
     ns = pl.num_programs(0)
-    p = lr_ref.shape[-1]
+    p = pr_ref.shape[-1]
 
     if stream:
         # windows live in HBM; DMA each block's window by its scalar-
@@ -121,7 +122,7 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (wr_pad, p),
                                       0).astype(jnp.float32)
     iota_z = jax.lax.broadcasted_iota(jnp.int32, (wz, p), 0).astype(jnp.float32)
-    lr_all, lz_all = lr_ref[0], lz_ref[0]          # (G, P)
+    pr_all, pz_all = pr_ref[0], pz_ref[0]          # (G, P) global coords
     vr_all, vz_all = velr_ref[0], velz_ref[0]
     w_all = w_ref[0]
     o_lr, o_lz, o_vr, o_vz, o_inw = [], [], [], [], []
@@ -129,13 +130,21 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
     iota_zp = jax.lax.broadcasted_iota(jnp.int32, (wz_pad, p),
                                        0).astype(jnp.float32)
     for g in range(n_g):
+        t_raw = tile_ref[s * n_g + g]
         if stream:
             win_ops = wait_get(g)
         else:
-            t = jnp.minimum(tile_ref[s * n_g + g], n_tiles - 1)
+            t = jnp.minimum(t_raw, n_tiles - 1)
             win_ops = [w_ref_[t] for w_ref_ in wins]
         sl = lambda a: jax.lax.slice(a, (g, 0), (g + 1, p))
-        lr, lz = sl(lr_all), sl(lz_all)
+        # window-local coordinates IN-KERNEL from the prefetched tile id
+        # (same int arithmetic + f32 mod as pallas_gather._local_coords,
+        # so results are bit-identical) — the standalone XLA lr/lz chain
+        # measured 3.5 ms at 10M (probe_kernel_floor --xla-parts, r5)
+        otr = ((t_raw // ntz) * tile_r - margin).astype(jnp.float32)
+        otz = ((t_raw % ntz) * tile_z - margin).astype(jnp.float32)
+        lr = jnp.mod(sl(pr_all) - otr, float(nr))
+        lz = jnp.mod(sl(pz_all) - otz, float(nz))
         ar = jnp.maximum(0.0, 1.0 - jnp.abs(lr - iota_r))  # (wr_pad, P)
         g_inw = (lr < float(wr - 1)) & (lz < float(wz - 1))  # (1, P)
 
@@ -217,6 +226,14 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
             d2_ = lambda a, b: jax.lax.dot_general(
                 a, b, dn2, preferred_element_type=jnp.float32)
             rho_g = d2_(a_hi, b_hi) + d2_(a_cat, b_cat)
+        elif pack:
+            # M-packed 3-term deposit (ops/mxu.dot3_mpack): the hi@hi and
+            # lo@hi terms ride ONE matmul whose stacked output
+            # (2*wr_pad <= 128 rows) still fits one MXU tile — 2 pumps
+            # instead of dot3_split's 3, with the concat and both output
+            # slices sublane-aligned.  (The full M/N quadrant form
+            # measured SLOWER — see dot4_quad's docstring.)
+            rho_g = dot3_mpack(arn, azn * wm)
         elif dep_precision == "exact_bf16":
             rho_g = dot3_split(arn, azn * wm, (((1,), (1,)), ((), ())))
         else:
@@ -232,8 +249,11 @@ def _es2d_kernel(tile_ref, lr_ref, lz_ref, velr_ref, velz_ref, w_ref,
         accumulate_tile_2d(tile_ref, acc_ref, rho_ref, acc_sem, rho_g,
                            s, g, ns, n_g)
 
-        o_lr.append(nlr)
-        o_lz.append(nlz)
+        # back to GLOBAL periodic coordinates in-kernel (same f32 ops the
+        # XLA epilogue used, so bit-identical; kills the O(N) origin
+        # repeat + mod chain outside the kernel)
+        o_lr.append(jnp.mod(nlr + otr, float(nr)))
+        o_lz.append(jnp.mod(nlz + otz, float(nz)))
         o_vr.append(nvr)
         o_vz.append(nvz)
         o_inw.append(inw.astype(jnp.float32))
@@ -279,9 +299,11 @@ def fused_es2d_substep(
     error), 'highest' = Mosaic's multi-pass f32 emulation, 'exact_bf16' =
     the 3-term hi/lo bf16 decomposition (ops/mxu.py, ~2^-18 relative — half
     the MXU passes of 'highest') applied to BOTH the gather and the deposit,
-    'exact_bf16_pack' = the same three terms with the two cross terms
-    contracted in ONE K-packed matmul (K = 2*wr_pad <= 128) — 2 gather
-    pumps instead of 3 at the same accuracy (VERDICT r4 #1 full-K packing).
+    'exact_bf16_pack' = the same three terms with the gather's two cross
+    terms contracted in ONE K-packed matmul (K = 2*wr_pad <= 128 — 2
+    gather pumps instead of 3, VERDICT r4 #1 full-K packing) AND the
+    deposit's hi@hi/lo@hi terms M-packed into one matmul
+    (ops/mxu.dot3_mpack — 2 deposit pumps instead of 3), same accuracy.
     With 'default'/'highest' the deposit matmul follows ``tiling.dtype``
     (charge conservation is more rounding-sensitive than the gathered
     field).  ``ablate`` (None | 'no_gather' | 'no_deposit' | 'no_both')
@@ -299,9 +321,6 @@ def fused_es2d_substep(
     ~7 us/step pipeline overhead; tests shrink it to exercise multi-step
     prefetching on small layouts).
     """
-    from .pallas_gather import _local_coords
-    from .sorted_deposit import extract_tile_windows, fold_tile_windows
-
     nr, nz = shape
     ntr, ntz = tiling.n_tiles(shape)
     n_tiles = ntr * ntz
@@ -319,23 +338,28 @@ def fused_es2d_substep(
     nsteps = nb_pad // n_g
     n_pad = nb_pad * p_blk
 
-    blk_tile, blk_tr, blk_tz, lr, lz = _local_coords(
-        position, tile_id, shape, tiling, p_blk)
+    # per-block tile ids; window-local coordinates are computed IN-KERNEL
+    # from these (the standalone XLA lr/lz chain measured 3.5 ms at 10M —
+    # probe_kernel_floor --xla-parts, round 5)
+    blk_tile = tile_id[::p_blk].astype(jnp.int32)
     if nb_pad != nb:
-        # dead filler blocks: sentinel tile (rho flushes to the trash row),
-        # zero weight, far-out local coords
+        # dead filler blocks: sentinel tile (rho flushes to the trash row,
+        # and the kernel's weight/validity masks make their rows inert)
         blk_tile = jnp.concatenate(
             [blk_tile, jnp.full((nb_pad - nb,), n_tiles, jnp.int32)])
-        fill = jnp.full((nb_pad - nb, p_blk), 1e9, lr.dtype)
-        lr = jnp.concatenate([lr, fill])
-        lz = jnp.concatenate([lz, fill])
 
-    ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
     # channel-stacked rows (c*wz_pad + z), zero-padded to sublane multiples
     # so the merged gather matmul can slice per channel at aligned offsets;
     # the gather K dim is padded wr -> wr_pad (zero columns) to match the
-    # sublane-padded r tents the deposit needs
+    # sublane-padded r tents the deposit needs.  (The one-hot placement-
+    # matmul form of this extraction — ops/window_mm.py — measured SLOWER
+    # in-jit on v5e despite winning standalone: the r5 A/B at the 10M
+    # headline rung put roll-extraction at 15.01 ms vs 15.31-15.41 for the
+    # mm forms; the small-matmul chain is latency-bound where XLA fuses
+    # the rolls into the surrounding jit.)
     wz_pad = -(-wz // 8) * 8
+    from .sorted_deposit import extract_tile_windows, fold_tile_windows
+    ewin = extract_tile_windows(e_grid, shape, tiling, wr, wz)
     ewin_t = ewin.reshape(ntr * ntz, wr, wz, 2).transpose(0, 3, 2, 1)
     ewin_t = jnp.pad(ewin_t, ((0, 0), (0, 0), (0, wz_pad - wz),
                               (0, wr_pad - wr)))
@@ -382,7 +406,9 @@ def fused_es2d_substep(
         dep_precision = ("default" if getattr(tiling, "dtype", "float32")
                          == "bfloat16" else "highest")
     kernel = functools.partial(_es2d_kernel, wr=wr, wz=wz, wr_pad=wr_pad,
-                               n_g=n_g, n_tiles=n_tiles,
+                               n_g=n_g, n_tiles=n_tiles, ntz=ntz,
+                               tile_r=tiling.tile_r, tile_z=tiling.tile_z,
+                               margin=m, nr=nr, nz=nz,
                                qm_dt=qm_dt, c_r=c_r, c_z=c_z,
                                precision=precision,
                                dep_precision=dep_precision, stream=stream,
@@ -434,16 +460,14 @@ def fused_es2d_substep(
         # 128 MB VMEM)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(blk_tile, rows(lr.reshape(-1)), rows(lz.reshape(-1)), velr, velz, w,
+    )(blk_tile, rows(position[:, 0]), rows(position[:, 1]), velr, velz, w,
       *ewin_args)
-    nlr, nlz, nvelr, nvelz, rho_tiles, inw = outs
+    ngr, ngz, nvelr, nvelz, rho_tiles, inw = outs
 
-    # back to global coordinates (periodic); drop filler rows
-    orr = jnp.repeat(blk_tr.astype(jnp.float32), p_blk)
-    orz = jnp.repeat(blk_tz.astype(jnp.float32), p_blk)
+    # the kernel already wrapped positions back to global periodic
+    # coordinates; drop filler rows
     position_out = jnp.stack(
-        [jnp.mod(nlr.reshape(n_pad)[:n] + orr, nr),
-         jnp.mod(nlz.reshape(n_pad)[:n] + orz, nz)], axis=-1)
+        [ngr.reshape(n_pad)[:n], ngz.reshape(n_pad)[:n]], axis=-1)
     velocity_out = jnp.stack([nvelr.reshape(n_pad)[:n],
                               nvelz.reshape(n_pad)[:n]], axis=-1)
     # tiles with no blocks were never flushed -> mask uninitialized rows
