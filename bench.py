@@ -150,16 +150,20 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
 # r12 c16k exact_bf16 30.7 | r14 c32k 38.8 | r16 c64k 44.7 |
 # r16 c32k margin8 42.2.
 #
-# Round-4b rung: at tile 32, margin 8's thinner spill tail stretches the
-# resort cadence 12 -> 16 at the same 16384-row patch buffer (walked
-# dropless through full windows by the probe; cadence 18 drops
-# 7.3k/window at position 17 and was REJECTED — PERFORMANCE.md).  Spill
-# tiers (1024, 4096) patch the low-flux window positions at small static
-# capacities (-0.7 ms).  Round 5: precision 'exact_bf16_pack' (the
-# K-packed 3-term gather, ops/pallas_pic.py) — 26.11 -> 24.68 ms/step at
-# this rung, same ~2^-18 accuracy, dropped=0 (probe_pack_step).
-ES_MARGIN = 8
-ES_RESORT = 16
+# Round-4b rung: at tile 32, margin 8's thinner spill tail stretched the
+# resort cadence 12 -> 16 at the same 16384-row patch buffer (cadence 18
+# drops 7.3k/window at position 17 — REJECTED).  Spill tiers (1024, 4096)
+# patch the low-flux window positions at small static capacities.
+# Round 5: precision 'exact_bf16_pack' (K-packed gather + M-packed
+# deposit, ops/pallas_pic.py + ops/mxu.py) and margin 10 — which sublane-
+# pads to the SAME 56-row kernel window as margin 8 (kernel-free spill
+# headroom) and stretches the cadence to 20: walked dropless through full
+# windows (peak 11,875 rows/step at window position 19, of 16384;
+# positions 0-9 spill ZERO so the patch chain cond-skips half the
+# window).  26.11 -> 24.68 (pack) -> 22.1 ms/step (probe_es_spill
+# 2026-08-20).  Cadence 24 drops 280k rows over 3 windows — REJECTED.
+ES_MARGIN = 10
+ES_RESORT = 20
 ES_SPILL_CAPACITY = 16384
 ES_SPILL_TIERS = (1024, 4096)
 ES_PRECISION = "exact_bf16_pack"

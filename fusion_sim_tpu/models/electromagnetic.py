@@ -295,17 +295,17 @@ class SortedElectromagneticPIC:
         self.gather_backend = gather_backend
         # pallas_precision overrides the fused kernel's gather matmul
         # strategy: 'highest', 'exact_bf16' (3-term hi/lo bf16, ops/mxu.py),
-        # 'exact_bf16_pack'/'exact_bf16_pack2' (K-packed cross terms —
-        # 2D kernel only), or 'default' (single-pass bf16).  None =
-        # 'highest' ('default' for bfloat16 tilings).
+        # 'exact_bf16_pack' (K-packed gather cross terms + M-packed
+        # deposits in 2D; M-packed deposits in 3D), 'exact_bf16_pack2'
+        # (K-packed deposits — 2D only, measured wash), or 'default'
+        # (single-pass bf16).  None = 'highest' ('default' for bfloat16
+        # tilings).
         if pallas_precision not in (None, "highest", "exact_bf16",
                                     "exact_bf16_pack", "exact_bf16_pack2",
                                     "default"):
             raise ValueError(f"pallas_precision {pallas_precision!r}")
-        if (pallas_precision in ("exact_bf16_pack", "exact_bf16_pack2")
-                and config.n_dim != 2):
-            raise ValueError("exact_bf16_pack is 2D-only (the 3D gather "
-                             "already contracts full 128-wide K tiles)")
+        if pallas_precision == "exact_bf16_pack2" and config.n_dim != 2:
+            raise ValueError("exact_bf16_pack2 is 2D-only")
         self.pallas_precision = pallas_precision
         # repair=True: spilled rows are RELOCATED each step into dead slots
         # of their new tile (ops/repair.py) instead of waiting for the full

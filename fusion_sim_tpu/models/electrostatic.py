@@ -310,18 +310,16 @@ class SortedElectrostaticPIC:
             raise ValueError(f"eager_capacity={eager_capacity} must be > 0")
         # pallas_precision overrides the fused kernel's matmul strategy:
         # 'highest' (Mosaic multi-pass f32), 'exact_bf16' (3-term hi/lo bf16,
-        # ops/mxu.py), 'exact_bf16_pack' (same terms, cross terms K-packed
-        # into one matmul — 2D ES kernel only), or 'default' (single-pass
-        # bf16).  None = follow tiling.dtype ('default' for bfloat16
-        # tilings, else 'highest').
+        # ops/mxu.py), 'exact_bf16_pack' (same terms, gather cross terms
+        # K-packed + deposit M-packed in 2D; deposit M-packed in 3D), or
+        # 'default' (single-pass bf16).  None = follow tiling.dtype
+        # ('default' for bfloat16 tilings, else 'highest').
         if pallas_precision not in (None, "highest", "exact_bf16",
                                     "exact_bf16_pack", "exact_bf16_pack2",
                                     "default"):
             raise ValueError(f"pallas_precision {pallas_precision!r}")
-        if (pallas_precision in ("exact_bf16_pack", "exact_bf16_pack2")
-                and config.n_dim != 2):
-            raise ValueError("exact_bf16_pack is 2D-only (the 3D gather "
-                             "already contracts full 128-wide K tiles)")
+        if pallas_precision == "exact_bf16_pack2" and config.n_dim != 2:
+            raise ValueError("exact_bf16_pack2 is 2D-only")
         self.pallas_precision = pallas_precision
         self.config = config
         self.tiling = tiling or (Tiling2D() if config.n_dim == 2

@@ -38,14 +38,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, dot3_split, split_bf16
+from .mxu import dot3, dot3_mpack, dot3_split, split_bf16
 from .pallas_stream import make_window_streamer
 
 
 def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
                  w_ref, *refs, wx, wy, wz, wx_pad, wyz_pad, n_g, n_tiles, qm_dt, c_x, c_y,
                  c_z, precision, dep_precision):
-    three_term = precision == "exact_bf16"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack")
+    pack_dep = precision == "exact_bf16_pack"
     if three_term:
         win_hi_hbm, win_lo_hbm = refs[0], refs[1]
         (nlx_ref, nly_ref, nlz_ref, nvx_ref, nvy_ref, nvz_ref, rho_ref,
@@ -126,7 +127,12 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
         nvy = jnp.where(inw, nvy, sl(vy_all))
         nvz = jnp.where(inw, nvz, sl(vz_all))
         dn_dep = (((1,), (1,)), ((), ()))
-        if dep_precision == "exact_bf16":
+        if dep_precision == "exact_bf16" and pack_dep:
+            # M-packed 3-term deposit (ops/mxu.dot3_mpack): 2 pumps
+            # instead of 3, all concats/slices sublane-aligned
+            # (2*wx_pad <= 128)
+            rho_g = dot3_mpack(axn, ayzn * wm)
+        elif dep_precision == "exact_bf16":
             rho_g = dot3_split(axn, ayzn * wm, dn_dep)
         else:
             rho_g = jax.lax.dot_general(
@@ -228,7 +234,10 @@ def fused_es3d_substep(
     Returns ``(position', velocity', rho', in_win)`` with the same contract
     as ``fused_es2d_substep`` (rho' deposited at the NEW positions; ~in_win
     rows frozen with no deposit, patched exactly by the caller).
-    ``precision``: 'highest' | 'exact_bf16' | 'default' as in 2D.
+    ``precision``: 'highest' | 'exact_bf16' | 'default' as in 2D, plus
+    'exact_bf16_pack' = exact_bf16 with the deposit's hi@hi/lo@hi terms
+    M-packed into one matmul (ops/mxu.dot3_mpack — 2 deposit pumps
+    instead of 3; the 3D gather keeps its two-operand streamed form).
     """
     from .sorted_deposit import (extract_tile_windows_3d_flat,
                                  fold_tile_windows_3d_flat)
@@ -259,7 +268,7 @@ def fused_es3d_substep(
         ly = jnp.concatenate([ly, fill])
         lz = jnp.concatenate([lz, fill])
 
-    three_term = precision == "exact_bf16"
+    three_term = precision in ("exact_bf16", "exact_bf16_pack")
     ext_prec = ("2term" if three_term
                 or getattr(tiling, "dtype", "float32") == "bfloat16"
                 else "highest")

@@ -54,7 +54,8 @@ def test_fused_es2d_substep_matches_composed_step(precision):
                                rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+@pytest.mark.parametrize("precision", ["highest", "exact_bf16",
+                                       "exact_bf16_pack"])
 def test_fused_es3d_substep_matches_composed_step(precision):
     from fusion_sim_tpu.ops.pallas_pic3d import fused_es3d_substep
     from fusion_sim_tpu.ops.sorted_deposit import Tiling3D
@@ -123,7 +124,8 @@ def test_fused_es3d_substep_flags_out_of_window():
     assert float(jnp.sum(rho)) < float(jnp.sum(w)) - 0.5
 
 
-@pytest.mark.parametrize("precision", ["highest", "exact_bf16"])
+@pytest.mark.parametrize("precision", ["highest", "exact_bf16",
+                                       "exact_bf16_pack"])
 def test_fused_em3d_substep_zero_field_matches_packed_esirkepov(precision):
     """With E = B = 0 the fused 3D EM kernel reduces to drift + Esirkepov;
     its J must match the packed reference deposit row for row."""
