@@ -112,7 +112,8 @@ def measure(sim, steps_per_batch: int, batches: int) -> float:
 
 
 def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
-                 batches: int = 2, windows_per_batch: int = 3):
+                 batches: int = 2, windows_per_batch: int = 3,
+                 respawn_capacity: int | None = None):
     """One offline-chosen sorted fused rung with a full drop audit.
 
     Returns a dict: pushes/s (or None if the rung dropped rows — an
@@ -121,7 +122,8 @@ def bench_sorted(nparticles: int, resort_every: int, spill_capacity: int,
     from the JSON alone (ADVICE r3)."""
     sim = build_sim(nparticles=nparticles)
     sim.enable_sorted_path(resort_every=resort_every, backend="fused",
-                           rng_impl="rbg", spill_capacity=spill_capacity)
+                           rng_impl="rbg", spill_capacity=spill_capacity,
+                           respawn_capacity=respawn_capacity)
     rate = measure(sim, steps_per_batch=windows_per_batch * resort_every,
                    batches=batches)
     st = sim._sorted_state
@@ -346,11 +348,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["energy_drift_10k"] = f"failed: {type(e).__name__}"
 
-    # 4. sorted fused grid parity at 1.05M (rung 12:8192 — 1.49e8 exact)
+    # 4. sorted fused grid parity at 1.05M (rung 12:8192:512 — 1.555e8
+    #    exact, probe_pusher_matrix 2026-08-20; cadences 8/6 and the
+    #    merged patch+respawn chain measured slower — PERFORMANCE.md)
     if gate("grid_sorted_1m", 300):
         try:
             result["grid_mode_sorted"] = bench_sorted(
-                nparticles=1024, resort_every=12, spill_capacity=8192)
+                nparticles=1024, resort_every=12, spill_capacity=8192,
+                respawn_capacity=512)
         except Exception as e:  # noqa: BLE001
             result["grid_mode_sorted"] = f"failed: {type(e).__name__}"
 

@@ -339,12 +339,6 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
 
     if respawn_capacity is None:
         respawn_capacity = min(spill_capacity, 2048)
-    # The merged patch+respawn chain (below) subsumes the separate
-    # respawn compaction; with no explicit tiers, ``respawn_capacity``
-    # becomes the low tier so the common low-attention substep still pays
-    # a small-buffer chain instead of the capacity-sized one.
-    if not spill_tiers and respawn_capacity < spill_capacity:
-        spill_tiers = (respawn_capacity,)
     tier_caps = (*spill_tiers, spill_capacity)
     nr, nz = spec.nr, spec.nz
     step_factor = spec.step_factor
@@ -360,87 +354,56 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
             cell, state.tile_id, nr, nz, tiling, step_factor,
             windows=windows, interpret=interpret)
 
-        # MERGED exact-patch + respawn chain (round 5, VERDICT r4 #4): one
-        # compaction handles BOTH row classes that need per-row attention —
-        # out-of-window rows (exact re-push: 13-channel NEAREST gather +
-        # rotation + drift + sink sample) and in-window absorbed rows
-        # (inverse-CDF respawn placement).  Previously these ran as two
-        # separate compaction+scatter chains per substep (the tiered spill
-        # patch, then ``sink_respawn`` at ``respawn_capacity``); folding
-        # the respawn into the patch's spill lane removes one O(N)
-        # compaction, one capacity-sized gather/scatter set, and the (N,3)
-        # respawn re-stack per substep.  Each substep still runs exactly
-        # ONE chain — the smallest ``spill_tiers`` capacity covering this
-        # substep's combined count.  Branch outputs are lane-major
-        # (d, cap) — no T(8,128) minor-dim blowup.  Reference semantics
-        # are unchanged (empic.js:692-726): absorbed rows respawn at
-        # inv_cdf(rand.xy) with w = 0 and their velocity is thermal-
-        # re-initialized one substep later via the w flag.
-        sink = jnp.where(state.valid, sink, 1.0)  # fillers never absorb
-        spill_mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
-        n_sp = jnp.sum(spill_mask)
-        att_mask = jnp.logical_and(
-            state.valid, jnp.logical_or(jnp.logical_not(inw), sink <= 0.5))
-        n_att = jnp.sum(att_mask)
-        # base alive flag: kernel sink decides (frozen rows carry sink=1,
-        # so overflow spill rows stay alive and retry; in-window absorbed
-        # rows past capacity go alive=0 and re-absorb next substep — the
-        # same backlog semantics the split chains had)
-        alive = (sink > 0.5).astype(jnp.float32)
+        # exact re-push of out-of-window rows (compacted).  The whole K-row
+        # chain (13-channel NEAREST gather + rotation + drift + sink sample)
+        # rides a lax.cond per ``spill_tiers`` capacity — each substep runs
+        # exactly ONE chain, the smallest tier covering this substep's
+        # spill count, so the common low-spill substep pays a small-buffer
+        # chain instead of the capacity-sized latency-bound ops (the
+        # `spill > 0` cond alone almost never skips: respawns and outlier
+        # drifters spill a few rows every substep).  Branch outputs are
+        # lane-major (d, cap) — no T(8,128) minor-dim blowup.
+        mask = jnp.logical_and(jnp.logical_not(inw), state.valid)
+        n_sp = jnp.sum(mask)
         from ..ops.boris import velocity_from_rows
-        from ..ops.sampling import sample_inverse_cdf
 
         for i, cap_i in enumerate(tier_caps):
             lo = 0 if i == 0 else tier_caps[i - 1]
             if i == len(tier_caps) - 1:
-                hot = n_att > lo    # top tier also handles overflow
+                hot = n_sp > lo    # top tier also handles overflow
             else:
-                hot = (n_att > lo) & (n_att <= cap_i)
-            idx, _ = spill_rows_cond(att_mask, jnp.where(hot, n_att, 0),
-                                     cap_i, n_tot)
+                hot = (n_sp > lo) & (n_sp <= cap_i)
+            idx, _ = spill_rows_cond(mask, jnp.where(hot, n_sp, 0), cap_i,
+                                     n_tot)
 
             def _patch_hot(idx=idx):
                 pk = state.position[idx]
-                rk_u = rand[idx]
-                spill_k = jnp.logical_not(inw[idx])
-                # exact re-push (meaningful for spill rows; respawn-only
-                # rows take their kernel outputs below)
                 rk = jnp.sqrt(pk[:, 0] ** 2 + pk[:, 1] ** 2)
                 rows_k = gather_nearest(packed13[..., :12], rk, pk[:, 2])
                 vel_k = velocity_from_rows(pk, state.velocity[idx],
-                                           state.alive[idx], rk_u, rows_k)
+                                           state.alive[idx], rand[idx],
+                                           rows_k)
                 pos_k = pk + jnp.float32(step_factor) * vel_k
                 rk2 = jnp.sqrt(pos_k[:, 0] ** 2 + pos_k[:, 1] ** 2)
                 sink_k = gather_nearest(packed13[..., 12:13], rk2,
                                         pos_k[:, 2])[..., 0]
-                pos_m = jnp.where(spill_k[:, None], pos_k, pos1[idx])
-                vel_m = jnp.where(spill_k[:, None], vel_k, vel1[idx])
-                sink_m = jnp.where(spill_k, sink_k, sink[idx])
-                # respawn the absorbed rows in place (empic.js:712-719)
-                resp = sink_m <= 0.5
-                new_r, new_z = sample_inverse_cdf(fields.inv_cdf,
-                                                  rk_u[:, 0], rk_u[:, 1])
-                pos_f = jnp.stack(
-                    [jnp.where(resp, new_r, pos_m[:, 0]),
-                     jnp.where(resp, 0.0, pos_m[:, 1]),
-                     jnp.where(resp, new_z, pos_m[:, 2])], axis=0)
-                return pos_f, vel_m.T, jnp.where(resp, 0.0, 1.0)
+                return pos_k.T, vel_k.T, sink_k
 
             def _patch_cold(cap_i=cap_i):
                 z = jnp.zeros((3, cap_i), jnp.float32)
                 return z, z, jnp.ones((cap_i,), jnp.float32)
 
-            pos_kT, vel_kT, alive_k = jax.lax.cond(hot, _patch_hot,
-                                                   _patch_cold)
+            pos_kT, vel_kT, sink_k = jax.lax.cond(hot, _patch_hot,
+                                                  _patch_cold)
             pos1 = pos1.at[idx].set(pos_kT.T, mode="drop")
             vel1 = vel1.at[idx].set(vel_kT.T, mode="drop")
-            alive = alive.at[idx].set(alive_k, mode="drop")
+            sink = sink.at[idx].set(sink_k, mode="drop")
 
-        position = pos1
-        # combined-chain overflow: rows past the top tier retry next
-        # substep (frozen spill rows / re-absorbing respawn rows)
-        n_drop = jnp.maximum(
-            n_att.astype(jnp.int32) - tier_caps[-1], 0)
+        # sink/respawn (shared exact path; fillers never absorb)
+        sink = jnp.where(state.valid, sink, 1.0)
+        position, alive, n_drop = sink_respawn(
+            pos1, sink, rand, fields.inv_cdf,
+            respawn_capacity=respawn_capacity)
 
         extra = {}
         v = state.valid
@@ -453,10 +416,10 @@ def _make_fused_step_fn(spec, tiling: Tiling2D, spill_capacity: int,
         position = jnp.where(v[:, None], position, FILLER)
         velocity = jnp.where(v[:, None], velocity, 0.0)
         alive = jnp.where(v, alive, 1.0)
-        # ``dropped`` counts the COMBINED chain's overflow (retrying spill
-        # rows + re-absorbing respawn rows); ``dropped_over`` isolates the
-        # window-exit share so an under-sized spill_capacity is still
-        # identifiable from the counters alone
+        # patch-capacity overflow: rows past `spill_capacity` come back
+        # frozen from the kernel and retry until the next resort — count
+        # them separately from the respawn backlog so the under-sized
+        # buffer (spill_capacity vs respawn_capacity) is identifiable
         n_over = jnp.maximum(n_sp.astype(jnp.int32) - spill_capacity, 0)
         return state._replace(
             position=position, velocity=velocity, alive=alive, key=key,
