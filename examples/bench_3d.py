@@ -56,7 +56,7 @@ def main():
                     help="0 = auto")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default=None,
-                    choices=["highest", "exact_bf16", "default"])
+                    choices=["highest", "exact_bf16", "exact_bf16_pack", "default"])
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="tiling dtype (XLA backend matmul precision)")

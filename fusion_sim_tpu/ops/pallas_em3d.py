@@ -50,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, dot3_mpack, dot3_split, split_bf16
+from .mxu import dot3, dot3_split, split_bf16
 from .pallas_stream import make_window_streamer
 
 
@@ -59,7 +59,6 @@ def _em3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
                  inv_dy, inv_dz, dt, coef_x, coef_y, coef_z, c_light,
                  relativistic, precision, dep_precision):
     three_term = precision in ("exact_bf16", "exact_bf16_pack")
-    pack_dep = precision == "exact_bf16_pack"
     if three_term:
         win_hi_hbm, win_lo_hbm = refs[0], refs[1]
         (olx_ref, oly_ref, olz_ref, ovx_ref, ovy_ref, ovz_ref, j_ref,
@@ -178,11 +177,10 @@ def _em3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
               - jnp.clip(iota_zf - l0z + 1.0, 0.0, 1.0))
 
         dn_dep = (((1,), (1,)), ((), ()))
-        if dep_precision == "exact_bf16" and pack_dep:
-            # M-packed 3-term deposits (ops/mxu.dot3_mpack): 2 pumps per
-            # J contraction instead of 3, sublane-aligned concats/slices
-            mm = dot3_mpack
-        elif dep_precision == "exact_bf16":
+        # 'exact_bf16_pack' aliases to the 3-term deposits here: the 2D
+        # M-packed form measured a catastrophic Mosaic lowering in the 3D
+        # ES kernel on v5e (11.9 s/step vs 256 ms — PERFORMANCE.md r5b)
+        if dep_precision == "exact_bf16":
             mm = lambda a, b: dot3_split(a, b, dn_dep)
         else:
             mm = lambda a, b: jax.lax.dot_general(

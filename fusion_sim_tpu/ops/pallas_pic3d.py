@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot3, dot3_mpack, dot3_split, split_bf16
+from .mxu import dot3, dot3_split, split_bf16
 from .pallas_stream import make_window_streamer
 
 
@@ -46,7 +46,6 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
                  w_ref, *refs, wx, wy, wz, wx_pad, wyz_pad, n_g, n_tiles, qm_dt, c_x, c_y,
                  c_z, precision, dep_precision):
     three_term = precision in ("exact_bf16", "exact_bf16_pack")
-    pack_dep = precision == "exact_bf16_pack"
     if three_term:
         win_hi_hbm, win_lo_hbm = refs[0], refs[1]
         (nlx_ref, nly_ref, nlz_ref, nvx_ref, nvy_ref, nvz_ref, rho_ref,
@@ -127,12 +126,12 @@ def _es3d_kernel(bt_ref, lx_ref, ly_ref, lz_ref, vx_ref, vy_ref, vz_ref,
         nvy = jnp.where(inw, nvy, sl(vy_all))
         nvz = jnp.where(inw, nvz, sl(vz_all))
         dn_dep = (((1,), (1,)), ((), ()))
-        if dep_precision == "exact_bf16" and pack_dep:
-            # M-packed 3-term deposit (ops/mxu.dot3_mpack): 2 pumps
-            # instead of 3, all concats/slices sublane-aligned
-            # (2*wx_pad <= 128)
-            rho_g = dot3_mpack(axn, ayzn * wm)
-        elif dep_precision == "exact_bf16":
+        # NOTE: the 2D kernels' M-packed deposit (ops/mxu.dot3_mpack) was
+        # tried here under 'exact_bf16_pack' and measured a CATASTROPHIC
+        # Mosaic lowering on v5e — 11.9 s/step at config[3] vs 256 ms for
+        # the 3-term form (2026-08-21, PERFORMANCE.md round-5b) — so the
+        # 3D 'exact_bf16_pack' aliases to the 3-term deposit
+        if dep_precision == "exact_bf16":
             rho_g = dot3_split(axn, ayzn * wm, dn_dep)
         else:
             rho_g = jax.lax.dot_general(
@@ -235,9 +234,10 @@ def fused_es3d_substep(
     as ``fused_es2d_substep`` (rho' deposited at the NEW positions; ~in_win
     rows frozen with no deposit, patched exactly by the caller).
     ``precision``: 'highest' | 'exact_bf16' | 'default' as in 2D, plus
-    'exact_bf16_pack' = exact_bf16 with the deposit's hi@hi/lo@hi terms
-    M-packed into one matmul (ops/mxu.dot3_mpack — 2 deposit pumps
-    instead of 3; the 3D gather keeps its two-operand streamed form).
+    'exact_bf16_pack' = accepted for config uniformity with the 2D
+    kernels but ALIASES to 'exact_bf16' here: the M-packed deposit that
+    wins in 2D measured a catastrophic Mosaic lowering in this kernel
+    (11.9 s/step vs 256 ms at config[3] — PERFORMANCE.md round-5b).
     """
     from .sorted_deposit import (extract_tile_windows_3d_flat,
                                  fold_tile_windows_3d_flat)
