@@ -31,3 +31,22 @@ def substep_uniforms(key: jax.Array, n_particles: int) -> tuple[jax.Array, jax.A
     next_key, sub = jax.random.split(key)
     rand = jax.random.uniform(sub, (n_particles, 4), dtype=jnp.float32)
     return rand, next_key
+
+
+def step_uniforms(key: jax.Array, n_particles: int) -> tuple[jax.Array, jax.Array]:
+    """BOTH half-steps' uniforms in ONE generator invocation: (2, N, 4),
+    ``rand[0]`` for substep B and ``rand[1]`` for substep A (the
+    reference's rand_B/rand_A ping-pong order, empic.js:1436-1469).
+
+    MEASURED WASH at step level (round 5): standalone, an (8, n) draw
+    times the same ~3.3 ms as a (4, n) draw at n = 1.5M (suggesting a
+    large fixed cost), but that number is dominated by the tunneled
+    backend's dispatch-chain latency — inside the sorted pusher's
+    window-scan jit, swapping two per-substep draws for one batched draw
+    measured 13.9 vs 13.5 ms/step (noise-level, no win), so the pusher
+    keeps per-substep ``substep_uniforms``.  Kept as the documented
+    probe result; distribution semantics identical (iid U(0,1) per
+    particle per substep)."""
+    next_key, sub = jax.random.split(key)
+    rand = jax.random.uniform(sub, (2, n_particles, 4), dtype=jnp.float32)
+    return rand, next_key
