@@ -365,11 +365,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["grid_mode_sorted_at_16m"] = f"failed: {type(e).__name__}"
 
-    # 3. the north star: fused ES PIC at 10M, exact_bf16 (~2^-18) headline.
-    #    Margin 8 / resort 16: walked dropless through full windows (peak
-    #    9.5k rows/step of 16384) at 26.8 ms/step; spill tiers (1024, 4096)
-    #    patch the low-flux window positions (8-13: flux 2..2.7k) at small
-    #    static capacities for another 0.7 ms -> 26.1 ms (2026-08-20 probe).
+    # 3. the north star: fused ES PIC at 10M, exact_bf16_pack (~2^-18)
+    #    headline at margin 10 / resort 20 — 22.0-22.1 ms/step, walked
+    #    dropless through full windows (see the ES_* constants' comment;
+    #    final r5 artifact: 45.4 steps/s = 4.54e8 updates/s, dropped=0).
     if gate("es_10m_exact_bf16", 540):
         try:
             es_out = bench_es_10m(backend="pallas", precision=ES_PRECISION,
